@@ -1,0 +1,15 @@
+"""mpc_tpu — TPU-native model predictive control and moving horizon estimation.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+ModelPredictiveControl.jl (reference mounted at /root/reference): plant models
+(linear with delays / nonlinear with RK4), state estimators (Kalman family,
+Luenberger, internal model, moving horizon), and predictive controllers
+(LinMPC condensed QP, ExplicitMPC, NonLinMPC SQP) — designed for batched,
+jit-compiled, vmapped execution on TPU.
+"""
+from .utils import tf, delay, ss, tf_matrix, StateSpace, TransferFunction
+from .utils.config import enable_x64, set_dtype, default_dtype
+from .models import (SimModel, LinModel, NonLinModel, RungeKutta, ForwardEuler,
+                     EmptySolver, linearize, linearize_)
+
+__version__ = "0.1.0"

@@ -1,0 +1,47 @@
+"""Nonlinear plant model (reference: src/model/nonlinmodel.jl).
+
+User supplies jax-traceable ``f(x, u, d, p)`` / ``h(x, d, p)``; continuous
+dynamics are discretized with a :class:`~mpc_tpu.models.solver.RungeKutta`
+solver (``solver=None`` means ``f`` is already discrete, mirroring
+``nonlinmodel.jl:4-13``).  Unlike the reference's mutating/non-mutating
+method-signature detection (``nonlinmodel.jl:221-295``), everything here is
+pure-functional — the natural JAX form.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .base import SimModel
+from .solver import DiffSolver, EmptySolver, RungeKutta
+
+
+class NonLinModel(SimModel):
+    def __init__(self, f, h, Ts, nu, nx, ny, nd=0, p=None, solver="rk4"):
+        if solver is None:
+            solver = EmptySolver()
+        elif solver == "rk4":
+            solver = RungeKutta(4)
+        elif not isinstance(solver, DiffSolver):
+            raise TypeError("solver must be None, 'rk4' or a DiffSolver")
+        self.solver = solver
+        self._f_user, self._h_user = f, h
+        self._fd = solver.discretize(f, Ts)
+        self._init_common(nu, nx, ny, nd, Ts)
+        self.p = p
+
+    def f(self, x0, u0, d0, p):
+        return self._fd(x0, u0, d0, p)
+
+    def h(self, x0, d0, p):
+        return self._h_user(x0, d0, p)
+
+    def __repr__(self):
+        sname = type(self.solver).__name__
+        if isinstance(self.solver, RungeKutta):
+            sname = f"RungeKutta({self.solver.order}, supersample={self.solver.supersample})"
+        return (f"NonLinModel with a sample time Ts = {self.Ts} s, {sname} solver:\n"
+                f"└ dimensions:\n"
+                f"  ├ {self.nu} manipulated inputs u\n"
+                f"  ├ {self.nx} states x\n"
+                f"  ├ {self.ny} outputs y\n"
+                f"  └ {self.nd} measured disturbances d")
