@@ -1,0 +1,176 @@
+"""Batched dense QP solver — OSQP-style ADMM with active-set polish.
+
+This replaces the reference's binary OSQP dependency (default LinMPC/MHE
+optimizer, ``src/general.jl:9``) with a fixed-shape, jit/vmap-able JAX
+implementation designed for TPU:
+
+* problem form  ``min ½ xᵀPx + qᵀx  s.t.  l ≤ Ax ≤ u``  (equalities: l == u,
+  one-sided rows: ∓BIG) — all shapes static;
+* ADMM with a cached dense Cholesky of ``P + σI + AᵀρA`` (MXU matmuls), over-
+  relaxation, per-row ρ (equality rows get 1000× weight, as in OSQP);
+* ``lax.while_loop`` with residual-based termination (vmap lifts this to a
+  lockstep loop with per-problem masks);
+* active-set **polish** step (OSQP §5.2-style): detect the active set from
+  the dual signs, solve the equality-constrained KKT system with a masked
+  static-shape formulation + iterative refinement — this is what brings
+  solutions to ~1e-9 accuracy so control traces match the reference ≤1e-5.
+
+Everything is a pure function of arrays → `jax.vmap(solve_qp)` solves
+thousands of scenarios in lockstep on the MXU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e18  # bounds beyond this are treated as infinite
+
+
+class QPSolution(NamedTuple):
+    x: jax.Array          # primal solution (n,)
+    y: jax.Array          # dual solution (m,)
+    z: jax.Array          # Ax at solution (m,)
+    converged: jax.Array  # bool scalar
+    iters: jax.Array      # int scalar
+    obj: jax.Array        # ½xᵀPx + qᵀx
+
+
+def _rho_vec(l, u, rho):
+    eq = (u - l) < 1e-12
+    loose = (u >= _BIG) & (l <= -_BIG)
+    return jnp.where(eq, 1e3 * rho, jnp.where(loose, 1e-6 * rho, rho))
+
+
+def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
+             sigma=1e-6, rho=0.1, alpha=1.6,
+             max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
+             polish=True, polish_iters=3, polish_delta=1e-9):
+    """Solve one dense QP.  jit- and vmap-compatible (static shapes only)."""
+    n = q.shape[0]
+    m = l.shape[0]
+    dt = q.dtype
+    x = jnp.zeros(n, dt) if x0 is None else x0
+    y = jnp.zeros(m, dt) if y0 is None else y0
+    if m == 0:
+        xs = jnp.linalg.solve(P + sigma * jnp.eye(n, dtype=dt), -q)
+        return QPSolution(xs, y, jnp.zeros(0, dt), jnp.array(True),
+                          jnp.array(0), 0.5 * xs @ P @ xs + q @ xs)
+
+    rhov = _rho_vec(l, u, jnp.asarray(rho, dt))
+    M = P + sigma * jnp.eye(n, dtype=dt) + (A.T * rhov) @ A
+    L = jax.scipy.linalg.cho_factor(M, lower=True)
+
+    z = jnp.clip(A @ x, l, u)
+
+    # scaling terms for relative tolerances
+    qnorm = jnp.maximum(jnp.linalg.norm(q, jnp.inf), 1.0)
+
+    def admm_step(carry):
+        x, z, y, it, _ = carry
+        rhs = sigma * x - q + A.T @ (rhov * z - y)
+        xt = jax.scipy.linalg.cho_solve(L, rhs)
+        zt = A @ xt
+        xn = alpha * xt + (1 - alpha) * x
+        z_pre = alpha * zt + (1 - alpha) * z
+        zn = jnp.clip(z_pre + y / rhov, l, u)
+        yn = y + rhov * (z_pre - zn)
+        return xn, zn, yn, it + 1, jnp.array(False)
+
+    def residuals(x, z, y):
+        Ax = A @ x
+        r_prim = jnp.linalg.norm(Ax - z, jnp.inf)
+        r_dual = jnp.linalg.norm(P @ x + q + A.T @ y, jnp.inf)
+        s_prim = jnp.maximum(jnp.maximum(jnp.linalg.norm(Ax, jnp.inf),
+                                         jnp.linalg.norm(z, jnp.inf)), 1.0)
+        s_dual = jnp.maximum(jnp.maximum(jnp.linalg.norm(P @ x, jnp.inf),
+                                         jnp.linalg.norm(A.T @ y, jnp.inf)), qnorm)
+        return r_prim / s_prim, r_dual / s_dual
+
+    def cond(carry):
+        x, z, y, it, done = carry
+        return (~done) & (it < max_iter)
+
+    def body(carry):
+        # run `check_every` ADMM steps then test residuals
+        def inner(i, c):
+            return admm_step(c)
+        carry = jax.lax.fori_loop(0, check_every, inner, carry)
+        x, z, y, it, _ = carry
+        rp, rd = residuals(x, z, y)
+        done = (rp < tol) & (rd < tol)
+        return (x, z, y, it, done)
+
+    x, z, y, iters, done = jax.lax.while_loop(
+        cond, body, (x, z, y, jnp.array(0), jnp.array(False)))
+
+    if polish:
+        x, y, z = _polish(P, q, A, l, u, x, y, rhov,
+                          iters=polish_iters, delta=polish_delta)
+
+    # convergence assessed on the final (post-polish) KKT residuals: the ADMM
+    # loop only needs to identify the active set; polish supplies accuracy.
+    rp, rd = residuals(x, z, y)
+    converged = (rp < tol_final) & (rd < tol_final)
+    obj = 0.5 * x @ P @ x + q @ x
+    return QPSolution(x, y, z, converged | done, iters, obj)
+
+
+def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-9):
+    """Active-set polish with masked static-shape KKT + iterative refinement."""
+    n, m = q.shape[0], l.shape[0]
+    dt = q.dtype
+    act_low = (y < -delta) & (l > -_BIG)
+    act_up = (y > delta) & (u < _BIG)
+    act = act_low | act_up
+    b = jnp.where(act_low, l, u)
+    actf = act.astype(dt)
+    Am = A * actf[:, None]
+    # K = [[P+δI, Amᵀ], [Am, -δI - diag(1-act)]]
+    K = jnp.block([
+        [P + delta * jnp.eye(n, dtype=dt), Am.T],
+        [Am, -delta * jnp.eye(m, dtype=dt) - jnp.diag(1.0 - actf)],
+    ])
+    lu = jax.scipy.linalg.lu_factor(K)
+    rhs = jnp.concatenate([-q, actf * b])
+
+    def refine(i, sol):
+        # residual of the UNregularized system
+        xs, nu = sol[:n], sol[n:]
+        res_top = P @ xs + Am.T @ nu + q
+        res_bot = Am @ xs - (1.0 - actf) * nu - actf * b
+        dsol = jax.scipy.linalg.lu_solve(lu, -jnp.concatenate([res_top, res_bot]))
+        return sol + dsol
+
+    sol0 = jax.scipy.linalg.lu_solve(lu, rhs)
+    sol = jax.lax.fori_loop(0, iters, refine, sol0)
+    x_pol, nu = sol[:n], sol[n:]
+    y_pol = jnp.where(act, nu, 0.0)
+    z_pol = jnp.clip(A @ x_pol, l, u)
+
+    # accept polish only if it does not violate feasibility/optimality more
+    def score(xx, yy):
+        Ax = A @ xx
+        viol = jnp.maximum(jnp.max(Ax - u), jnp.max(l - Ax))
+        viol = jnp.maximum(viol, 0.0)
+        rd = jnp.linalg.norm(P @ xx + q + A.T @ yy, jnp.inf)
+        return viol + rd
+
+    better = score(x_pol, y_pol) <= score(x, y)
+    finite = jnp.all(jnp.isfinite(x_pol))
+    take = better & finite
+    x = jnp.where(take, x_pol, x)
+    y = jnp.where(take, y_pol, y)
+    z = jnp.where(take, z_pol, A @ x)
+    return x, y, z
+
+
+def solve_qp_batch(P, q, A, l, u, x0=None, y0=None, **kw):
+    """vmapped batch solve: leading batch axis on every argument (or None)."""
+    fn = lambda P_, q_, A_, l_, u_, x0_, y0_: solve_qp(
+        P_, q_, A_, l_, u_, x0_, y0_, **kw)
+    in_axes = (0, 0, 0, 0, 0,
+               0 if x0 is not None else None,
+               0 if y0 is not None else None)
+    return jax.vmap(fn, in_axes=in_axes)(P, q, A, l, u, x0, y0)

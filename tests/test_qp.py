@@ -1,0 +1,123 @@
+"""QP solver tests: cross-checked against scipy reference solutions."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu.ops import solve_qp, solve_qp_batch
+
+BIG = 1e20
+
+
+def scipy_qp(P, q, A, l, u):
+    """Reference solution via scipy.optimize.minimize with constraints."""
+    from scipy.optimize import LinearConstraint, minimize
+    n = len(q)
+    cons = [LinearConstraint(A, l, u)]
+    r = minimize(lambda x: 0.5 * x @ P @ x + q @ x, np.zeros(n),
+                 jac=lambda x: P @ x + q, constraints=cons, method="SLSQP",
+                 options={"maxiter": 500, "ftol": 1e-12})
+    return r.x
+
+
+def random_qp(rng, n, m, n_eq=0):
+    H = rng.normal(size=(n, n))
+    P = H @ H.T + n * np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    x_feas = rng.normal(size=n) * 0.1
+    margin = rng.uniform(0.05, 1.0, size=m)
+    Ax = A @ x_feas
+    l = Ax - margin
+    u = Ax + margin
+    # one-sided rows
+    one_sided = rng.random(m) < 0.3
+    l = np.where(one_sided, -BIG, l)
+    for i in range(n_eq):
+        l[i] = u[i] = Ax[i]
+    return P, q, A, l, u
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_qp_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    P, q, A, l, u = random_qp(rng, n=6, m=10, n_eq=2)
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                   jnp.asarray(l), jnp.asarray(u))
+    x_ref = scipy_qp(P, q, A, l, u)
+    assert bool(sol.converged)
+    assert np.allclose(np.asarray(sol.x), x_ref, atol=1e-6)
+    # feasibility
+    Ax = A @ np.asarray(sol.x)
+    assert np.all(Ax <= u + 1e-7) and np.all(Ax >= l - 1e-7)
+
+
+def test_unconstrained():
+    rng = np.random.default_rng(7)
+    P, q, _, _, _ = random_qp(rng, 5, 1)
+    A = np.zeros((1, 5))
+    l, u = np.array([-BIG]), np.array([BIG])
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                   jnp.asarray(l), jnp.asarray(u))
+    assert np.allclose(np.asarray(sol.x), np.linalg.solve(P, -q), atol=1e-6)
+
+
+def test_equality_only():
+    P = np.eye(2)
+    q = np.array([-1.0, -1.0])
+    A = np.array([[1.0, 1.0]])
+    l = u = np.array([1.0])
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                   jnp.asarray(l), jnp.asarray(u))
+    assert np.allclose(np.asarray(sol.x), [0.5, 0.5], atol=1e-8)
+
+
+def test_active_box():
+    # min ½||x||² - 10 x1 s.t. x1 ≤ 2 → x = (2, 0)
+    P = np.eye(2)
+    q = np.array([-10.0, 0.0])
+    A = np.array([[1.0, 0.0]])
+    l, u = np.array([-BIG]), np.array([2.0])
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                   jnp.asarray(l), jnp.asarray(u))
+    assert np.allclose(np.asarray(sol.x), [2.0, 0.0], atol=1e-8)
+    # exact saturation thanks to polish
+    assert abs(float(sol.x[0]) - 2.0) < 1e-9
+
+
+def test_warm_start_speeds_up():
+    rng = np.random.default_rng(11)
+    P, q, A, l, u = random_qp(rng, 8, 14)
+    Pj, qj, Aj, lj, uj = map(jnp.asarray, (P, q, A, l, u))
+    s1 = solve_qp(Pj, qj, Aj, lj, uj)
+    s2 = solve_qp(Pj, qj, Aj, lj, uj, x0=s1.x, y0=s1.y)
+    assert int(s2.iters) <= int(s1.iters)
+    assert np.allclose(np.asarray(s1.x), np.asarray(s2.x), atol=1e-7)
+
+
+def test_batched_vmap():
+    rng = np.random.default_rng(5)
+    B, n, m = 16, 5, 8
+    Ps, qs, As, ls, us = [], [], [], [], []
+    for _ in range(B):
+        P, q, A, l, u = random_qp(rng, n, m)
+        Ps.append(P); qs.append(q); As.append(A); ls.append(l); us.append(u)
+    Ps, qs, As, ls, us = map(lambda a: jnp.asarray(np.stack(a)),
+                             (Ps, qs, As, ls, us))
+    sols = solve_qp_batch(Ps, qs, As, ls, us)
+    assert sols.x.shape == (B, n)
+    for i in range(B):
+        x_ref = scipy_qp(np.asarray(Ps[i]), np.asarray(qs[i]), np.asarray(As[i]),
+                         np.asarray(ls[i]), np.asarray(us[i]))
+        assert np.allclose(np.asarray(sols.x[i]), x_ref, atol=1e-5), i
+
+
+def test_jit_compiles():
+    rng = np.random.default_rng(9)
+    P, q, A, l, u = random_qp(rng, 4, 6)
+    f = jax.jit(lambda *args: solve_qp(*args).x)
+    x1 = f(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A), jnp.asarray(l),
+           jnp.asarray(u))
+    x_ref = scipy_qp(P, q, A, l, u)
+    assert np.allclose(np.asarray(x1), x_ref, atol=1e-6)
