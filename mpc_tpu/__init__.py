@@ -15,5 +15,8 @@ from .estimators import (StateEstimator, SteadyKalmanFilter, KalmanFilter,
                          UnscentedKalmanFilter, ExtendedKalmanFilter,
                          Luenberger, InternalModel, ManualEstimator,
                          default_nint)
+from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
+                          SingleShooting, MultipleShooting)
+from .sim import sim, SimResult
 
 __version__ = "0.1.0"

@@ -1,0 +1,12 @@
+from .base import PredictiveController, default_Hp
+from .transcription import (SingleShooting, MultipleShooting, move_blocking,
+                            init_predmat, init_defectmat)
+from .construct import ControllerWeights
+from .linmpc import LinMPC
+from .explicitmpc import ExplicitMPC
+
+__all__ = [
+    "PredictiveController", "LinMPC", "ExplicitMPC",
+    "SingleShooting", "MultipleShooting", "move_blocking",
+    "ControllerWeights", "default_Hp",
+]

@@ -1,0 +1,123 @@
+"""ExplicitMPC — unconstrained LinMPC solved analytically.
+
+Reference: ``src/controller/explicitmpc.jl``: Z̃ = −H̃⁻¹ q̃ via a cached
+Cholesky factorization (explicitmpc.jl:203-209,262-266); no optimizer at all.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as sla
+
+import jax
+import jax.numpy as jnp
+
+from ..estimators import StateEstimator, SteadyKalmanFilter
+from ..models import LinModel
+from .base import PredictiveController, default_Hp
+from .construct import ControllerWeights, init_quadprog
+from .transcription import (SingleShooting, init_predmat, init_ZtoDU,
+                            init_ZtoU, move_blocking)
+
+
+class ExplicitMPC(PredictiveController):
+    def __init__(self, model_or_estim, Hp=None, Hc=2,
+                 Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
+                 **estim_kwargs):
+        if isinstance(model_or_estim, StateEstimator):
+            estim = model_or_estim
+            model = estim.model
+        else:
+            model = model_or_estim
+            estim = SteadyKalmanFilter(model, **estim_kwargs)
+        if not isinstance(model, LinModel):
+            raise TypeError("model type must be a LinModel")
+        self.estim = estim
+        self.transcription = SingleShooting()
+        Hp = default_Hp(model) if Hp is None else int(Hp)
+        nb = move_blocking(Hp, Hc)
+        Hc = len(nb)
+        self.Hp, self.Hc, self.nb = Hp, Hc, nb
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        # no slack variable: Cwt = Inf (hard == absent constraints)
+        self.weights = ControllerWeights(nu, ny, Hp, Hc, Mwt, Nwt, Lwt,
+                                         M_Hp, N_Hc, L_Hp, Cwt=np.inf)
+        self.n_eps = 0
+        (E, G, J, K, V, B, ex, gx, jx, kx, vx, bx) = init_predmat(
+            self.transcription, estim.A_hat, estim.Bu_hat, estim.C_hat,
+            estim.Bd_hat, estim.Dd_hat, estim.xop_hat, estim.fop_hat, Hp, Hc, nb)
+        PDu = init_ZtoDU(self.transcription, nu, nx_hat, Hp, Hc)
+        Pu, Tu = init_ZtoU(self.transcription, nu, nx_hat, Hp, Hc, nb)
+        H = init_quadprog(E, PDu, Pu, self.weights)
+        self.nZ = self.nZt = E.shape[1]
+        self.params = dict(H_chol=sla.cho_factor(H)[0], E=E, G=G, J=J, K=K,
+                           V=V, B=B, Pu=Pu, Tu=Tu,
+                           M_Hp=self.weights.M_Hp, L_Hp=self.weights.L_Hp,
+                           Uop=np.tile(model.uop, Hp), Yop=np.tile(model.yop, Hp))
+        self._H = H
+        self.Uop = np.tile(model.uop, Hp)
+        self.Yop = np.tile(model.yop, Hp)
+        self.Dop = np.tile(model.dop, Hp)
+        self.Z_tilde = np.zeros(self.nZt)
+        self.lastu0 = np.zeros(nu)
+        self._step = _build_step(nu, nd)
+        self._last = {}
+
+    def moveinput(self, ry=None, d=None, D_hat=None, R_hat_y=None,
+                  R_hat_u=None, lastu=None, **alias):
+        model, estim = self.estim.model, self.estim
+        D_hat = D_hat if D_hat is not None else alias.get("Dhat")
+        R_hat_y = R_hat_y if R_hat_y is not None else alias.get("Rhaty")
+        R_hat_u = R_hat_u if R_hat_u is not None else alias.get("Rhatu")
+        ry, d, D_hat, R_hat_y, R_hat_u, lastu = self._prepare_args(
+            ry, d, D_hat, R_hat_y, R_hat_u, lastu)
+        self.lastu0 = lastu - model.uop
+        d0 = d - model.dop
+        D0 = D_hat - self.Dop
+        p = {k: jnp.asarray(v) for k, v in self.params.items()}
+        u, Z, F = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
+                             jnp.asarray(d0), jnp.asarray(D0),
+                             jnp.asarray(R_hat_y), jnp.asarray(R_hat_u))
+        self.lastu0_at_solve = self.lastu0.copy()
+        self.Z_tilde = np.asarray(Z)
+        self._last = dict(F=np.asarray(F), d=d, D_hat=D_hat,
+                          R_hat_y=R_hat_y, R_hat_u=R_hat_u)
+        u = np.asarray(u)
+        self.lastu0 = u - model.uop
+        return u
+
+    def getinfo(self):
+        nu = self.estim.model.nu
+        Z = self.Z_tilde
+        info = {}
+        info["DeltaU"] = info["ΔU"] = Z[:nu * self.Hc]
+        info["epsilon"] = info["ϵ"] = 0.0
+        U0 = self.params["Pu"] @ Z + self.params["Tu"] @ self.lastu0_at_solve
+        info["U"] = U0 + self.Uop
+        info["u"] = info["U"][:nu]
+        Y0 = self.params["E"] @ Z + self._last["F"]
+        info["Yhat"] = info["Ŷ"] = Y0 + self.Yop
+        info["xhat"] = info["x̂"] = self.estim.x0_hat + self.estim.xop_hat
+        return info
+
+    def __repr__(self):
+        model = self.estim.model
+        return (f"ExplicitMPC controller with a sample time Ts = {model.Ts} s:\n"
+                f"├ estimator: {type(self.estim).__name__}\n"
+                f"└ dimensions: Hp={self.Hp}, Hc={self.Hc}, nu={model.nu}, "
+                f"nx̂={self.estim.nx_hat}")
+
+
+def _build_step(nu, nd):
+    @jax.jit
+    def step(p, x0_hat, lastu0, d0, D0, R_hat_y, R_hat_u):
+        F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0
+        if nd:
+            F = F + p["G"] @ d0 + p["J"] @ D0
+        Cy = F + p["Yop"] - R_hat_y
+        Cu = p["Tu"] @ lastu0 + p["Uop"] - R_hat_u
+        q = 2.0 * (p["E"].T @ (p["M_Hp"] @ Cy) + p["Pu"].T @ (p["L_Hp"] @ Cu))
+        Z = jax.scipy.linalg.cho_solve((p["H_chol"], False), -q)
+        u = Z[:nu] + lastu0 + p["Uop"][:nu]
+        return u, Z, F
+
+    return step

@@ -1,0 +1,487 @@
+"""LinMPC — condensed-QP linear model predictive controller.
+
+Reference: ``src/controller/linmpc.jl`` + the prediction-matrix engine
+(``src/controller/transcription.jl``).  TPU-first design: everything
+shape-dependent is precomputed at construction into a ``params`` pytree of
+matrices; the per-step hot path is ONE jitted pure function (prediction
+F/q̃ build → constraint RHS → warm start shift → batched ADMM QP → receding
+input extraction).  ``setconstraint``/``setmodel`` only swap data in
+``params`` — no retrace, no recompile, which is what makes
+successive-linearization adaptive MPC cheap.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..estimators import InternalModel, StateEstimator, SteadyKalmanFilter
+from ..models import LinModel
+from ..ops.qp import solve_qp
+from ..utils.config import BIG
+from .base import PredictiveController, default_Hp
+from .construct import (ControllerWeights, init_quadprog, relax_DU,
+                        relax_terminal, relax_U, relax_Y)
+from .transcription import (MultipleShooting, SingleShooting,
+                            TranscriptionMethod, init_defectmat, init_predmat,
+                            init_ZtoDU, init_ZtoU, move_blocking)
+
+
+def _clipinf(v):
+    return np.clip(np.nan_to_num(v, nan=0.0, posinf=BIG, neginf=-BIG), -BIG, BIG)
+
+
+class LinMPC(PredictiveController):
+    def __init__(self, model_or_estim, Hp=None, Hc=2,
+                 Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
+                 Cwt=1e5, transcription: TranscriptionMethod | None = None,
+                 optim=None, **estim_kwargs):
+        if isinstance(model_or_estim, StateEstimator):
+            estim = model_or_estim
+            model = estim.model
+            if not isinstance(model, LinModel):
+                raise TypeError("estim.model type must be a LinModel")
+        else:
+            model = model_or_estim
+            if not isinstance(model, LinModel):
+                raise TypeError("model type must be a LinModel")
+            estim = SteadyKalmanFilter(model, **estim_kwargs)
+        self.estim = estim
+        self.transcription = transcription or SingleShooting()
+        Hp = default_Hp(model) if Hp is None else int(Hp)
+        nb = move_blocking(Hp, Hc)
+        Hc = len(nb)
+        self.Hp, self.Hc, self.nb = Hp, Hc, nb
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        self.weights = ControllerWeights(nu, ny, Hp, Hc, Mwt, Nwt, Lwt,
+                                         M_Hp, N_Hc, L_Hp, Cwt)
+        self.n_eps = self.weights.n_eps
+        self.optim_kwargs = optim or {}
+        self._build(rebuild_weights=False)
+        # runtime state
+        self.Uop = np.tile(model.uop, Hp)
+        self.Yop = np.tile(model.yop, Hp)
+        self.Dop = np.tile(model.dop, Hp)
+        self.Z_tilde = np.zeros(self.nZt)
+        self.y_dual = np.zeros(self.A_stack.shape[0])
+        self.lastu0 = np.zeros(nu)
+        self.d0 = np.zeros(nd)
+        self.D_hat_0 = np.zeros(nd * Hp)
+        self.R_hat_y = np.tile(model.yop, Hp)
+        self.R_hat_u = self.Uop.copy()
+        self.ry = model.yop.copy()
+        self._last = {}
+
+    # ------------------------------------------------------------------
+    def _build(self, rebuild_weights=True):
+        """(Re)build all construct-time matrices into self.params."""
+        model, estim = self.estim.model, self.estim
+        Hp, Hc, nb = self.Hp, self.Hc, self.nb
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        tr = self.transcription
+        n_eps = self.n_eps
+        if isinstance(estim, InternalModel):
+            A_hat, Bu_hat, C_hat = model.A, model.Bu, model.C
+            Bd_hat, Dd_hat = model.Bd, model.Dd
+            xop_hat, fop_hat = model.xop, model.fop
+        else:
+            A_hat, Bu_hat, C_hat = estim.A_hat, estim.Bu_hat, estim.C_hat
+            Bd_hat, Dd_hat = estim.Bd_hat, estim.Dd_hat
+            xop_hat, fop_hat = estim.xop_hat, estim.fop_hat
+        (E, G, J, K, V, B, ex, gx, jx, kx, vx, bx) = init_predmat(
+            tr, A_hat, Bu_hat, C_hat, Bd_hat, Dd_hat, xop_hat, fop_hat, Hp, Hc, nb)
+        ES, GS, JS, KS, VS, BS = init_defectmat(
+            tr, A_hat, Bu_hat, Bd_hat, xop_hat, fop_hat, Hp, Hc, nb)
+        PDu = init_ZtoDU(tr, nu, nx_hat, Hp, Hc)
+        Pu, Tu = init_ZtoU(tr, nu, nx_hat, Hp, Hc, nb)
+        nZ = tr.nZ(nu, nx_hat, Hp, Hc)
+        self.nZ = nZ
+        self.nZt = nZ + n_eps
+        # softness parameters (defaults: hard u/Δu, soft y/terminal)
+        if not hasattr(self, "C_umin"):
+            self.C_umin = np.zeros(nu * Hp)
+            self.C_umax = np.zeros(nu * Hp)
+            self.C_dumin = np.zeros(nu * Hc)
+            self.C_dumax = np.zeros(nu * Hc)
+            self.C_ymin = np.ones(ny * Hp)
+            self.C_ymax = np.ones(ny * Hp)
+            self.c_xmin = np.ones(nx_hat)
+            self.c_xmax = np.ones(nx_hat)
+        A_Umin, A_Umax, Pu_t = relax_U(Pu, self.C_umin, self.C_umax, n_eps)
+        A_DUmin, A_DUmax, PDu_t = relax_DU(PDu, self.C_dumin, self.C_dumax, n_eps)
+        A_Ymin, A_Ymax, E_t = relax_Y(E, self.C_ymin, self.C_ymax, n_eps)
+        A_xmin, A_xmax, ex_t = relax_terminal(ex, self.c_xmin, self.c_xmax, n_eps)
+        if n_eps:
+            ES_t = np.hstack([ES, np.zeros((ES.shape[0], 1))])
+        else:
+            ES_t = ES
+        H = init_quadprog(E_t, PDu_t, Pu_t, self.weights)
+        # one-sided inequality row stack (order = linconstraint! b layout,
+        # controller/transcription.jl:824-842) + ϵ ≥ 0 + equality rows
+        rows = [A_Umin, A_Umax, A_DUmin, A_DUmax, A_Ymin, A_Ymax, A_xmin, A_xmax]
+        A_ineq = np.vstack(rows)
+        self._blk = np.cumsum([0] + [r.shape[0] for r in rows])
+        if n_eps:
+            eps_row = np.zeros((1, self.nZt))
+            eps_row[0, -1] = 1.0
+        else:
+            eps_row = np.zeros((0, self.nZt))
+        self.A_stack = np.vstack([A_ineq, eps_row, ES_t])
+        self.n_ineq = A_ineq.shape[0]
+        self.n_eq = ES_t.shape[0]
+        # default bounds (deviation form), kept as data
+        if not hasattr(self, "U0min"):
+            self.U0min = np.full(nu * Hp, -BIG)
+            self.U0max = np.full(nu * Hp, BIG)
+            self.DUmin = np.full(nu * Hc, -BIG)
+            self.DUmax = np.full(nu * Hc, BIG)
+            self.Y0min = np.full(ny * Hp, -BIG)
+            self.Y0max = np.full(ny * Hp, BIG)
+            self.x0min = np.full(nx_hat, -BIG)
+            self.x0max = np.full(nx_hat, BIG)
+        # stochastic prediction (InternalModel only)
+        if isinstance(estim, InternalModel):
+            Ks_l, Ps_l = _init_stochpred(estim, Hp)
+        else:
+            Ks_l = np.zeros((ny * Hp, getattr(estim, "nxs", 0)))
+            Ps_l = np.zeros((ny * Hp, ny))
+        self.params = dict(
+            H=H, E_t=E_t, G=G, J=J, K=K, V=V, B=B,
+            gx=gx, jx=jx, kx=kx, vx=vx, bx=bx,
+            GS=GS, JS=JS, KS=KS, VS=VS, BS=BS,
+            Pu_t=Pu_t, PDu_t=PDu_t, Tu=Tu,
+            A_stack=self.A_stack,
+            M_Hp=self.weights.M_Hp, L_Hp=self.weights.L_Hp,
+            Uop=np.tile(model.uop, Hp), Yop=np.tile(model.yop, Hp),
+            U0min=self.U0min, U0max=self.U0max,
+            DUmin=self.DUmin, DUmax=self.DUmax,
+            Y0min=self.Y0min, Y0max=self.Y0max,
+            x0min=self.x0min, x0max=self.x0max,
+            Ks=Ks_l, Ps=Ps_l,
+        )
+        self._step = _build_step(nu, self.Hc, nd, self.n_eps, self.nZ,
+                                 self._blk, self.n_ineq, self.n_eq,
+                                 isinstance(self.transcription, MultipleShooting),
+                                 self.estim.nx_hat)
+        self._solved_once = False
+
+    # ------------------------------------------------------------------
+    def setconstraint(self, **kw):
+        """Set bound constraints (setconstraint!, construct.jl:324-559).
+
+        Keywords: umin/umax, Δumin (dumin)/Δumax (dumax), ymin/ymax,
+        x̂min (xhatmin)/x̂max (xhatmax); capitalized versions (Umin, Ymax, …)
+        for full-horizon time-varying bounds; c_* / C_* softness weights
+        (before first solve only).
+        """
+        model, estim = self.estim.model, self.estim
+        nu, ny, nx_hat = model.nu, model.ny, estim.nx_hat
+        Hp, Hc = self.Hp, self.Hc
+        g = kw.get
+
+        def pick(small, cap, n, rep):
+            v = g(cap)
+            if v is not None:
+                v = np.asarray(v, float).ravel()
+                if v.shape != (n * rep,):
+                    raise ValueError(f"{cap} size must be ({n * rep},)")
+                return v
+            v = g(small)
+            if v is not None:
+                v = np.asarray(v, float).ravel()
+                if v.shape != (n,):
+                    raise ValueError(f"{small} size must be ({n},)")
+                return np.tile(v, rep)
+            return None
+
+        v = pick("umin", "Umin", nu, Hp)
+        if v is not None:
+            self.U0min[:] = _clipinf(v - self.Uop)
+        v = pick("umax", "Umax", nu, Hp)
+        if v is not None:
+            self.U0max[:] = _clipinf(v - self.Uop)
+        v = pick("dumin", "DUmin", nu, Hc) if "dumin" in kw or "DUmin" in kw else \
+            pick("Deltaumin", "DeltaUmin", nu, Hc)
+        if v is not None:
+            self.DUmin[:] = _clipinf(v)
+        v = pick("dumax", "DUmax", nu, Hc) if "dumax" in kw or "DUmax" in kw else \
+            pick("Deltaumax", "DeltaUmax", nu, Hc)
+        if v is not None:
+            self.DUmax[:] = _clipinf(v)
+        v = pick("ymin", "Ymin", ny, Hp)
+        if v is not None:
+            self.Y0min[:] = _clipinf(v - self.Yop)
+        v = pick("ymax", "Ymax", ny, Hp)
+        if v is not None:
+            self.Y0max[:] = _clipinf(v - self.Yop)
+        for kws, attr in (("xhatmin", "x0min"), ("xhatmax", "x0max")):
+            v = g(kws)
+            if v is not None:
+                v = np.asarray(v, float).ravel()
+                if v.shape != (nx_hat,):
+                    raise ValueError(f"{kws} size must be ({nx_hat},)")
+                getattr(self, attr)[:] = _clipinf(v - estim.xop_hat)
+        # softness updates rebuild the A matrices (construct-time only)
+        soft = {k: v for k, v in kw.items() if k.startswith("c_") or k.startswith("C_")}
+        if soft:
+            if self.n_eps != 1:
+                raise ValueError("Slack variable weight Cwt must be finite to set "
+                                 "softness parameters")
+            if self._solved_once:
+                raise RuntimeError("Cannot set softness parameters after calling "
+                                   "moveinput")
+            m = {"c_umin": ("C_umin", nu, Hp), "c_umax": ("C_umax", nu, Hp),
+                 "c_dumin": ("C_dumin", nu, Hc), "c_dumax": ("C_dumax", nu, Hc),
+                 "c_Deltaumin": ("C_dumin", nu, Hc), "c_Deltaumax": ("C_dumax", nu, Hc),
+                 "c_ymin": ("C_ymin", ny, Hp), "c_ymax": ("C_ymax", ny, Hp),
+                 "c_xhatmin": ("c_xmin", nx_hat, 1), "c_xhatmax": ("c_xmax", nx_hat, 1)}
+            for k, v in soft.items():
+                key = k if k.startswith("c_") else "c_" + k[2:].lower()
+                if key not in m:
+                    raise ValueError(f"unknown softness parameter {k}")
+                attr, n, rep = m[key]
+                v = np.asarray(v, float).ravel()
+                if np.any(v < 0):
+                    raise ValueError(f"{k} weights should be non-negative")
+                vv = np.tile(v, rep) if v.shape == (n,) else v
+                if vv.shape != (n * rep,):
+                    raise ValueError(f"{k} size must be ({n},) or ({n * rep},)")
+                setattr(self, attr, vv)
+            self._build()
+        else:
+            for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
+                         "x0min", "x0max"):
+                self.params[name] = getattr(self, name)
+        return self
+
+    # ------------------------------------------------------------------
+    def setmodel(self, model=None, Mwt=None, Nwt=None, Lwt=None, **cov):
+        """Hot-swap the plant model / weights (execute.jl:579-799): rebuilds
+        all prediction and constraint matrices with unchanged shapes."""
+        if model is not None:
+            old = self.estim.model
+            if (model.nu, model.nx, model.ny, model.nd) != (old.nu, old.nx, old.ny, old.nd):
+                raise ValueError("new model must have the same dimensions")
+            # convert runtime bound data to absolute, re-derive with new ops
+            Umin = self.U0min + self.Uop
+            Umax = self.U0max + self.Uop
+            Ymin = self.Y0min + self.Yop
+            Ymax = self.Y0max + self.Yop
+            xmin = self.x0min + self.estim.xop_hat
+            xmax = self.x0max + self.estim.xop_hat
+            _setmodel_estimator(self.estim, model, **cov)
+            self.Uop = np.tile(model.uop, self.Hp)
+            self.Yop = np.tile(model.yop, self.Hp)
+            self.Dop = np.tile(model.dop, self.Hp)
+            self.U0min[:] = _clipinf(Umin - self.Uop)
+            self.U0max[:] = _clipinf(Umax - self.Uop)
+            self.Y0min[:] = _clipinf(Ymin - self.Yop)
+            self.Y0max[:] = _clipinf(Ymax - self.Yop)
+            self.x0min[:] = _clipinf(xmin - self.estim.xop_hat)
+            self.x0max[:] = _clipinf(xmax - self.estim.xop_hat)
+        if Mwt is not None or Nwt is not None or Lwt is not None:
+            w = self.weights
+            model_ = self.estim.model
+            self.weights = ControllerWeights(
+                model_.nu, model_.ny, self.Hp, self.Hc,
+                Mwt if Mwt is not None else np.diag(w.M_Hp)[:model_.ny],
+                Nwt if Nwt is not None else np.diag(w.N_Hc)[:model_.nu],
+                Lwt if Lwt is not None else np.diag(w.L_Hp)[:model_.nu],
+                Cwt=w.Cwt)
+        self._build()
+        return self
+
+    # ------------------------------------------------------------------
+    def moveinput(self, ry=None, d=None, D_hat=None, R_hat_y=None,
+                  R_hat_u=None, lastu=None, Dhat=None, Rhaty=None, Rhatu=None):
+        """Solve the MPC problem, return u(k) (execute.jl:59-80)."""
+        estim, model = self.estim, self.estim.model
+        if estim.direct and not estim.prepared:
+            import warnings
+            warnings.warn("preparestate should be called before moveinput with "
+                          "current estimators")
+        D_hat = D_hat if D_hat is not None else Dhat
+        R_hat_y = R_hat_y if R_hat_y is not None else Rhaty
+        R_hat_u = R_hat_u if R_hat_u is not None else Rhatu
+        ry, d, D_hat, R_hat_y, R_hat_u, lastu = self._prepare_args(
+            ry, d, D_hat, R_hat_y, R_hat_u, lastu)
+        self.lastu0 = lastu - model.uop
+        self.d0 = d - model.dop
+        self.D_hat_0 = D_hat - self.Dop
+        self.ry, self.R_hat_y, self.R_hat_u = ry, R_hat_y, R_hat_u
+        # stochastic prediction inputs (InternalModel)
+        if isinstance(estim, InternalModel):
+            xs_hat, ys_full = estim.xs_hat, estim.ys_hat
+        else:
+            xs_hat = np.zeros(self.params["Ks"].shape[1])
+            ys_full = np.zeros(model.ny)
+        p = {k: jnp.asarray(v) for k, v in self.params.items()}
+        out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
+                         jnp.asarray(self.d0), jnp.asarray(self.D_hat_0),
+                         jnp.asarray(R_hat_y), jnp.asarray(R_hat_u),
+                         jnp.asarray(xs_hat), jnp.asarray(ys_full),
+                         jnp.asarray(self.Z_tilde), jnp.asarray(self.y_dual))
+        u, Z_t, y_dual, converged, F, obj = out
+        self.lastu0_at_solve = self.lastu0.copy()
+        self.Z_tilde = np.asarray(Z_t)
+        self.y_dual = np.asarray(y_dual)
+        self._last = dict(F=np.asarray(F), converged=bool(converged),
+                          obj=float(obj), d=d, D_hat=D_hat)
+        self._solved_once = True
+        u = np.asarray(u)
+        if not self._last["converged"]:
+            import warnings
+            warnings.warn("MPC solver did not converge; applying shifted warm "
+                          "start (graceful degradation)")
+        self.lastu0 = u - model.uop
+        return u
+
+    # ------------------------------------------------------------------
+    def getinfo(self):
+        """Optimum diagnostics (execute.jl:145-198)."""
+        model, estim = self.estim.model, self.estim
+        nu, ny = model.nu, model.ny
+        Z_t = self.Z_tilde
+        info = {}
+        eps = float(Z_t[-1]) if self.n_eps else 0.0
+        DU = Z_t[:nu * self.Hc]
+        lastu0 = getattr(self, "lastu0_at_solve", self.lastu0)
+        U0 = self.params["Pu_t"] @ Z_t + self.params["Tu"] @ lastu0
+        Y0 = self.params["E_t"] @ Z_t + self._last["F"]
+        info["DeltaU"] = info["ΔU"] = np.asarray(DU)
+        info["epsilon"] = info["ϵ"] = eps
+        info["J"] = self._last["obj"]
+        info["U"] = np.asarray(U0) + self.Uop
+        info["u"] = info["U"][:nu]
+        info["d"] = self._last.get("d")
+        info["Dhat"] = info["D̂"] = self._last.get("D_hat")
+        info["xhat"] = info["x̂"] = estim.x0_hat + estim.xop_hat
+        info["Yhat"] = info["Ŷ"] = np.asarray(Y0) + self.Yop
+        info["Rhaty"] = info["R̂y"] = self.R_hat_y
+        info["Rhatu"] = info["R̂u"] = self.R_hat_u
+        info["converged"] = self._last["converged"]
+        return info
+
+    def __repr__(self):
+        model = self.estim.model
+        return (f"{type(self).__name__} controller with a sample time Ts = "
+                f"{model.Ts} s:\n"
+                f"├ estimator: {type(self.estim).__name__}\n"
+                f"├ model: {type(model).__name__}\n"
+                f"├ optimizer: ADMM-QP (jax)\n"
+                f"├ transcription: {type(self.transcription).__name__}\n"
+                f"└ dimensions: Hp={self.Hp}, Hc={self.Hc}, nu={model.nu}, "
+                f"nx̂={self.estim.nx_hat}, nym={self.estim.nym}, nd={model.nd}, "
+                f"nZ̃={self.nZt}")
+
+
+def _init_stochpred(estim: InternalModel, Hp):
+    """Ks, Ps: Ŷs = Ks x̂s + Ps ŷs, all-output form (construct.jl:1236-1267)."""
+    As, Bs_hat, Cs = estim.As, estim.Bs_hat, estim.Cs
+    ny = estim.model.ny
+    nxs = estim.nxs
+    Ks = np.zeros((ny * Hp, nxs))
+    Ps = np.zeros((ny * Hp, ny))
+    Apow = np.eye(nxs)
+    for i in range(1, Hp + 1):
+        Ms = Cs @ Apow @ Bs_hat          # Cs As^(i-1) B̂s
+        rows = slice(ny * (i - 1), ny * i)
+        Ks[rows, :] = Cs @ Apow @ As - Ms @ Cs  # Cs As^i − Ms Cs
+        Ps[rows, :] = Ms
+        Apow = Apow @ As
+    return Ks, Ps
+
+
+def _setmodel_estimator(estim, model, **cov):
+    """Minimal setmodel! for estimators (execute.jl:440-544)."""
+    from ..estimators import KalmanFilter
+    from ..estimators.construct import augment_model
+    estim.model = model
+    (A_hat, Bu_hat, C_hat, Bd_hat, Dd_hat, xop_hat, fop_hat) = augment_model(
+        model, estim.As, estim.Cs_u, estim.Cs_y, verify_obsv=False)
+    x_abs = estim.x0_hat + estim.xop_hat
+    estim.A_hat, estim.Bu_hat, estim.C_hat = A_hat, Bu_hat, C_hat
+    estim.Bd_hat, estim.Dd_hat = Bd_hat, Dd_hat
+    estim.xop_hat, estim.fop_hat = xop_hat, fop_hat
+    if C_hat is not None:
+        estim.Cm_hat = C_hat[estim.i_ym, :]
+        estim.Ddm_hat = Dd_hat[estim.i_ym, :]
+    estim.x0_hat = x_abs - xop_hat
+    for k, v in cov.items():
+        if k in ("Q_hat", "R_hat") and isinstance(estim, KalmanFilter):
+            setattr(estim, k, np.asarray(v, float))
+
+
+# ---------------------------------------------------------------------------
+def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat):
+    """Create the jitted per-step solve. All sizes static; params is data."""
+    blk = tuple(int(b) for b in blk)
+
+    @jax.jit
+    def step(p, x0_hat, lastu0, d0, D_hat_0, R_hat_y, R_hat_u,
+             xs_hat, ys_hat, Z_prev, y_prev):
+        # --- stochastic + deterministic output predictions F (initpred!) ---
+        Ys = p["Ks"] @ xs_hat + p["Ps"] @ ys_hat
+        F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0 + Ys
+        if nd:
+            F = F + p["G"] @ d0 + p["J"] @ D_hat_0
+        Tu_lastu0 = p["Tu"] @ lastu0
+        # --- linear coefficient q̃ (initpred!, execute.jl:247-277) ---
+        Cy = F + p["Yop"] - R_hat_y
+        Cu = Tu_lastu0 + p["Uop"] - R_hat_u
+        q = 2.0 * (p["E_t"].T @ (p["M_Hp"] @ Cy) + p["Pu_t"].T @ (p["L_Hp"] @ Cu))
+        r_const = Cy @ p["M_Hp"] @ Cy + Cu @ p["L_Hp"] @ Cu
+        # --- terminal prediction fx̂ (linconstraint!) ---
+        fx = p["bx"] + p["kx"] @ x0_hat + p["vx"] @ lastu0
+        if nd:
+            fx = fx + p["gx"] @ d0 + p["jx"] @ D_hat_0
+        # --- inequality RHS b (transcription.jl:824-842 order) ---
+        b = jnp.concatenate([
+            -p["U0min"] + Tu_lastu0,
+            p["U0max"] - Tu_lastu0,
+            -p["DUmin"],
+            p["DUmax"],
+            -p["Y0min"] + F,
+            p["Y0max"] - F,
+            -p["x0min"] + fx,
+            p["x0max"] - fx,
+        ])
+        b = jnp.clip(b, -2e18, 2e18)
+        # --- equality RHS beq = −FS (linconstrainteq!) ---
+        FS = p["BS"] + p["KS"] @ x0_hat + p["VS"] @ lastu0
+        if nd and n_eq:
+            FS = FS + p["GS"] @ d0 + p["JS"] @ D_hat_0
+        beq = -FS
+        # --- stack l ≤ A Z̃ ≤ u ---
+        l = jnp.concatenate([
+            jnp.full(n_ineq, -2e18, b.dtype),
+            jnp.zeros(n_eps, b.dtype),      # ϵ ≥ 0
+            beq,
+        ])
+        u_vec = jnp.concatenate([
+            b,
+            jnp.full(n_eps, 2e18, b.dtype),
+            beq,
+        ])
+        # --- warm start: shift previous solution (transcription.jl:997-1100) ---
+        nDU = nu * Hc
+        Zs = jnp.zeros_like(Z_prev)
+        Zs = Zs.at[:nDU - nu].set(Z_prev[nu:nDU])
+        if is_ms:
+            nX = nx_hat * (nZ - nDU) // nx_hat  # = nx̂*Hp
+            Zs = Zs.at[nDU:nDU + nX - nx_hat].set(Z_prev[nDU + nx_hat:nDU + nX])
+            Zs = Zs.at[nDU + nX - nx_hat:nDU + nX].set(Z_prev[nDU + nX - nx_hat:nDU + nX])
+        if n_eps:
+            Zs = Zs.at[-1].set(Z_prev[-1])
+        # --- solve QP ---
+        sol = solve_qp(p["H"], q, p["A_stack"], l, u_vec, x0=Zs, y0=y_prev)
+        Z_t = jnp.where(sol.converged, sol.x, Zs)
+        # --- receding horizon input (getinput!, execute.jl:536-546) ---
+        du = Z_t[:nu]
+        u = du + lastu0 + p["Uop"][:nu]
+        return u, Z_t, sol.y, sol.converged, F, sol.obj + r_const
+
+    return step

@@ -46,10 +46,19 @@ class InternalModel(StateEstimator):
         if np.allclose(stoch.D, 0):
             raise ValueError("Stochastic model requires a nonzero direct "
                              "transmission matrix D")
-        As, Bs, Cs, Ds = stoch.A, stoch.B, stoch.C, stoch.D
-        Bs_hat = Bs @ np.linalg.inv(Ds)
+        # expand the measured-output stochastic model to all outputs
+        # (stoch_ym2y, estimator/construct.jl:196-209)
+        As, Bsm, Csm, Dsm = stoch.A, stoch.B, stoch.C, stoch.D
+        ny, ne = model.ny, Bsm.shape[1]
+        Cs = np.zeros((ny, Csm.shape[1]))
+        Cs[np.asarray(i_ym, int), :] = Csm
+        Ds = np.zeros((ny, ne))
+        Ds[np.asarray(i_ym, int), :] = Dsm
+        # B̂s = Bs Ds⁻¹ (pinv when nym ≠ ny), Âs = As − B̂s Cs
+        # (internal_model.jl:228-232)
+        Bs_hat = Bsm @ np.linalg.pinv(Ds)
         As_hat = As - Bs_hat @ Cs
-        self.As, self.Bs, self.Cs, self.Ds = As, Bs, Cs, Ds
+        self.As, self.Bs, self.Cs, self.Ds = As, Bsm, Cs, Ds
         self.As_hat, self.Bs_hat = As_hat, Bs_hat
         self.nxs = As.shape[0]
         self.nx_hat = model.nx  # no augmentation
@@ -96,7 +105,7 @@ class InternalModel(StateEstimator):
     def _predict(self, u0, d0):
         x0n = np.asarray(self.f_hat(self.x0_hat, u0, d0), float)
         self.x0_hat = x0n + self.fop_hat - self.xop_hat
-        self.xs_hat = self.As_hat @ self.xs_hat + self.Bs_hat @ self.ys_hat[self.i_ym]
+        self.xs_hat = self.As_hat @ self.xs_hat + self.Bs_hat @ self.ys_hat
 
     def evaloutput(self, d=None):
         """ŷ = ŷd + ŷs (internal_model.jl:357-368)."""
@@ -124,7 +133,7 @@ class InternalModel(StateEstimator):
             for pos, iy in enumerate(self.i_ym):
                 ys[iy] = y0m[pos] - y0d[iy]
             self.xs_hat = np.linalg.solve(np.eye(self.nxs) - self.As_hat,
-                                          self.Bs_hat @ ys[self.i_ym])
+                                          self.Bs_hat @ ys)
             self.ys_hat = ys
         self.prepared = False
         return self.x0_hat + self.xop_hat

@@ -86,7 +86,8 @@ class LinModel(SimModel):
         B[nxu:, su.nu:] = sd.B
         C = np.hstack([su.C, sd.C])
         D = np.hstack([su.D, sd.D])
-        return lti.StateSpace(A, B, C, D, su.Ts)
+        return lti.StateSpace(A, B, C, D, su.Ts,
+                              n_delay_states=su.n_delay_states + sd.n_delay_states)
 
     def _init_from_split(self, sys, nu, Ts):
         A = sys.A
@@ -95,6 +96,7 @@ class LinModel(SimModel):
         C = sys.C
         Dd = sys.D[:, nu:]
         self._init_from_matrices(A, Bu, C, Bd, Dd, Ts)
+        self.nk = sys.n_delay_states  # structural dead-time state count
 
     def _init_from_ss(self, sys, Ts, i_u, i_d):
         ns = sys.nu
@@ -159,6 +161,7 @@ class LinModel(SimModel):
             raise ValueError("Sampling time Ts must be positive")
         self.A, self.Bu, self.C, self.Bd, self.Dd = A, Bu, C, Bd, Dd
         self._init_common(nu, nx, ny, nd, Ts)
+        self.nk = 0  # overwritten by the tf-with-delay construction path
 
     # ------------------------------------------------------------------
     # pure dynamics (numpy or jax arrays — pure matrix math works for both)

@@ -43,10 +43,46 @@ def _rho_vec(l, u, rho):
     return jnp.where(eq, 1e3 * rho, jnp.where(loose, 1e-6 * rho, rho))
 
 
+def _ruiz_equilibrate(P, q, A, iters=10):
+    """Modified Ruiz equilibration of [[P, Aᵀ], [A, 0]] (OSQP §5.1).
+
+    Returns scaled (P̄, q̄, Ā) and the diagonal scalings (D, E, c) with
+    P̄ = c·D P D, q̄ = c·D q, Ā = E A D.  Solution recovery: x = D x̄,
+    y = E ȳ / c.
+    """
+    n = q.shape[0]
+    m = A.shape[0]
+    dt = q.dtype
+    D = jnp.ones(n, dt)
+    E = jnp.ones(m, dt)
+    c = jnp.asarray(1.0, dt)
+
+    def body(i, carry):
+        P, q, A, D, E, c = carry
+        # column norms of [P; A] → D update
+        col = jnp.maximum(jnp.max(jnp.abs(P), axis=0),
+                          jnp.max(jnp.abs(A), axis=0) if m else 0.0)
+        d = 1.0 / jnp.sqrt(jnp.clip(col, 1e-12, 1e12))
+        row = jnp.max(jnp.abs(A), axis=1) if m else jnp.zeros(0, dt)
+        e = 1.0 / jnp.sqrt(jnp.clip(row, 1e-12, 1e12))
+        P = (d[:, None] * P) * d[None, :]
+        q = d * q
+        A = (e[:, None] * A) * d[None, :]
+        # cost normalization
+        gamma = 1.0 / jnp.clip(jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=0)),
+                                           jnp.max(jnp.abs(q))), 1e-12, 1e12)
+        P = gamma * P
+        q = gamma * q
+        return P, q, A, D * d, E * e, c * gamma
+
+    P, q, A, D, E, c = jax.lax.fori_loop(0, iters, body, (P, q, A, D, E, c))
+    return P, q, A, D, E, c
+
+
 def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
              sigma=1e-6, rho=0.1, alpha=1.6,
              max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
-             polish=True, polish_iters=3, polish_delta=1e-9):
+             scaling=10, polish=True, polish_iters=3, polish_delta=1e-9):
     """Solve one dense QP.  jit- and vmap-compatible (static shapes only)."""
     n = q.shape[0]
     m = l.shape[0]
@@ -57,6 +93,18 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
         xs = jnp.linalg.solve(P + sigma * jnp.eye(n, dtype=dt), -q)
         return QPSolution(xs, y, jnp.zeros(0, dt), jnp.array(True),
                           jnp.array(0), 0.5 * xs @ P @ xs + q @ xs)
+
+    P_orig, q_orig, A_orig, l_orig, u_orig = P, q, A, l, u
+    if scaling:
+        P, q, A, D, Esc, c = _ruiz_equilibrate(P, q, A, iters=scaling)
+        l = jnp.clip(Esc * l, -2e18, 2e18)
+        u = jnp.clip(Esc * u, -2e18, 2e18)
+        x = x / D
+        y = c * y / Esc
+    else:
+        D = jnp.ones(n, dt)
+        Esc = jnp.ones(m, dt)
+        c = jnp.asarray(1.0, dt)
 
     rhov = _rho_vec(l, u, jnp.asarray(rho, dt))
     M = P + sigma * jnp.eye(n, dtype=dt) + (A.T * rhov) @ A
@@ -113,7 +161,11 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
     # loop only needs to identify the active set; polish supplies accuracy.
     rp, rd = residuals(x, z, y)
     converged = (rp < tol_final) & (rd < tol_final)
-    obj = 0.5 * x @ P @ x + q @ x
+    # unscale (x = D x̄, y = E ȳ / c, z = z̄ / E)
+    x = D * x
+    y = Esc * y / c
+    z = z / Esc
+    obj = 0.5 * x @ P_orig @ x + q_orig @ x
     return QPSolution(x, y, z, converged | done, iters, obj)
 
 

@@ -1,0 +1,169 @@
+"""Closed-loop / open-loop simulation harness (reference: src/plot_sim.jl).
+
+``sim(plant_or_estim_or_mpc, N, ...)`` reproduces the reference's ``sim!``:
+open-loop bump test for models, closed-loop setpoint simulation for
+estimators and controllers with step/noise disturbance injection
+(plot_sim.jl:253-319).  Results land in a :class:`SimResult`; ``plot`` uses
+matplotlib.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .controllers.base import PredictiveController
+from .estimators import StateEstimator
+from .models import SimModel
+
+
+@dataclass
+class SimResult:
+    T_data: np.ndarray
+    Y_data: np.ndarray            # (N, ny) plant outputs
+    U_data: np.ndarray            # (N, nu) applied inputs
+    Ry_data: np.ndarray | None = None
+    D_data: np.ndarray | None = None
+    X_data: np.ndarray | None = None
+    Y_est_data: np.ndarray | None = None   # estimator/controller ŷ
+    X_est_data: np.ndarray | None = None
+    obj: object = None
+
+    # short aliases used in tests/docs
+    @property
+    def y_data(self):
+        return self.Y_data
+
+    @property
+    def u_data(self):
+        return self.U_data
+
+    def plot(self, file=None, plotry=True, plotymax=True, plotymin=True,
+             ymax=None, ymin=None):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        N, ny = self.Y_data.shape
+        nu = self.U_data.shape[1]
+        fig, axes = plt.subplots(ny + nu, 1, figsize=(7, 2 * (ny + nu)),
+                                 sharex=True)
+        axes = np.atleast_1d(axes)
+        for i in range(ny):
+            ax = axes[i]
+            ax.plot(self.T_data, self.Y_data[:, i], label=f"$y_{{{i+1}}}$")
+            if plotry and self.Ry_data is not None:
+                ax.plot(self.T_data, self.Ry_data[:, i], "--",
+                        label=f"$r_{{{i+1}}}$")
+            if plotymax and ymax is not None and np.isfinite(ymax[i]):
+                ax.axhline(ymax[i], color="r", ls=":")
+            if plotymin and ymin is not None and np.isfinite(ymin[i]):
+                ax.axhline(ymin[i], color="r", ls=":")
+            ax.legend(loc="best")
+        for j in range(nu):
+            ax = axes[ny + j]
+            ax.step(self.T_data, self.U_data[:, j], where="post",
+                    label=f"$u_{{{j+1}}}$")
+            ax.legend(loc="best")
+        axes[-1].set_xlabel("time (s)")
+        fig.tight_layout()
+        if file:
+            fig.savefig(file, dpi=100)
+        return fig
+
+
+def sim(obj, N, ry=None, d=None, *, plant=None, u=None,
+        u_step=None, u_noise=None, y_step=None, y_noise=None,
+        d_step=None, d_noise=None, x_noise=None, x_0=None, x_hat_0=None,
+        lastu=None, seed=0):
+    """Simulate ``obj`` for N steps.
+
+    * SimModel: open-loop with constant input ``u`` (bump test).
+    * StateEstimator / PredictiveController: closed loop against ``plant``
+      (defaults to a copy of the internal model) with disturbance injection
+      kwargs mirroring the reference's ``sim!``.
+    """
+    if isinstance(obj, SimModel):
+        return _sim_model(obj, N, u, d)
+    return _sim_closedloop(obj, N, ry, d, plant, u_step, u_noise, y_step,
+                           y_noise, d_step, d_noise, x_noise, x_0, x_hat_0,
+                           lastu, seed)
+
+
+def _sim_model(model: SimModel, N, u, d):
+    u = np.ones(model.nu) if u is None else np.asarray(u, float).ravel()
+    d = model.dop.copy() if d is None else np.asarray(d, float).ravel()
+    T = np.arange(N) * model.Ts
+    Y = np.zeros((N, model.ny))
+    U = np.tile(u, (N, 1))
+    X = np.zeros((N, model.nx))
+    for k in range(N):
+        Y[k] = model.evaloutput(d if model.nd else None)
+        X[k] = model.x0 + model.xop
+        model.updatestate(u, d if model.nd else None)
+    return SimResult(T, Y, U, D_data=np.tile(d, (N, 1)), X_data=X)
+
+
+def _copy_model(model):
+    import copy
+    return copy.deepcopy(model)
+
+
+def _sim_closedloop(est_mpc, N, ry, d, plant, u_step, u_noise, y_step,
+                    y_noise, d_step, d_noise, x_noise, x_0, x_hat_0, lastu,
+                    seed):
+    is_mpc = isinstance(est_mpc, PredictiveController)
+    estim = est_mpc.estim if is_mpc else est_mpc
+    model = estim.model
+    plant = plant if plant is not None else _copy_model(model)
+    nu, ny, nd = plant.nu, plant.ny, plant.nd
+    Ts = plant.Ts
+    rng = np.random.default_rng(seed)
+    ry = np.asarray(ry, float).ravel() if ry is not None else model.yop.copy()
+    d = np.asarray(d, float).ravel() if d is not None else model.dop.copy()
+    z = lambda v, n: np.zeros(n) if v is None else np.asarray(v, float).ravel()
+    u_step, u_noise = z(u_step, nu), z(u_noise, nu)
+    y_step, y_noise = z(y_step, ny), z(y_noise, ny)
+    d_step, d_noise = z(d_step, nd), z(d_noise, nd)
+    x_noise = z(x_noise, plant.nx)
+    if x_0 is not None:
+        plant.setstate(np.asarray(x_0, float))
+    lastu = model.uop.copy() if lastu is None else np.asarray(lastu, float).ravel()
+    if x_hat_0 is not None:
+        est_mpc.setstate(np.asarray(x_hat_0, float))
+    else:
+        if is_mpc:
+            est_mpc.initstate(lastu, plant.evaloutput(d if nd else None)[estim.i_ym],
+                              d if nd else None)
+        else:
+            est_mpc.initstate(lastu, plant.evaloutput(d if nd else None)[estim.i_ym],
+                              d if nd else None)
+    T = np.arange(N) * Ts
+    Y = np.zeros((N, ny))
+    Y_est = np.zeros((N, ny))
+    U = np.zeros((N, nu))
+    Ry = np.tile(ry, (N, 1))
+    D = np.zeros((N, max(nd, 1)))
+    X = np.zeros((N, plant.nx))
+    X_est = np.zeros((N, estim.nx_hat))
+    u = lastu.copy()
+    for k in range(N):
+        dk = d + d_step + d_noise * rng.normal(size=nd) if nd else np.zeros(0)
+        y = plant.evaloutput(dk if nd else None) + y_step + y_noise * rng.normal(size=ny)
+        ym = y[estim.i_ym]
+        est_mpc.preparestate(ym, dk if nd else None)
+        if is_mpc:
+            u = est_mpc.moveinput(ry, dk if nd else None)
+        Y[k] = y
+        Y_est[k] = est_mpc.evaloutput(dk if nd else None) if not is_mpc else \
+            estim.evaloutput(dk if nd else None)
+        U[k] = u
+        if nd:
+            D[k] = dk
+        X[k] = plant.x0 + plant.xop
+        X_est[k] = estim.x0_hat + estim.xop_hat
+        up = u + u_step + u_noise * rng.normal(size=nu)
+        plant.updatestate(up, dk if nd else None)
+        plant.x0 = plant.x0 + x_noise * rng.normal(size=plant.nx)
+        est_mpc.updatestate(u, ym, dk if nd else None)
+    return SimResult(T, Y, U, Ry_data=Ry, D_data=D, X_data=X,
+                     Y_est_data=Y_est, X_est_data=X_est, obj=est_mpc)

@@ -87,13 +87,21 @@ def tf_matrix(entries) -> np.ndarray:
 # ---------------------------------------------------------------------------
 @dataclass
 class StateSpace:
-    """MIMO state-space model; ``Ts is None`` → continuous."""
+    """MIMO state-space model; ``Ts is None`` → continuous.
+
+    ``n_delay_states`` tracks how many states come from discretized dead time
+    (shift registers).  After ``minreal`` rotates the basis, those exactly-zero
+    poles become numerically ill-conditioned (ε^(1/n) inflation), so the count
+    must be carried structurally for the default-Hp heuristic
+    (reference ``estimate_delays``, controller/construct.jl:576-591).
+    """
 
     A: np.ndarray
     B: np.ndarray
     C: np.ndarray
     D: np.ndarray
     Ts: float | None = None
+    n_delay_states: int = 0
 
     def __post_init__(self):
         self.A = np.atleast_2d(np.asarray(self.A, float))
@@ -259,7 +267,7 @@ def c2d_tf_zoh(g: TransferFunction, Ts: float) -> StateSpace:
     for i in range(1, k_int):
         Ad[nx + i, nx + i - 1] = 1.0
     Cd[0, :nx] = dsys.C
-    return StateSpace(Ad, Bd, Cd, np.zeros((1, 1)), Ts)
+    return StateSpace(Ad, Bd, Cd, np.zeros((1, 1)), Ts, n_delay_states=k_int)
 
 
 def c2d(sys, Ts: float, method: str = "zoh"):
@@ -277,6 +285,7 @@ def c2d(sys, Ts: float, method: str = "zoh"):
         return c2d(tf2ss(sys), Ts, method)
     ny, nu = sys.shape
     blocks = [[c2d_tf_zoh(sys[i, j], Ts) for j in range(nu)] for i in range(ny)]
+    n_delay = sum(b.n_delay_states for row in blocks for b in row)
     nx = sum(b.nx for row in blocks for b in row)
     A = np.zeros((nx, nx))
     B = np.zeros((nx, nu))
@@ -292,7 +301,7 @@ def c2d(sys, Ts: float, method: str = "zoh"):
             C[i:i + 1, k:k + n] = b.C
             D[i, j] += b.D[0, 0]
             k += n
-    return StateSpace(A, B, C, D, Ts)
+    return StateSpace(A, B, C, D, Ts, n_delay_states=n_delay)
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +352,8 @@ def minreal(sys: StateSpace, tol: float = 1e-9) -> StateSpace:
     A2 = (T2.T @ A @ T2)[:no, :no]
     B2 = (T2.T @ B)[:no, :]
     C2 = (C @ T2)[:, :no]
-    return StateSpace(A2, B2, C2, sys.D, sys.Ts)
+    return StateSpace(A2, B2, C2, sys.D, sys.Ts,
+                      n_delay_states=min(sys.n_delay_states, no))
 
 
 def sminreal(sys: StateSpace) -> StateSpace:

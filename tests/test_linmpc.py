@@ -1,0 +1,201 @@
+"""LinMPC/ExplicitMPC tests (mirrors reference test/3_test_predictive_control.jl)."""
+import numpy as np
+import pytest
+
+import mpc_tpu as mpc
+
+
+@pytest.fixture(scope="module")
+def model():
+    G = np.array([[mpc.tf(1.90, [18, 1]), mpc.tf(1.90, [18, 1])],
+                  [mpc.tf(-0.74, [8, 1]), mpc.tf(0.74, [8, 1])]], dtype=object)
+    m = mpc.LinModel(G, 2.0)
+    m.setop(uop=[10, 50], yop=[50, 30])
+    return m
+
+
+def test_construction(model):
+    ctrl = mpc.LinMPC(model)
+    assert ctrl.Hp == 10 and ctrl.Hc == 2
+    ctrl2 = mpc.LinMPC(model, Hp=15, Hc=4, Mwt=[1, 2], Nwt=[0.1, 0.2])
+    assert ctrl2.Hp == 15 and ctrl2.Hc == 4
+    # move blocking vector
+    ctrl3 = mpc.LinMPC(model, Hp=10, Hc=[1, 2, 3])
+    assert ctrl3.nb == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        mpc.LinMPC(model, Hp=10, Mwt=[-1, 1])
+
+
+def test_unconstrained_tracking(model):
+    """Large-horizon unconstrained MPC reaches a setpoint step exactly
+    (reference: moveinput! docstring: u → 1 for gain-5 plant and ry=5)."""
+    m = mpc.LinModel(mpc.tf(5, [2, 1]), 3.0)
+    ctrl = mpc.LinMPC(m, Nwt=[0], Hp=1000, Hc=1)
+    ctrl.preparestate([0])
+    u = ctrl.moveinput([5])
+    # reference doctest rounds to 3 digits: the LS-optimal u ≈ 1.000
+    assert np.allclose(u, [1.0], atol=1e-3)
+
+
+def test_explicitmpc_matches_unconstrained_linmpc(model):
+    ctrl1 = mpc.LinMPC(model, Hp=15, Hc=3, Cwt=np.inf)
+    ctrl2 = mpc.ExplicitMPC(model, Hp=15, Hc=3)
+    ry = [55, 35]
+    y = [50, 30]
+    for k in range(10):
+        ctrl1.preparestate(y)
+        ctrl2.preparestate(y)
+        u1 = ctrl1.moveinput(ry)
+        u2 = ctrl2.moveinput(ry)
+        assert np.allclose(u1, u2, atol=1e-5), k
+        ctrl1.updatestate(u1, y)
+        ctrl2.updatestate(u2, y)
+
+
+def test_offset_free_disturbance_rejection():
+    """Step disturbance on the plant output → offset-free tracking thanks to
+    the integrator augmentation (ref test 3_test: :159,676)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=20, Hc=2)
+    res = mpc.sim(ctrl, 60, [2.0], y_step=[0.5])
+    assert np.allclose(res.Y_data[-1], [2.0], atol=1e-3)
+
+
+def test_constraint_saturation_umax():
+    """Drive into umax and check the optimizer saturates exactly at it."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=20, Hc=2, Cwt=np.inf)
+    ctrl.setconstraint(umax=[1.0], umin=[-1.0])
+    ctrl.preparestate([0])
+    u = ctrl.moveinput([100.0])
+    assert np.isclose(u[0], 1.0, atol=1e-7)
+    u = ctrl.moveinput([-100.0])
+    assert np.isclose(u[0], -1.0, atol=1e-7)
+
+
+def test_constraint_saturation_dumax():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=20, Hc=2, Cwt=np.inf)
+    ctrl.setconstraint(dumax=[0.3], dumin=[-0.3])
+    ctrl.preparestate([0])
+    u = ctrl.moveinput([100.0])
+    assert np.isclose(u[0], 0.3, atol=1e-7)
+
+
+def test_output_constraint_riding():
+    """README config: y2 must ride its ymax bound exactly."""
+    G = mpc.tf_matrix([[mpc.tf(2, [10, 1]) * mpc.delay(20)],
+                       [mpc.tf(10, [4, 1])]])
+    model_ = mpc.LinModel(G, 1.0)
+    ctrl = mpc.LinMPC(model_, Mwt=[1, 0], Nwt=[0.1])
+    ctrl.setconstraint(ymax=[np.inf, 35])
+    res = mpc.sim(ctrl, 40, [5, 0])
+    assert np.isclose(res.Y_data[-1, 0], 5.0, atol=1e-2)
+    # soft constraint (default Cwt=1e5): rides the bound with tiny violation
+    assert res.Y_data[:, 1].max() <= 35.0 + 1e-4
+    assert np.isclose(res.Y_data[:, 1].max(), 35.0, atol=1e-3)
+
+
+def test_multiple_shooting_equals_single_shooting(model):
+    """MS and SS transcriptions give identical control laws for LinModel."""
+    ctrl_ss = mpc.LinMPC(model, Hp=8, Hc=3, transcription=mpc.SingleShooting())
+    ctrl_ms = mpc.LinMPC(model, Hp=8, Hc=3, transcription=mpc.MultipleShooting())
+    ctrl_ss.setconstraint(umin=[5, 45], umax=[15, 55])
+    ctrl_ms.setconstraint(umin=[5, 45], umax=[15, 55])
+    ry = [52, 29]
+    y = [50, 30]
+    for k in range(8):
+        ctrl_ss.preparestate(y)
+        ctrl_ms.preparestate(y)
+        u1 = ctrl_ss.moveinput(ry)
+        u2 = ctrl_ms.moveinput(ry)
+        assert np.allclose(u1, u2, atol=1e-5), (k, u1, u2)
+        ctrl_ss.updatestate(u1, y)
+        ctrl_ms.updatestate(u2, y)
+
+
+def test_soft_output_constraints_relax():
+    """With soft constraints (finite Cwt), an infeasible setpoint+bound
+    combination still solves, with ϵ > 0."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2, Cwt=1e4)
+    ctrl.setconstraint(ymax=[0.5], dumax=[10.0])
+    # force y towards 2.0 > ymax: soft constraint yields bounded violation
+    res = mpc.sim(ctrl, 30, [2.0])
+    info = ctrl.getinfo()
+    assert res.Y_data[-1, 0] < 0.7  # y clamped near the soft bound
+    assert info["epsilon"] >= 0
+
+
+def test_getinfo(model):
+    ctrl = mpc.LinMPC(model, Hp=10, Hc=2)
+    ctrl.preparestate([50, 30])
+    ctrl.moveinput([55, 30])
+    info = ctrl.getinfo()
+    assert info["U"].shape == (2 * 10,)
+    assert info["Yhat"].shape == (2 * 10,)
+    assert np.isfinite(info["J"])
+    # one-step-horizon prediction equals the setpoint when unconstrained
+    m2 = mpc.LinModel(mpc.tf(5, [2, 1]), 3.0)
+    c2 = mpc.LinMPC(m2, Nwt=[0], Hp=1, Hc=1)
+    c2.preparestate([0])
+    c2.moveinput([10])
+    assert np.allclose(c2.getinfo()["Yhat"], [10.0], atol=1e-6)
+
+
+def test_setpoint_preview(model):
+    """R̂y preview: anticipates a future setpoint change."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=5)
+    Rhaty = np.concatenate([np.zeros(5), np.full(5, 5.0)])
+    ctrl.preparestate([0])
+    u_preview = ctrl.moveinput([0.0], R_hat_y=Rhaty)
+    # solution must equal the analytic unconstrained optimum of the preview QP
+    p = ctrl.params
+    Cy = p["B"] + p["Yop"] - Rhaty
+    q = 2.0 * (p["E_t"].T @ (p["M_Hp"] @ Cy))
+    Z_star = np.linalg.solve(p["H"], -q)
+    assert np.allclose(ctrl.Z_tilde, Z_star, atol=1e-6)
+    # and the end-of-horizon prediction anticipates the future setpoint
+    assert ctrl.getinfo()["Yhat"][-1] > 4.0
+
+
+def test_measured_disturbance_feedforward():
+    G = np.array([[mpc.tf(3, [30, 1]), mpc.tf(-2, [5, 1])]], dtype=object)
+    m = mpc.LinModel(G, 1.0, i_d=[1])
+    ctrl = mpc.LinMPC(m, Hp=20, Hc=2)
+    res = mpc.sim(ctrl, 60, [1.0], d=[0.5])
+    assert np.allclose(res.Y_data[-1], [1.0], atol=1e-3)
+
+
+def test_setmodel_hot_swap():
+    m1 = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    m2 = mpc.LinModel(mpc.tf(6, [8, 1]), 1.0)
+    kf = mpc.KalmanFilter(m1)
+    ctrl = mpc.LinMPC(kf, Hp=12, Hc=2)
+    ctrl.preparestate([0])
+    ctrl.moveinput([1.0])
+    ctrl.setmodel(m2)
+    ctrl.preparestate([0])
+    u = ctrl.moveinput([1.0], lastu=[0.0])
+    assert np.all(np.isfinite(u))
+    # matches a controller built directly on the new model (same lastu)
+    ctrl_ref = mpc.LinMPC(mpc.KalmanFilter(m2), Hp=12, Hc=2)
+    ctrl_ref.preparestate([0])
+    u_ref = ctrl_ref.moveinput([1.0], lastu=[0.0])
+    assert np.allclose(u, u_ref, atol=1e-6)
+
+
+def test_internal_model_estimator_mpc():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    im = mpc.InternalModel(m)
+    ctrl = mpc.LinMPC(im, Hp=15, Hc=2)
+    res = mpc.sim(ctrl, 60, [1.0], y_step=[0.3])
+    assert np.allclose(res.Y_data[-1], [1.0], atol=1e-3)
+
+
+def test_lastu_and_manual_protocol(model):
+    ctrl = mpc.LinMPC(model, Hp=10, Hc=2)
+    ctrl.preparestate([50, 30])
+    u = ctrl.moveinput([50, 30])
+    assert np.allclose(u, [10, 50], atol=1e-6)  # at op point, stay put
