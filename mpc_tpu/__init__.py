@@ -14,9 +14,9 @@ from .models import (SimModel, LinModel, NonLinModel, RungeKutta, ForwardEuler,
 from .estimators import (StateEstimator, SteadyKalmanFilter, KalmanFilter,
                          UnscentedKalmanFilter, ExtendedKalmanFilter,
                          Luenberger, InternalModel, ManualEstimator,
-                         default_nint)
+                         MovingHorizonEstimator, default_nint)
 from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
-                          SingleShooting, MultipleShooting)
+                          NonLinMPC, SingleShooting, MultipleShooting)
 from .sim import sim, SimResult
 
 __version__ = "0.1.0"

@@ -4,9 +4,10 @@ from .transcription import (SingleShooting, MultipleShooting, move_blocking,
 from .construct import ControllerWeights
 from .linmpc import LinMPC
 from .explicitmpc import ExplicitMPC
+from .nonlinmpc import NonLinMPC
 
 __all__ = [
-    "PredictiveController", "LinMPC", "ExplicitMPC",
+    "PredictiveController", "LinMPC", "ExplicitMPC", "NonLinMPC",
     "SingleShooting", "MultipleShooting", "move_blocking",
     "ControllerWeights", "default_Hp",
 ]

@@ -160,12 +160,14 @@ class LinMPC(PredictiveController):
             DUmin=self.DUmin, DUmax=self.DUmax,
             Y0min=self.Y0min, Y0max=self.Y0max,
             x0min=self.x0min, x0max=self.x0max,
+            C_umin_u=self.C_umin[:nu], C_umax_u=self.C_umax[:nu],
             Ks=Ks_l, Ps=Ps_l,
         )
-        self._step = _build_step(nu, self.Hc, nd, self.n_eps, self.nZ,
-                                 self._blk, self.n_ineq, self.n_eq,
-                                 isinstance(self.transcription, MultipleShooting),
-                                 self.estim.nx_hat)
+        self._step_raw = _build_step(nu, self.Hc, nd, self.n_eps, self.nZ,
+                                     self._blk, self.n_ineq, self.n_eq,
+                                     isinstance(self.transcription, MultipleShooting),
+                                     self.estim.nx_hat)
+        self._step = jax.jit(self._step_raw)
         self._solved_once = False
 
     # ------------------------------------------------------------------
@@ -272,6 +274,7 @@ class LinMPC(PredictiveController):
             Ymax = self.Y0max + self.Yop
             xmin = self.x0min + self.estim.xop_hat
             xmax = self.x0max + self.estim.xop_hat
+            lastu_abs = self.lastu0 + old.uop  # rebase below with the new uop
             _setmodel_estimator(self.estim, model, **cov)
             self.Uop = np.tile(model.uop, self.Hp)
             self.Yop = np.tile(model.yop, self.Hp)
@@ -282,6 +285,7 @@ class LinMPC(PredictiveController):
             self.Y0max[:] = _clipinf(Ymax - self.Yop)
             self.x0min[:] = _clipinf(xmin - self.estim.xop_hat)
             self.x0max[:] = _clipinf(xmax - self.estim.xop_hat)
+            self.lastu0 = lastu_abs - model.uop
         if Mwt is not None or Nwt is not None or Lwt is not None:
             w = self.weights
             model_ = self.estim.model
@@ -417,10 +421,9 @@ def _setmodel_estimator(estim, model, **cov):
 
 # ---------------------------------------------------------------------------
 def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat):
-    """Create the jitted per-step solve. All sizes static; params is data."""
+    """Create the per-step solve (pure function; caller jits / vmaps it)."""
     blk = tuple(int(b) for b in blk)
 
-    @jax.jit
     def step(p, x0_hat, lastu0, d0, D_hat_0, R_hat_y, R_hat_u,
              xs_hat, ys_hat, Z_prev, y_prev):
         # --- stochastic + deterministic output predictions F (initpred!) ---
@@ -479,9 +482,15 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat):
         # --- solve QP ---
         sol = solve_qp(p["H"], q, p["A_stack"], l, u_vec, x0=Zs, y0=y_prev)
         Z_t = jnp.where(sol.converged, sol.x, Zs)
-        # --- receding horizon input (getinput!, execute.jl:536-546) ---
+        # --- receding horizon input (getinput!, execute.jl:536-546),
+        # clamped to the (soft-relaxed) actuator box for hard safety ---
         du = Z_t[:nu]
-        u = du + lastu0 + p["Uop"][:nu]
+        u0 = du + lastu0
+        eps_f = Z_t[-1] if n_eps else jnp.asarray(0.0, du.dtype)
+        u0 = jnp.clip(u0,
+                      p["U0min"][:nu] - p["C_umin_u"] * eps_f,
+                      p["U0max"][:nu] + p["C_umax_u"] * eps_f)
+        u = u0 + p["Uop"][:nu]
         return u, Z_t, sol.y, sol.converged, F, sol.obj + r_const
 
     return step

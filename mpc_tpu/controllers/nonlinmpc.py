@@ -1,0 +1,521 @@
+"""NonLinMPC — nonlinear MPC via an in-graph SQP loop.
+
+Reference: ``src/controller/nonlinmpc.jl``.  The reference wires AD oracles
+into Ipopt through JuMP/MOI (nonlinmpc.jl:806-1098); here the entire solve is
+a fixed-iteration SQP loop *inside one jitted function*, TPU-style:
+
+* rollout of the augmented model over Hp via ``lax.scan`` (SingleShooting) or
+  stage-parallel evaluation via ``vmap`` (MultipleShooting — the natural TPU
+  form of the reference's threaded stage loop, transcription.jl:1335-1364);
+* Jacobians by ``jax.jacfwd`` (decision vector is small) — replacing the
+  DifferentiationInterface + sparse-coloring apparatus;
+* Gauss-Newton Hessian of the tracking terms + exact Hessian of the economic
+  term; QP subproblem solved by the batched ADMM+polish solver (ops/qp.py);
+* ℓ1-merit backtracking line search evaluated in parallel over candidate
+  step sizes; fixed max iterations with convergence masks (static shapes).
+
+Supports the economic cost ``Ewt·JE(Ue, Ŷe, D̂e, p, ϵ)`` and custom nonlinear
+inequality constraints ``gc(Ue, Ŷe, D̂e, p, ϵ) ≤ 0`` (nonlinmpc.jl:150-225) as
+user jax-traceable callables.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..estimators import (InternalModel, StateEstimator, SteadyKalmanFilter,
+                          UnscentedKalmanFilter)
+from ..models import LinModel
+from ..ops.qp import solve_qp
+from ..utils.config import BIG
+from .base import PredictiveController, default_Hp
+from .construct import ControllerWeights
+from .linmpc import _clipinf
+from .transcription import (MultipleShooting, SingleShooting, init_ZtoDU,
+                            init_ZtoU, move_blocking)
+
+
+class NonLinMPC(PredictiveController):
+    def __init__(self, model_or_estim, Hp=None, Hc=2,
+                 Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
+                 Cwt=1e5, Ewt=0.0, JE=None, gc=None, nc=0, p=None,
+                 transcription=None, sqp_iters=30, sqp_tol=1e-8,
+                 trust_radius=None, **estim_kwargs):
+        if isinstance(model_or_estim, StateEstimator):
+            estim = model_or_estim
+            model = estim.model
+        else:
+            model = model_or_estim
+            if isinstance(model, LinModel):
+                estim = SteadyKalmanFilter(model, **estim_kwargs)
+            else:
+                estim = UnscentedKalmanFilter(model, **estim_kwargs)
+        self.estim = estim
+        self.transcription = transcription or SingleShooting()
+        Hp = default_Hp(model) if Hp is None else int(Hp)
+        nb = move_blocking(Hp, Hc)
+        Hc = len(nb)
+        self.Hp, self.Hc, self.nb = Hp, Hc, nb
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        self.weights = ControllerWeights(nu, ny, Hp, Hc, Mwt, Nwt, Lwt,
+                                         M_Hp, N_Hc, L_Hp, Cwt, Ewt)
+        self.n_eps = self.weights.n_eps
+        self.JE = JE or (lambda Ue, Ye, De, p_, eps: 0.0)
+        self.gc = gc
+        self.nc = int(nc)
+        self.p = p if p is not None else model.p
+        self.sqp_iters = int(sqp_iters)
+        self.sqp_tol = float(sqp_tol)
+        self.trust_radius = trust_radius
+        self._build()
+        self.Uop = np.tile(model.uop, Hp)
+        self.Yop = np.tile(model.yop, Hp)
+        self.Dop = np.tile(model.dop, Hp)
+        self.Z_tilde = np.zeros(self.nZt)
+        self.lastu0 = np.zeros(nu)
+        self._last = {}
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        model, estim = self.estim.model, self.estim
+        Hp, Hc, nb = self.Hp, self.Hc, self.nb
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        tr = self.transcription
+        self.is_ms = isinstance(tr, MultipleShooting)
+        nZ = tr.nZ(nu, nx_hat, Hp, Hc)
+        self.nZ = nZ
+        self.nZt = nZ + self.n_eps
+        PDu = init_ZtoDU(tr, nu, nx_hat, Hp, Hc)
+        Pu, Tu = init_ZtoU(tr, nu, nx_hat, Hp, Hc, nb)
+        # soft/hard constraint bound storage (deviation form, data-only)
+        self.U0min = np.full(nu * Hp, -BIG)
+        self.U0max = np.full(nu * Hp, BIG)
+        self.DUmin = np.full(nu * Hc, -BIG)
+        self.DUmax = np.full(nu * Hc, BIG)
+        self.Y0min = np.full(ny * Hp, -BIG)
+        self.Y0max = np.full(ny * Hp, BIG)
+        self.x0min = np.full(nx_hat, -BIG)
+        self.x0max = np.full(nx_hat, BIG)
+        self.C_umin = np.zeros(nu * Hp)
+        self.C_umax = np.zeros(nu * Hp)
+        self.C_dumin = np.zeros(nu * Hc)
+        self.C_dumax = np.zeros(nu * Hc)
+        self.C_ymin = np.ones(ny * Hp)
+        self.C_ymax = np.ones(ny * Hp)
+        self.c_xmin = np.ones(nx_hat)
+        self.c_xmax = np.ones(nx_hat)
+        self.params = dict(
+            Pu=Pu, PDu=PDu, Tu=Tu,
+            M_Hp=self.weights.M_Hp, Nt_Hc=self.weights.Nt_Hc,
+            L_Hp=self.weights.L_Hp,
+            Uop=np.tile(model.uop, Hp), Yop=np.tile(model.yop, Hp),
+            U0min=self.U0min, U0max=self.U0max,
+            DUmin=self.DUmin, DUmax=self.DUmax,
+            Y0min=self.Y0min, Y0max=self.Y0max,
+            x0min=self.x0min, x0max=self.x0max,
+            C_umin=self.C_umin, C_umax=self.C_umax,
+            C_dumin=self.C_dumin, C_dumax=self.C_dumax,
+            C_ymin=self.C_ymin, C_ymax=self.C_ymax,
+            c_xmin=self.c_xmin, c_xmax=self.c_xmax,
+            fop_m_xop=estim.fop_hat - estim.xop_hat,
+            yop=model.yop, uop=model.uop, dop=model.dop,
+        )
+        self._step = self._make_step()
+        self._solved_once = False
+
+    # ------------------------------------------------------------------
+    def setconstraint(self, **kw):
+        model, estim = self.estim.model, self.estim
+        nu, ny, nx_hat = model.nu, model.ny, estim.nx_hat
+        Hp, Hc = self.Hp, self.Hc
+
+        def pick(small, cap, n, rep):
+            v = kw.get(cap)
+            if v is not None:
+                v = np.asarray(v, float).ravel()
+                if v.shape != (n * rep,):
+                    raise ValueError(f"{cap} size must be ({n * rep},)")
+                return v
+            v = kw.get(small)
+            if v is not None:
+                v = np.asarray(v, float).ravel()
+                if v.shape != (n,):
+                    raise ValueError(f"{small} size must be ({n},)")
+                return np.tile(v, rep)
+            return None
+
+        m = [("umin", "Umin", nu, Hp, "U0min", self.Uop),
+             ("umax", "Umax", nu, Hp, "U0max", self.Uop),
+             ("dumin", "DUmin", nu, Hc, "DUmin", 0.0),
+             ("dumax", "DUmax", nu, Hc, "DUmax", 0.0),
+             ("Deltaumin", "DeltaUmin", nu, Hc, "DUmin", 0.0),
+             ("Deltaumax", "DeltaUmax", nu, Hc, "DUmax", 0.0),
+             ("ymin", "Ymin", ny, Hp, "Y0min", self.Yop),
+             ("ymax", "Ymax", ny, Hp, "Y0max", self.Yop)]
+        for small, cap, n, rep, attr, op in m:
+            v = pick(small, cap, n, rep)
+            if v is not None:
+                getattr(self, attr)[:] = _clipinf(v - op)
+        for kws, attr in (("xhatmin", "x0min"), ("xhatmax", "x0max")):
+            v = kw.get(kws)
+            if v is not None:
+                v = np.asarray(v, float).ravel()
+                if v.shape != (nx_hat,):
+                    raise ValueError(f"{kws} size must be ({nx_hat},)")
+                getattr(self, attr)[:] = _clipinf(v - estim.xop_hat)
+        for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
+                     "x0min", "x0max"):
+            self.params[name] = getattr(self, name)
+        # softness parameters
+        soft = {k: v for k, v in kw.items() if k.startswith("c_") or k.startswith("C_")}
+        if soft:
+            if self.n_eps != 1:
+                raise ValueError("Slack variable weight Cwt must be finite to "
+                                 "set softness parameters")
+            sm = {"c_umin": ("C_umin", nu, Hp), "c_umax": ("C_umax", nu, Hp),
+                  "c_dumin": ("C_dumin", nu, Hc), "c_dumax": ("C_dumax", nu, Hc),
+                  "c_ymin": ("C_ymin", ny, Hp), "c_ymax": ("C_ymax", ny, Hp),
+                  "c_xhatmin": ("c_xmin", nx_hat, 1), "c_xhatmax": ("c_xmax", nx_hat, 1)}
+            for k, v in soft.items():
+                key = k if k.startswith("c_") else "c_" + k[2:].lower()
+                if key not in sm:
+                    raise ValueError(f"unknown softness parameter {k}")
+                attr, n, rep = sm[key]
+                v = np.asarray(v, float).ravel()
+                vv = np.tile(v, rep) if v.shape == (n,) else v
+                if vv.shape != (n * rep,):
+                    raise ValueError(f"{k} size must be ({n},) or ({n * rep},)")
+                getattr(self, attr)[:] = vv
+                self.params[attr] = getattr(self, attr)
+        return self
+
+    # ------------------------------------------------------------------
+    def _rollout_fns(self):
+        """Pure rollout of the augmented model for this transcription."""
+        estim, model = self.estim, self.estim.model
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        Hp, nZ = self.Hp, self.nZ
+        f_hat, h_hat = estim.f_hat, estim.h_hat
+        nDU = nu * self.Hc
+
+        def outputs_ss(p, Z, x0_hat, lastu0, Df, Dh):
+            U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
+            U0m = U0.reshape(Hp, nu)
+
+            def scan_f(x, inp):
+                u0, d0f, d0h = inp
+                xn = jnp.asarray(f_hat(x, u0, d0f)) + p["fop_m_xop"]
+                y = jnp.asarray(h_hat(xn, d0h))
+                return xn, (y, xn)
+
+            xend, (Y, X) = jax.lax.scan(scan_f, x0_hat, (U0m, Df, Dh))
+            return Y.reshape(-1), xend, jnp.zeros(0, Z.dtype), U0
+
+        def outputs_ms(p, Z, x0_hat, lastu0, Df, Dh):
+            U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
+            U0m = U0.reshape(Hp, nu)
+            X = Z[nDU:].reshape(Hp, nx_hat)
+            Y = jax.vmap(lambda x, dh: jnp.asarray(h_hat(x, dh)))(X, Dh)
+            # defects ŝ_j = f̂(x̂_{j-1}) + (f̂op−x̂op) − x̂_j  (stage-parallel)
+            X_prev = jnp.vstack([x0_hat[None, :], X[:-1]])
+            F = jax.vmap(lambda x, u, df: jnp.asarray(f_hat(x, u, df)))(
+                X_prev, U0m, Df) + p["fop_m_xop"]
+            S = (F - X).reshape(-1)
+            return Y.reshape(-1), X[-1], S, U0
+
+        return outputs_ms if self.is_ms else outputs_ss
+
+    def _make_step(self):
+        estim, model = self.estim, self.estim.model
+        nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
+        Hp, Hc, nZ, nZt = self.Hp, self.Hc, self.nZ, self.nZt
+        n_eps, nc = self.n_eps, self.nc
+        nDU = nu * Hc
+        neq = nx_hat * Hp if self.is_ms else 0
+        JE, gc, p_user = self.JE, self.gc, self.p
+        Cwt = self.weights.Cwt
+        Ewt = self.weights.Ewt
+        rollout = self._rollout_fns()
+        sqp_iters, sqp_tol = self.sqp_iters, self.sqp_tol
+        is_ms = self.is_ms
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01])
+
+        def split(Zt):
+            return Zt[:nZ], (Zt[-1] if n_eps else jnp.asarray(0.0))
+
+        def extended(p, U0, Y0, d, D_hat, yk):
+            Ue = jnp.concatenate([U0 + p["Uop"], U0[-nu:] + p["Uop"][-nu:]])
+            Ye = jnp.concatenate([yk, Y0 + p["Yop"]])
+            De = jnp.concatenate([d, D_hat]) if nd else jnp.zeros((Hp + 1) * 0)
+            return Ue, Ye, De
+
+        def objective(p, Zt, x0_hat, lastu0, Df, Dh, R_y, R_u, d, D_hat, yk):
+            Z, eps = split(Zt)
+            Y0, xend, S, U0 = rollout(p, Z, x0_hat, lastu0, Df, Dh)
+            DUt = jnp.concatenate([Z[:nDU], Zt[nZ:]])  # [ΔU; ϵ]
+            ey = Y0 + p["Yop"] - R_y
+            eu = U0 + p["Uop"] - R_u
+            J = ey @ p["M_Hp"] @ ey + DUt @ p["Nt_Hc"] @ DUt + eu @ p["L_Hp"] @ eu
+            if Ewt != 0.0:
+                Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
+                J = J + Ewt * JE(Ue, Ye, De, p_user, eps)
+            return J
+
+        def constraint_data(p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk):
+            """Values+Jacobians of the nonlinear pieces at the iterate."""
+            Z, eps = split(Zt)
+
+            def yx(Zt_):
+                Z_, _ = split(Zt_)
+                Y0, xend, S, U0 = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
+                return Y0, xend, S
+
+            Y0, xend, S = yx(Zt)
+            Jall = jax.jacfwd(yx)(Zt)
+            Jy, Jx, Js = Jall
+            gcv = jnp.zeros(0)
+            Jgc = jnp.zeros((0, nZt))
+            if nc:
+                def gfun(Zt_):
+                    Z_, eps_ = split(Zt_)
+                    Y0_, _, _, U0_ = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
+                    Ue, Ye, De = extended(p, U0_, Y0_, d, D_hat, yk)
+                    return jnp.asarray(gc(Ue, Ye, De, p_user, eps_))
+                gcv = gfun(Zt)
+                Jgc = jax.jacfwd(gfun)(Zt)
+            return Y0, xend, S, Jy, Jx, Js, gcv, Jgc
+
+        @jax.jit
+        def step(p, x0_hat, lastu0, d0, D_hat_0, R_y, R_u, yk, Z_prev, y_prev):
+            dt = x0_hat.dtype
+            d = d0 + p["dop"]
+            D_hat = D_hat_0 + jnp.tile(p["dop"], Hp) if nd else D_hat_0
+            # disturbance sequences for f (k..k+Hp-1) and h (k+1..k+Hp)
+            if nd:
+                Dall = jnp.concatenate([d0, D_hat_0]).reshape(Hp + 1, nd)
+                Df, Dh = Dall[:-1], Dall[1:]
+            else:
+                Df = Dh = jnp.zeros((Hp, 0), dt)
+            # warm start: shift previous solution
+            Zs = jnp.zeros_like(Z_prev)
+            Zs = Zs.at[:nDU - nu].set(Z_prev[nu:nDU])
+            if is_ms:
+                nX = nx_hat * Hp
+                Zs = Zs.at[nDU:nDU + nX - nx_hat].set(Z_prev[nDU + nx_hat:nDU + nX])
+                Zs = Zs.at[nDU + nX - nx_hat:nDU + nX].set(
+                    Z_prev[nDU + nX - nx_hat:nDU + nX])
+            if n_eps:
+                Zs = Zs.at[-1].set(Z_prev[-1])
+
+            obj = lambda Zt: objective(p, Zt, x0_hat, lastu0, Df, Dh, R_y, R_u,
+                                       d, D_hat, yk)
+            grad_f = jax.grad(obj)
+
+            def je_only(Zt):
+                Z_, eps_ = split(Zt)
+                Y0_, _, _, U0_ = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
+                Ue, Ye, De = extended(p, U0_, Y0_, d, D_hat, yk)
+                return Ewt * JE(Ue, Ye, De, p_user, eps_)
+
+            Tu_lastu0 = p["Tu"] @ lastu0
+
+            def viol(Zt):
+                Z_, eps_ = split(Zt)
+                Y0, xend, S, U0 = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
+                DU = Z_[:nDU]
+                v = 0.0
+                v += jnp.sum(jnp.maximum(p["U0min"] - p["C_umin"] * eps_ - U0, 0)
+                             + jnp.maximum(U0 - p["U0max"] - p["C_umax"] * eps_, 0))
+                v += jnp.sum(jnp.maximum(p["DUmin"] - p["C_dumin"] * eps_ - DU, 0)
+                             + jnp.maximum(DU - p["DUmax"] - p["C_dumax"] * eps_, 0))
+                v += jnp.sum(jnp.maximum(p["Y0min"] - p["C_ymin"] * eps_ - Y0, 0)
+                             + jnp.maximum(Y0 - p["Y0max"] - p["C_ymax"] * eps_, 0))
+                v += jnp.sum(jnp.maximum(p["x0min"] - p["c_xmin"] * eps_ - xend, 0)
+                             + jnp.maximum(xend - p["x0max"] - p["c_xmax"] * eps_, 0))
+                v += jnp.sum(jnp.abs(S))
+                if nc:
+                    Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
+                    v += jnp.sum(jnp.maximum(jnp.asarray(gc(Ue, Ye, De, p_user, eps_)), 0))
+                if n_eps:
+                    v += jnp.maximum(-eps_, 0)
+                return v
+
+            mu = 1e4
+
+            def merit(Zt):
+                return obj(Zt) + mu * viol(Zt)
+
+            def sqp_body(carry):
+                Zt, y_d, it, step_norm = carry
+                Z, eps = split(Zt)
+                (Y0, xend, S, Jy, Jx, Js, gcv, Jgc) = constraint_data(
+                    p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk)
+                g = grad_f(Zt)
+                # Gauss-Newton Hessian of tracking terms
+                PDu_t = jnp.zeros((nDU + n_eps, nZt), dt)
+                PDu_t = PDu_t.at[:nDU, :nDU].set(jnp.eye(nDU, dtype=dt))
+                if n_eps:
+                    PDu_t = PDu_t.at[-1, -1].set(1.0)
+                Pu_t = jnp.hstack([p["Pu"], jnp.zeros((nu * Hp, n_eps), dt)])
+                H = 2.0 * (Jy.T @ p["M_Hp"] @ Jy
+                           + PDu_t.T @ p["Nt_Hc"] @ PDu_t
+                           + Pu_t.T @ p["L_Hp"] @ Pu_t)
+                if Ewt != 0.0:
+                    # exact Hessian of the economic term for EMPC curvature,
+                    # projected to its PSD part for a convex QP subproblem
+                    He = jax.hessian(je_only)(Zt)
+                    w_e, V_e = jnp.linalg.eigh(0.5 * (He + He.T))
+                    H = H + (V_e * jnp.maximum(w_e, 0.0)) @ V_e.T
+                H = H + 1e-8 * jnp.eye(nZt, dtype=dt)
+                # QP over step dz: ½dᵀHd + gᵀd  s.t. linearized constraints
+                U0 = p["Pu"] @ Z + Tu_lastu0
+                DU = Z[:nDU]
+                A_u = jnp.hstack([p["Pu"], jnp.zeros((nu * Hp, n_eps), dt)])
+                rows = []
+                lo, up = [], []
+
+                def add(Arow, lower, upper):
+                    rows.append(Arow)
+                    lo.append(lower)
+                    up.append(upper)
+
+                ceps_u_min = p["C_umin"][:, None] if n_eps else jnp.zeros((nu * Hp, 0), dt)
+                ceps_u_max = p["C_umax"][:, None] if n_eps else jnp.zeros((nu * Hp, 0), dt)
+                # U rows (two one-sided soft rows)
+                add(-jnp.hstack([p["Pu"], ceps_u_min]),
+                    jnp.full(nu * Hp, -2e18, dt),
+                    -(p["U0min"] - p["C_umin"] * eps - U0))
+                add(jnp.hstack([p["Pu"], -ceps_u_max]),
+                    jnp.full(nu * Hp, -2e18, dt),
+                    p["U0max"] + p["C_umax"] * eps - U0)
+                # ΔU rows
+                ceps_du_min = p["C_dumin"][:, None] if n_eps else jnp.zeros((nDU, 0), dt)
+                ceps_du_max = p["C_dumax"][:, None] if n_eps else jnp.zeros((nDU, 0), dt)
+                PDuZ = jnp.hstack([jnp.eye(nDU, nZ, dtype=dt), jnp.zeros((nDU, n_eps), dt)])
+                add(-jnp.hstack([PDuZ[:, :nZ], ceps_du_min]),
+                    jnp.full(nDU, -2e18, dt),
+                    -(p["DUmin"] - p["C_dumin"] * eps - DU))
+                add(jnp.hstack([PDuZ[:, :nZ], -ceps_du_max]),
+                    jnp.full(nDU, -2e18, dt),
+                    p["DUmax"] + p["C_dumax"] * eps - DU)
+                # Ŷ rows (linearized; Jy already includes the ϵ column = 0)
+                Jy_eps_min = Jy.at[:, -1].add(p["C_ymin"]) if n_eps else Jy
+                Jy_eps_max = Jy.at[:, -1].add(-p["C_ymax"]) if n_eps else Jy
+                add(-Jy_eps_min, jnp.full(ny * Hp, -2e18, dt),
+                    -(p["Y0min"] - p["C_ymin"] * eps - Y0))
+                add(Jy_eps_max, jnp.full(ny * Hp, -2e18, dt),
+                    p["Y0max"] + p["C_ymax"] * eps - Y0)
+                # terminal rows
+                Jx_min = Jx.at[:, -1].add(p["c_xmin"]) if n_eps else Jx
+                Jx_max = Jx.at[:, -1].add(-p["c_xmax"]) if n_eps else Jx
+                add(-Jx_min, jnp.full(nx_hat, -2e18, dt),
+                    -(p["x0min"] - p["c_xmin"] * eps - xend))
+                add(Jx_max, jnp.full(nx_hat, -2e18, dt),
+                    p["x0max"] + p["c_xmax"] * eps - xend)
+                # custom nonlinear constraints gc ≤ 0
+                if nc:
+                    add(Jgc, jnp.full(nc, -2e18, dt), -gcv)
+                # ϵ ≥ 0 step bound
+                if n_eps:
+                    e_row = jnp.zeros((1, nZt), dt).at[0, -1].set(1.0)
+                    add(e_row, jnp.atleast_1d(-eps), jnp.full(1, 2e18, dt))
+                # equality defects (MS)
+                if neq:
+                    add(Js, -S, -S)
+                A = jnp.vstack(rows)
+                l = jnp.concatenate(lo)
+                u_b = jnp.concatenate(up)
+                sol = solve_qp(H, g, A, l, u_b, max_iter=500)
+                dz = sol.x
+                # parallel ℓ1-merit line search
+                merits = jax.vmap(lambda a: merit(Zt + a * dz))(alphas)
+                best = jnp.argmin(merits)
+                improve = merits[best] <= merit(Zt)
+                a = jnp.where(improve, alphas[best], 0.0)
+                Zt_new = Zt + a * dz
+                sn = jnp.linalg.norm(a * dz, jnp.inf)
+                return Zt_new, sol.y, it + 1, sn
+
+            def sqp_cond(carry):
+                _, _, it, step_norm = carry
+                return (it < sqp_iters) & ((it < 2) | (step_norm > sqp_tol))
+
+            Zt0 = Zs
+            y0 = jnp.zeros(2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nx_hat
+                           + nc + n_eps + neq, dt)
+            Zt, y_d, iters, sn = jax.lax.while_loop(
+                sqp_cond, sqp_body, (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt)))
+            J_final = obj(Zt)
+            viol_final = viol(Zt)
+            # receding input, clamped to the (soft-relaxed) actuator box: the
+            # SQP's linearized subproblem may be locally infeasible mid-
+            # transient, and the applied u must always respect hard u bounds
+            _, eps_f = split(Zt)
+            u0 = Zt[:nu] + lastu0
+            u0 = jnp.clip(u0,
+                          p["U0min"][:nu] - p["C_umin"][:nu] * eps_f,
+                          p["U0max"][:nu] + p["C_umax"][:nu] * eps_f)
+            u = u0 + p["uop"]
+            return u, Zt, y_d, J_final, viol_final, iters
+
+        return step
+
+    # ------------------------------------------------------------------
+    def moveinput(self, ry=None, d=None, D_hat=None, R_hat_y=None,
+                  R_hat_u=None, lastu=None, **alias):
+        model, estim = self.estim.model, self.estim
+        if estim.direct and not estim.prepared:
+            import warnings
+            warnings.warn("preparestate should be called before moveinput")
+        D_hat = D_hat if D_hat is not None else alias.get("Dhat")
+        R_hat_y = R_hat_y if R_hat_y is not None else alias.get("Rhaty")
+        R_hat_u = R_hat_u if R_hat_u is not None else alias.get("Rhatu")
+        ry, d, D_hat, R_hat_y, R_hat_u, lastu = self._prepare_args(
+            ry, d, D_hat, R_hat_y, R_hat_u, lastu)
+        self.lastu0 = lastu - model.uop
+        d0 = d - model.dop
+        D0 = D_hat - self.Dop
+        yk = np.asarray(estim.evaloutput(d if model.nd else None), float)
+        p = {k: jnp.asarray(v) for k, v in self.params.items()}
+        out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
+                         jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
+                         jnp.asarray(R_hat_u), jnp.asarray(yk),
+                         jnp.asarray(self.Z_tilde), None)
+        u, Zt, y_d, J, viol, iters = out
+        self.lastu0_at_solve = self.lastu0.copy()
+        self.Z_tilde = np.asarray(Zt)
+        self.R_hat_y, self.R_hat_u = R_hat_y, R_hat_u
+        self._last = dict(J=float(J), viol=float(viol), iters=int(iters),
+                          d=d, D_hat=D_hat)
+        u = np.asarray(u)
+        self.lastu0 = u - model.uop
+        return u
+
+    def getinfo(self):
+        model = self.estim.model
+        nu = model.nu
+        info = {}
+        Z = self.Z_tilde[:self.nZ]
+        info["DeltaU"] = info["ΔU"] = Z[:nu * self.Hc]
+        info["epsilon"] = info["ϵ"] = float(self.Z_tilde[-1]) if self.n_eps else 0.0
+        info["J"] = self._last.get("J")
+        info["viol"] = self._last.get("viol")
+        info["iters"] = self._last.get("iters")
+        U0 = self.params["Pu"] @ Z + self.params["Tu"] @ getattr(
+            self, "lastu0_at_solve", self.lastu0)
+        info["U"] = U0 + self.Uop
+        info["u"] = info["U"][:nu]
+        info["xhat"] = info["x̂"] = self.estim.x0_hat + self.estim.xop_hat
+        return info
+
+    def __repr__(self):
+        model = self.estim.model
+        return (f"NonLinMPC controller with a sample time Ts = {model.Ts} s:\n"
+                f"├ estimator: {type(self.estim).__name__}\n"
+                f"├ model: {type(model).__name__}\n"
+                f"├ optimizer: SQP (jax, GN Hessian + ADMM QP)\n"
+                f"├ transcription: {type(self.transcription).__name__}\n"
+                f"└ dimensions: Hp={self.Hp}, Hc={self.Hc}, nu={model.nu}, "
+                f"nx̂={self.estim.nx_hat}, nZ̃={self.nZt}")

@@ -199,13 +199,50 @@ class UnscentedKalmanFilter(StateEstimator):
     _init_cov = KalmanFilter._init_cov
     _set_cov = KalmanFilter._set_cov
 
-    def _sigma_points(self, x0, P):
-        L = jnp.linalg.cholesky(P)
-        gL = self.gamma * L
-        X = jnp.tile(x0[:, None], (1, 2 * self.nx_hat + 1))
-        X = X.at[:, 1:self.nx_hat + 1].add(gL)
-        X = X.at[:, self.nx_hat + 1:].add(-gL)
-        return X
+    def _kernels(self):
+        """Jitted correct/predict kernels (vmapped sigma points)."""
+        k = getattr(self, "_jit_kernels", None)
+        if k is not None:
+            return k
+        nx_hat = self.nx_hat
+        gamma = self.gamma
+        h_hat_m, f_hat = self.h_hat_m, self.f_hat
+
+        def sigma_points(x0, P):
+            L = jnp.linalg.cholesky(P)
+            gL = gamma * L
+            X = jnp.tile(x0[:, None], (1, 2 * nx_hat + 1))
+            X = X.at[:, 1:nx_hat + 1].add(gL)
+            X = X.at[:, nx_hat + 1:].add(-gL)
+            return X
+
+        @jax.jit
+        def correct(x0, P, y0m, d0, m, S, R):
+            X = sigma_points(x0, P)
+            Ym = jax.vmap(lambda xc: jnp.asarray(h_hat_m(xc, d0)),
+                          in_axes=1, out_axes=1)(X)
+            y0m_pred = Ym @ m
+            Xb = X - x0[:, None]
+            Yb = Ym - y0m_pred[:, None]
+            M = (Yb * S) @ Yb.T + R
+            K = jnp.linalg.solve(M.T, ((Xb * S) @ Yb.T).T).T
+            v = y0m - y0m_pred
+            x0c = x0 + K @ v
+            Pc = P - K @ M @ K.T
+            return x0c, 0.5 * (Pc + Pc.T)
+
+        @jax.jit
+        def predict(x0, P, u0, d0, m, S, Q, fop_m_xop):
+            X = sigma_points(x0, P)
+            Xn = jax.vmap(lambda xc: jnp.asarray(f_hat(xc, u0, d0)) + fop_m_xop,
+                          in_axes=1, out_axes=1)(X)
+            x0n = Xn @ m
+            Xb = Xn - x0n[:, None]
+            Pn = (Xb * S) @ Xb.T + Q
+            return x0n, 0.5 * (Pn + Pn.T)
+
+        self._jit_kernels = (correct, predict)
+        return self._jit_kernels
 
     def _correct(self, y0m, d0):
         if np.any(np.isnan(y0m)):
@@ -213,34 +250,23 @@ class UnscentedKalmanFilter(StateEstimator):
             warnings.warn("NaN values in the Kalman filter measurements ym: "
                           "skipping correction step")
             return
-        x0, P = jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat)
-        X = self._sigma_points(x0, P)
-        Ym = jnp.stack([jnp.asarray(self.h_hat_m(X[:, j], d0))
-                        for j in range(X.shape[1])], axis=1)
-        m, S = jnp.asarray(self.m_hat), jnp.asarray(self.S_hat)
-        y0m_pred = Ym @ m
-        Xb = X - x0[:, None]
-        Yb = Ym - y0m_pred[:, None]
-        M = (Yb * S) @ Yb.T + jnp.asarray(self.R_hat)
-        K = jnp.linalg.solve(M.T, ((Xb * S) @ Yb.T).T).T
-        v = jnp.asarray(y0m) - y0m_pred
-        x0c = x0 + K @ v
-        Pc = P - K @ M @ K.T
+        correct, _ = self._kernels()
+        x0c, Pc = correct(jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat),
+                          jnp.asarray(y0m), jnp.asarray(d0),
+                          jnp.asarray(self.m_hat), jnp.asarray(self.S_hat),
+                          jnp.asarray(self.R_hat))
         self.x0_hat = np.asarray(x0c)
-        self.P_hat = np.asarray(0.5 * (Pc + Pc.T))
+        self.P_hat = np.asarray(Pc)
 
     def _predict(self, u0, d0):
-        x0, P = jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat)
-        X = self._sigma_points(x0, P)
-        fop_m_xop = jnp.asarray(self.fop_hat - self.xop_hat)
-        Xn = jnp.stack([jnp.asarray(self.f_hat(X[:, j], u0, d0)) + fop_m_xop
-                        for j in range(X.shape[1])], axis=1)
-        m, S = jnp.asarray(self.m_hat), jnp.asarray(self.S_hat)
-        x0n = Xn @ m
-        Xb = Xn - x0n[:, None]
-        Pn = (Xb * S) @ Xb.T + jnp.asarray(self.Q_hat)
+        _, predict = self._kernels()
+        x0n, Pn = predict(jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat),
+                          jnp.asarray(u0), jnp.asarray(d0),
+                          jnp.asarray(self.m_hat), jnp.asarray(self.S_hat),
+                          jnp.asarray(self.Q_hat),
+                          jnp.asarray(self.fop_hat - self.xop_hat))
         self.x0_hat = np.asarray(x0n)
-        self.P_hat = np.asarray(0.5 * (Pn + Pn.T))
+        self.P_hat = np.asarray(Pn)
 
 
 # ---------------------------------------------------------------------------
@@ -267,33 +293,52 @@ class ExtendedKalmanFilter(StateEstimator):
     _init_cov = KalmanFilter._init_cov
     _set_cov = KalmanFilter._set_cov
 
-    def _jacF(self, x0, u0, d0):
-        if isinstance(self.model, LinModel):
-            return jnp.asarray(self.A_hat)
-        return jax.jacfwd(lambda xx: jnp.asarray(self.f_hat(xx, u0, d0)))(x0)
+    def _kernels(self):
+        """Jitted correct/predict kernels with jacfwd Jacobians."""
+        k = getattr(self, "_jit_kernels", None)
+        if k is not None:
+            return k
+        f_hat, h_hat_m = self.f_hat, self.h_hat_m
+        is_lin = isinstance(self.model, LinModel)
+        A_hat = self.A_hat if is_lin else None
+        Cm_hat = self.Cm_hat if is_lin else None
 
-    def _jacH(self, x0, d0):
-        if isinstance(self.model, LinModel):
-            return jnp.asarray(self.Cm_hat)
-        return jax.jacfwd(lambda xx: jnp.asarray(self.h_hat_m(xx, d0)))(x0)
+        @jax.jit
+        def correct(x0, P, y0m, d0, R):
+            if is_lin:
+                Hm = jnp.asarray(Cm_hat)
+            else:
+                Hm = jax.jacfwd(lambda xx: jnp.asarray(h_hat_m(xx, d0)))(x0)
+            y0m_pred = jnp.asarray(h_hat_m(x0, d0))
+            return kf_correct(x0, P, y0m_pred, y0m, Hm, R)
+
+        @jax.jit
+        def predict(x0, P, u0, d0, Q, fop_m_xop):
+            if is_lin:
+                F = jnp.asarray(A_hat)
+            else:
+                F = jax.jacfwd(lambda xx: jnp.asarray(f_hat(xx, u0, d0)))(x0)
+            x0n_raw = jnp.asarray(f_hat(x0, u0, d0))
+            return kf_predict(x0n_raw, P, F, Q, fop_m_xop)
+
+        self._jit_kernels = (correct, predict)
+        return self._jit_kernels
 
     def _correct(self, y0m, d0):
         if np.any(np.isnan(y0m)):
             import warnings
             warnings.warn("NaN values in the Kalman filter measurements ym: "
                           "skipping correction step")
-        x0 = jnp.asarray(self.x0_hat)
-        Hm = self._jacH(x0, jnp.asarray(d0))
-        y0m_pred = jnp.asarray(self.h_hat_m(x0, d0))
-        x0c, Pc = kf_correct(x0, jnp.asarray(self.P_hat), y0m_pred,
-                             jnp.asarray(y0m), Hm, jnp.asarray(self.R_hat))
+        correct, _ = self._kernels()
+        x0c, Pc = correct(jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat),
+                          jnp.asarray(y0m), jnp.asarray(d0),
+                          jnp.asarray(self.R_hat))
         self.x0_hat, self.P_hat = np.asarray(x0c), np.asarray(Pc)
 
     def _predict(self, u0, d0):
-        x0 = jnp.asarray(self.x0_hat)
-        F = self._jacF(x0, jnp.asarray(u0), jnp.asarray(d0))
-        x0n_raw = jnp.asarray(self.f_hat(self.x0_hat, u0, d0))
-        x0n, Pn = kf_predict(x0n_raw, jnp.asarray(self.P_hat), F,
-                             jnp.asarray(self.Q_hat),
-                             jnp.asarray(self.fop_hat - self.xop_hat))
+        _, predict = self._kernels()
+        x0n, Pn = predict(jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat),
+                          jnp.asarray(u0), jnp.asarray(d0),
+                          jnp.asarray(self.Q_hat),
+                          jnp.asarray(self.fop_hat - self.xop_hat))
         self.x0_hat, self.P_hat = np.asarray(x0n), np.asarray(Pn)

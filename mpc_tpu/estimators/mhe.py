@@ -1,0 +1,482 @@
+"""MovingHorizonEstimator (reference: src/estimator/mhe/*.jl, ~4.3 kLoC).
+
+Objective (mhe/construct.jl:253-258):
+
+    min_{Z̃}  x̄ᵀP̄⁻¹x̄ + ŴᵀQ̂_Nk⁻¹Ŵ + V̂ᵀR̂_Nk⁻¹V̂ + Cε²
+
+with Z = [x̂arr; Ŵ] (SingleShooting), x̄ = x̂arr_prior − x̂arr, and the window
+rollout  x̂(j+1) = f̂(x̂(j), u(j), d(j)) + ŵ(j),  v̂(j+1) = ym(j+1) − ĥm(x̂(j+1), d(j+1)).
+
+TPU-first design decisions vs the reference:
+
+* the growing window ``Nk ≤ He`` (mhe/execute.jl:497-547) becomes **masking
+  over fixed He-shaped arrays** — the reference already zero-pads unused
+  decision slots (fill0unused!, mhe/transcription.jl:1077-1090), so the masked
+  formulation is exact: invalid V̂ rows get zero weight, unused Ŵ slots get
+  unit weight (driving them to 0), NaN measurements get zero weight rows
+  (mhe/transcription.jl:1173-1186);
+* LinModel → the time-varying QP (H̃ depends on masks) is assembled *inside*
+  the jitted step and solved with the batched ADMM+polish QP;
+* NonLinModel → fixed-iteration Gauss-Newton SQP with ``lax.scan`` rollout;
+* the arrival covariance is advanced by a nested covestim KalmanFilter /
+  UnscentedKalmanFilter exactly like the reference (mhe/execute.jl:728-797).
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import LinModel
+from ..utils.config import BIG  # noqa: F401  (used throughout)
+from .base import StateEstimator
+from .construct import validate_covariances
+from .kalman import KalmanFilter, UnscentedKalmanFilter, _default_P0, _default_sigmas
+
+
+class MovingHorizonEstimator(StateEstimator):
+    def __init__(self, model, He=None, i_ym=None, nint_u=0, nint_ym=None,
+                 sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
+                 sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
+                 Q_hat=None, R_hat=None, P0_hat=None, Cwt=np.inf,
+                 covestim=None, direct=True, sqp_iters=12, **_):
+        if He is None or He < 1:
+            raise ValueError("estimation horizon He should be ≥ 1")
+        self._init_common(model, i_ym, nint_u, nint_ym, direct)
+        self.He = int(He)
+        if Q_hat is None or R_hat is None:
+            Q_hat, R_hat = _default_sigmas(model, self.i_ym, self.nint_u,
+                                           self.nint_ym, sigmaQ, sigmaR,
+                                           sigmaQint_u, sigmaQint_ym)
+        if P0_hat is None:
+            P0_hat = _default_P0(model, self.nint_u, self.nint_ym, sigmaP_0,
+                                 sigmaPint_u_0, sigmaPint_ym_0)
+        Q_hat, R_hat, P0_hat = validate_covariances(self.nx_hat, self.nym,
+                                                    Q_hat, R_hat, P0_hat)
+        self.Q_hat, self.R_hat, self.P0_hat = Q_hat, R_hat, P0_hat
+        self.invQ = np.linalg.inv(Q_hat)
+        self.invR = np.linalg.inv(R_hat)
+        self.Cwt = float(Cwt)
+        self.n_eps = 0 if np.isinf(Cwt) else 1
+        self.sqp_iters = int(sqp_iters)
+        # nested arrival-covariance estimator (mhe/construct.jl:641-648)
+        if covestim is not None:
+            self.covestim = covestim
+        elif isinstance(model, LinModel):
+            self.covestim = KalmanFilter(model, i_ym=self.i_ym,
+                                         nint_u=self.nint_u, nint_ym=self.nint_ym,
+                                         Q_hat=Q_hat, R_hat=R_hat, P0_hat=P0_hat,
+                                         direct=direct)
+        else:
+            self.covestim = UnscentedKalmanFilter(
+                model, i_ym=self.i_ym, nint_u=self.nint_u, nint_ym=self.nint_ym,
+                Q_hat=Q_hat, R_hat=R_hat, P0_hat=P0_hat, direct=direct)
+        # fixed-shape data windows (left-aligned, oldest first); slot j of all
+        # windows holds the data of the j-th measurement in the window
+        He_, nu, nd, nym, nx_hat = self.He, model.nu, model.nd, self.nym, self.nx_hat
+        self.Y0m_win = np.full((He_, nym), np.nan)
+        self.U0_win = np.zeros((He_, nu))
+        self.D0_win = np.zeros((He_ + 1, nd))   # slot 0 = pre-window d (zeros)
+        self.X0_old_win = np.zeros((He_, nx_hat))
+        self.Nk = 0
+        self.x_arr_prior = np.zeros(nx_hat)
+        self.P_arr = P0_hat.copy()
+        self.invP_arr = np.linalg.inv(self.P_arr)
+        # decision vector Z̃ = [ϵ; x̂arr; Ŵ]
+        self.nZ = nx_hat + He_ * nx_hat
+        self.nZt = self.nZ + self.n_eps
+        self.Z_tilde = np.zeros(self.nZt)
+        self._pending_u0 = np.zeros(nu)
+        # bounds (absolute, converted at solve): on x̂ (window), ŵ, v̂
+        self.X_min = np.full(nx_hat, -BIG)
+        self.X_max = np.full(nx_hat, BIG)
+        self.W_min = np.full(nx_hat, -BIG)
+        self.W_max = np.full(nx_hat, BIG)
+        self.V_min = np.full(nym, -BIG)
+        self.V_max = np.full(nym, BIG)
+        self.C_xmin = np.ones(nx_hat)
+        self.C_xmax = np.ones(nx_hat)
+        self.C_wmin = np.ones(nx_hat)
+        self.C_wmax = np.ones(nx_hat)
+        self.C_vmin = np.ones(nym)
+        self.C_vmax = np.ones(nym)
+        self._solve_jit = self._make_solver()
+        self._last = {}
+
+    # ------------------------------------------------------------------
+    def setconstraint(self, **kw):
+        """Bounds on x̂, ŵ, v̂ (mhe/construct.jl:773-1046).  Keywords:
+        xhatmin/xhatmax, whatmin/whatmax, vhatmin/vhatmax (+ c_* softness)."""
+        nx_hat, nym = self.nx_hat, self.nym
+        m = {"xhatmin": ("X_min", nx_hat), "xhatmax": ("X_max", nx_hat),
+             "whatmin": ("W_min", nx_hat), "whatmax": ("W_max", nx_hat),
+             "vhatmin": ("V_min", nym), "vhatmax": ("V_max", nym),
+             "c_xhatmin": ("C_xmin", nx_hat), "c_xhatmax": ("C_xmax", nx_hat),
+             "c_whatmin": ("C_wmin", nx_hat), "c_whatmax": ("C_wmax", nx_hat),
+             "c_vhatmin": ("C_vmin", nym), "c_vhatmax": ("C_vmax", nym)}
+        for k, v in kw.items():
+            if k not in m:
+                raise ValueError(f"unknown constraint keyword {k}")
+            attr, n = m[k]
+            v = np.asarray(v, float).ravel()
+            if v.shape != (n,):
+                raise ValueError(f"{k} size must be ({n},)")
+            if k.startswith("c_") and self.n_eps != 1:
+                raise ValueError("Slack variable weight Cwt must be finite to "
+                                 "set softness parameters")
+            val = v.copy()
+            if k in ("xhatmin", "xhatmax"):
+                val = val - self.xop_hat
+            getattr(self, attr)[:] = np.clip(np.nan_to_num(val, posinf=BIG,
+                                                           neginf=-BIG), -BIG, BIG)
+        return self
+
+    # ------------------------------------------------------------------
+    def _make_solver(self):
+        model = self.model
+        estim = self
+        He, nu, nd, nym, nx_hat = self.He, model.nu, model.nd, self.nym, self.nx_hat
+        n_eps = self.n_eps
+        nZ, nZt = self.nZ, self.nZt
+        f_hat, h_hat_m = self.f_hat, self.h_hat_m
+        is_lin = isinstance(model, LinModel)
+        Cwt = self.Cwt
+        sqp_iters = self.sqp_iters
+        from ..ops.qp import solve_qp
+
+        p_form = 0 if self.direct else 1
+
+        def rollout(p, x_arr, W, U, D):
+            """Window states and measurement predictions.
+
+            ``D`` has He+1 slots with slot 0 the pre-window disturbance
+            (mirrors the reference's D0 window, mhe/execute.jl:521-538).
+            p=0 (direct/filter form): x̂(t0+j+1) = f̂(x̂(t0+j), u(t0+j), D[j]),
+            ŷm row j at state X[j] with D[j+1].
+            p=1 (predictor form): dynamics use D[j+1]; outputs evaluated at
+            [x̂arr, X[:-1]] with D[j+1].
+            """
+            Wm = W.reshape(He, nx_hat)
+            Df = D[:-1] if p_form == 0 else D[1:]
+
+            def scan_f(x, inp):
+                u0, d0f, w = inp
+                xn = jnp.asarray(f_hat(x, u0, d0f)) + p["fop_m_xop"] + w
+                return xn, xn
+
+            _, X = jax.lax.scan(scan_f, x_arr, (U, Df, Wm))
+            if p_form == 0:
+                Xmeas = X
+            else:
+                Xmeas = jnp.vstack([x_arr[None, :], X[:-1]])
+            Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h)))(Xmeas, D[1:])
+            return X, Ym
+
+        def pack_problem(p, Zt):
+            eps = Zt[0] if n_eps else jnp.asarray(0.0)
+            x_arr = Zt[n_eps:n_eps + nx_hat]
+            W = Zt[n_eps + nx_hat:]
+            return eps, x_arr, W
+
+        def objective(p, Zt):
+            eps, x_arr, W = pack_problem(p, Zt)
+            X, Ym = rollout(p, x_arr, W, p["U"], p["D"])
+            V = p["Y0m"] - Ym                       # (He, nym)
+            xb = p["x_arr_prior"] - x_arr
+            Wm = W.reshape(He, nx_hat)
+            # masks: valid window steps & non-NaN measurements
+            Vv = jnp.where(p["mask_v"], V, 0.0)
+            J = (xb @ p["invP"] @ xb
+                 + jnp.sum((Wm @ p["invQ"]) * Wm * p["mask_w"][:, None])
+                 + jnp.sum(jnp.maximum(1.0 - p["mask_w"][:, None], 0.0) * Wm ** 2)
+                 + jnp.sum((Vv @ p["invR"]) * Vv))
+            if n_eps:
+                J = J + Cwt * eps ** 2
+            return J
+
+        @jax.jit
+        def solve(p, Zt0):
+            dt = Zt0.dtype
+
+            def constraint_rows(Zt):
+                """Linearized soft bounds on X̂ (window), Ŵ, V̂ + ϵ ≥ 0."""
+                eps, x_arr, W = pack_problem(p, Zt)
+
+                def xv_fun(Zt_):
+                    _, xa, W_ = pack_problem(p, Zt_)
+                    X, Ym = rollout(p, xa, W_, p["U"], p["D"])
+                    V = p["Y0m"] - Ym
+                    return X.reshape(-1), V.reshape(-1)
+
+                Xv, Vv = xv_fun(Zt)
+                JX, JV = jax.jacfwd(xv_fun)(Zt)
+                rows, lo, up = [], [], []
+                mw = jnp.repeat(p["mask_w"], nx_hat)
+                mv = p["mask_v"].reshape(-1)
+                big = jnp.asarray(2e18, dt)
+
+                def add(Ar, lr, ur):
+                    rows.append(Ar)
+                    lo.append(lr)
+                    up.append(ur)
+
+                # x̂ window bounds (incl. arrival via first rows of X? the
+                # arrival state itself):
+                e_arr = jnp.zeros((nx_hat, nZt), dt)
+                e_arr = e_arr.at[:, n_eps:n_eps + nx_hat].set(jnp.eye(nx_hat, dtype=dt))
+                if n_eps:
+                    e_arr_min = e_arr.at[:, 0].add(p["C_xmin"])
+                    e_arr_max = e_arr.at[:, 0].add(-p["C_xmax"])
+                else:
+                    e_arr_min = e_arr_max = e_arr
+                add(-e_arr_min, jnp.full(nx_hat, -big, dt), -(p["Xmin"] - x_arr) +
+                    (p["C_xmin"] * eps if n_eps else 0.0))
+                add(e_arr_max, jnp.full(nx_hat, -big, dt),
+                    p["Xmax"] - x_arr + (p["C_xmax"] * eps if n_eps else 0.0))
+                # window states
+                Xmin_t = jnp.where(mw, jnp.tile(p["Xmin"], He), -big)
+                Xmax_t = jnp.where(mw, jnp.tile(p["Xmax"], He), big)
+                JXmin = JX.at[:, 0].add(jnp.tile(p["C_xmin"], He)) if n_eps else JX
+                JXmax = JX.at[:, 0].add(-jnp.tile(p["C_xmax"], He)) if n_eps else JX
+                ceps_x = (jnp.tile(p["C_xmin"], He) * eps) if n_eps else 0.0
+                ceps_X = (jnp.tile(p["C_xmax"], He) * eps) if n_eps else 0.0
+                add(-JXmin, jnp.full(He * nx_hat, -big, dt), -(Xmin_t - ceps_x - Xv))
+                add(JXmax, jnp.full(He * nx_hat, -big, dt), Xmax_t + ceps_X - Xv)
+                # ŵ bounds (linear rows on decision block)
+                e_w = jnp.zeros((He * nx_hat, nZt), dt)
+                e_w = e_w.at[:, n_eps + nx_hat:].set(jnp.eye(He * nx_hat, dtype=dt))
+                Wv = Zt[n_eps + nx_hat:]
+                Wmin_t = jnp.where(mw, jnp.tile(p["Wmin"], He), -big)
+                Wmax_t = jnp.where(mw, jnp.tile(p["Wmax"], He), big)
+                ew_min = e_w.at[:, 0].add(jnp.tile(p["C_wmin"], He)) if n_eps else e_w
+                ew_max = e_w.at[:, 0].add(-jnp.tile(p["C_wmax"], He)) if n_eps else e_w
+                cw_min = (jnp.tile(p["C_wmin"], He) * eps) if n_eps else 0.0
+                cw_max = (jnp.tile(p["C_wmax"], He) * eps) if n_eps else 0.0
+                add(-ew_min, jnp.full(He * nx_hat, -big, dt), -(Wmin_t - cw_min - Wv))
+                add(ew_max, jnp.full(He * nx_hat, -big, dt), Wmax_t + cw_max - Wv)
+                # v̂ bounds
+                Vmin_t = jnp.where(mv, jnp.tile(p["Vmin"], He), -big)
+                Vmax_t = jnp.where(mv, jnp.tile(p["Vmax"], He), big)
+                JVmin = JV.at[:, 0].add(jnp.tile(p["C_vmin"], He)) if n_eps else JV
+                JVmax = JV.at[:, 0].add(-jnp.tile(p["C_vmax"], He)) if n_eps else JV
+                cv_min = (jnp.tile(p["C_vmin"], He) * eps) if n_eps else 0.0
+                cv_max = (jnp.tile(p["C_vmax"], He) * eps) if n_eps else 0.0
+                add(-JVmin, jnp.full(He * nym, -big, dt), -(Vmin_t - cv_min - Vv))
+                add(JVmax, jnp.full(He * nym, -big, dt), Vmax_t + cv_max - Vv)
+                if n_eps:
+                    er = jnp.zeros((1, nZt), dt).at[0, 0].set(1.0)
+                    add(er, jnp.atleast_1d(-eps), jnp.full(1, big, dt))
+                return (jnp.vstack(rows), jnp.concatenate(lo),
+                        jnp.concatenate(up), Xv, Vv)
+
+            obj = lambda Zt: objective(p, Zt)
+            grad_f = jax.grad(obj)
+
+            def gn_hessian(Zt):
+                """Gauss-Newton Hessian: exact for LinModel (objective is a
+                quadratic), GN for nonlinear."""
+                def res_fun(Zt_):
+                    eps_, xa, W_ = pack_problem(p, Zt_)
+                    X, Ym = rollout(p, xa, W_, p["U"], p["D"])
+                    V = jnp.where(p["mask_v"], p["Y0m"] - Ym, 0.0)
+                    return V.reshape(-1)
+
+                JV = jax.jacfwd(res_fun)(Zt)
+                invR_blk = jnp.kron(jnp.eye(He), p["invR"])
+                H = 2.0 * JV.T @ invR_blk @ JV
+                # arrival + Ŵ terms (quadratic in Z̃ directly)
+                H = H.at[n_eps:n_eps + nx_hat, n_eps:n_eps + nx_hat].add(2.0 * p["invP"])
+                wblk = jnp.kron(jnp.diag(p["mask_w"]), p["invQ"]) + \
+                    jnp.kron(jnp.diag(1.0 - p["mask_w"]), jnp.eye(nx_hat))
+                H = H.at[n_eps + nx_hat:, n_eps + nx_hat:].add(2.0 * wblk)
+                if n_eps:
+                    H = H.at[0, 0].add(2.0 * Cwt)
+                return H + 1e-10 * jnp.eye(nZt, dtype=dt)
+
+            n_iters = 1 if is_lin else sqp_iters
+
+            def body(i, carry):
+                Zt, _ = carry
+                g = grad_f(Zt)
+                H = gn_hessian(Zt)
+                A, l, u, Xv, Vv = constraint_rows(Zt)
+                sol = solve_qp(H, g, A, l, u, max_iter=800)
+                # line search only needed for nonlinear models
+                if is_lin:
+                    Zn = Zt + sol.x
+                else:
+                    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1])
+                    merits = jax.vmap(lambda a: obj(Zt + a * sol.x))(alphas)
+                    best = jnp.argmin(merits)
+                    a = jnp.where(merits[best] < obj(Zt), alphas[best], 0.0)
+                    Zn = Zt + a * sol.x
+                return Zn, sol.converged
+
+            Zt, ok = jax.lax.fori_loop(0, n_iters, body, (Zt0, jnp.array(True)))
+            # final rollout for the state estimate
+            eps, x_arr, W = pack_problem(p, Zt)
+            X, Ym = rollout(p, x_arr, W, p["U"], p["D"])
+            # x̂0 = x̂ at window slot Nk−1 (the newest valid state)
+            idx = jnp.clip(p["Nk"] - 1, 0, He - 1)
+            x_hat_new = jnp.where(p["Nk"] > 0, X[idx], x_arr)
+            J = objective(p, Zt)
+            return Zt, x_hat_new, X, Ym, J, ok
+
+        return solve
+
+    # ------------------------------------------------------------------
+    def _windows_params(self):
+        mask_w = (np.arange(self.He) < self.Nk).astype(float)
+        mask_v = (mask_w[:, None] > 0) & np.isfinite(self.Y0m_win)
+        return dict(
+            U=self.U0_win, D=self.D0_win,
+            Y0m=np.nan_to_num(self.Y0m_win),
+            mask_w=mask_w, mask_v=mask_v,
+            invP=self.invP_arr, invQ=self.invQ, invR=self.invR,
+            x_arr_prior=self.x_arr_prior,
+            fop_m_xop=self.fop_hat - self.xop_hat,
+            Xmin=self.X_min, Xmax=self.X_max,
+            Wmin=self.W_min, Wmax=self.W_max,
+            Vmin=self.V_min, Vmax=self.V_max,
+            C_xmin=self.C_xmin, C_xmax=self.C_xmax,
+            C_wmin=self.C_wmin, C_wmax=self.C_wmax,
+            C_vmin=self.C_vmin, C_vmax=self.C_vmax,
+            Nk=np.int32(self.Nk),
+        )
+
+    def _solve_window(self):
+        p = {k: jnp.asarray(v) for k, v in self._windows_params().items()}
+        Zt0 = jnp.asarray(self.Z_tilde)
+        Zt, x_new, X, Ym, J, ok = self._solve_jit(p, Zt0)
+        self.Z_tilde = np.array(Zt)   # writable copy (warm-start shifts mutate)
+        self.x0_hat = np.array(x_new)
+        self._last = dict(J=float(J), X=np.asarray(X), Ym=np.asarray(Ym),
+                          x_arr=np.asarray(Zt[self.n_eps:self.n_eps + self.nx_hat]))
+
+    # ------------------------------------------------------------------
+    # reference protocol (mhe/execute.jl:44-84)
+    def _add_data(self, y0m, d0, u0):
+        """add_data_windows! (mhe/execute.jl:497-547): shift when full, then
+        append (y, d, u, x̂0_old); returns True when the window is moving."""
+        He = self.He
+        x0_old = self.x0_hat.copy()
+        moving = (self.Nk + 1) > He
+        if moving:
+            self.Y0m_win[:-1] = self.Y0m_win[1:]
+            self.U0_win[:-1] = self.U0_win[1:]
+            self.D0_win[:-1] = self.D0_win[1:]   # He+1 slots; slot 0 = pre-window d
+            self.X0_old_win[:-1] = self.X0_old_win[1:]
+            self.Nk = He - 1
+            # warm start: shift Ŵ window one slot (mhe/transcription.jl:936-1075)
+            nx, ne = self.nx_hat, self.n_eps
+            Z = self.Z_tilde
+            Z[ne + nx:ne + nx + (He - 1) * nx] = Z[ne + nx + nx:]
+            Z[ne + nx + (He - 1) * nx:] = 0.0
+        i = self.Nk
+        self.Y0m_win[i] = y0m
+        self.D0_win[i + 1] = d0
+        self.U0_win[i] = u0
+        self.X0_old_win[i] = x0_old
+        self.Nk = i + 1
+        self.x_arr_prior = self.X0_old_win[0].copy()
+        if moving:
+            self.Z_tilde[self.n_eps:self.n_eps + self.nx_hat] = self.x_arr_prior
+        return moving
+
+    def _correct_cov(self):
+        """correct_cov! (mhe/execute.jl:729-752): correct P̄ at the arrival
+        with the oldest window data; the state is only a linearization point."""
+        ce = self.covestim
+        ce.x0_hat = self.x_arr_prior.copy()
+        ce.P_hat = self.P_arr.copy()
+        y0m_arr, d0_arr = self.Y0m_win[0], self.D0_win[0]
+        try:
+            if not np.any(np.isnan(y0m_arr)):
+                ce._correct(y0m_arr, d0_arr)
+            self._accept_cov(ce.P_hat)
+        except Exception:
+            warnings.warn("MHE arrival covariance correction failed; keeping "
+                          "the previous covariance")
+
+    def _update_cov(self):
+        """update_cov! (mhe/execute.jl:755-779): advance P̄ one step (predict
+        only when direct — the correction was already done in _correct_cov)."""
+        ce = self.covestim
+        ce.x0_hat = self.x_arr_prior.copy()
+        ce.P_hat = self.P_arr.copy()
+        u0_arr, y0m_arr, d0_arr = self.U0_win[0], self.Y0m_win[0], self.D0_win[0]
+        try:
+            if not self.direct and not np.any(np.isnan(y0m_arr)):
+                ce._correct(y0m_arr, d0_arr)
+            ce._predict(u0_arr, d0_arr)
+            self._accept_cov(ce.P_hat)
+        except Exception:
+            warnings.warn("MHE arrival covariance update failed; keeping the "
+                          "previous covariance")
+
+    def _accept_cov(self, P_new):
+        if np.all(np.isfinite(P_new)) and np.all(
+                np.linalg.eigvalsh(0.5 * (P_new + P_new.T)) > 0):
+            self.P_arr = 0.5 * (P_new + P_new.T)
+            self.invP_arr = np.linalg.inv(self.P_arr)
+        else:
+            warnings.warn("Arrival covariance P̄ is not positive definite: "
+                          "keeping the old one")
+
+    def _correct(self, y0m, d0):
+        if self.direct:
+            moving = self._add_data(y0m, d0, self._pending_u0)
+            if moving:
+                self._correct_cov()
+            self._solve_window()
+        else:
+            self._y0m_pending = np.asarray(y0m, float).copy()
+
+    def _predict(self, u0, d0):
+        if self.direct:
+            if self.Nk == self.He:
+                self._update_cov()
+            self._pending_u0 = np.asarray(u0, float).copy()
+        else:
+            self._add_data(self._y0m_pending, d0, np.asarray(u0, float))
+            self._solve_window()
+            if self.Nk == self.He:
+                self._update_cov()
+
+    def initstate(self, u, ym, d=None):
+        x = super().initstate(u, ym, d)
+        self.Nk = 0
+        self.Y0m_win[:] = np.nan
+        self.U0_win[:] = 0.0
+        self.D0_win[:] = 0.0
+        self.X0_old_win[:] = 0.0
+        self.Z_tilde[:] = 0.0
+        self.x_arr_prior = self.x0_hat.copy()
+        self.Z_tilde[self.n_eps:self.n_eps + self.nx_hat] = self.x0_hat
+        self._pending_u0 = np.asarray(u, float) - self.model.uop
+        return x
+
+    def _init_cov(self):
+        self.P_arr = self.P0_hat.copy()
+        self.invP_arr = np.linalg.inv(self.P_arr)
+
+    def _set_cov(self, P_hat):
+        if P_hat.shape != (self.nx_hat, self.nx_hat):
+            raise ValueError(f"P̂ size must be {(self.nx_hat, self.nx_hat)}")
+        self.P_arr = P_hat
+        self.invP_arr = np.linalg.inv(P_hat)
+
+    def getinfo(self):
+        info = {}
+        ne, nx = self.n_eps, self.nx_hat
+        info["What"] = info["Ŵ"] = self.Z_tilde[ne + nx:]
+        info["xarr"] = info["x̄"] = self.x_arr_prior - self._last.get(
+            "x_arr", self.x_arr_prior)
+        info["epsilon"] = info["ϵ"] = float(self.Z_tilde[0]) if ne else 0.0
+        info["J"] = self._last.get("J")
+        info["Xhat"] = info["X̂"] = self._last.get("X")
+        info["Nk"] = self.Nk
+        return info

@@ -87,6 +87,11 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
+    if dt == jnp.float32:
+        # f32 (TPU-native) cannot reach f64 tolerances — loosen to its floor
+        tol = max(tol, 3e-5)
+        tol_final = max(tol_final, 3e-4)
+        polish_delta = max(polish_delta, 1e-6)
     x = jnp.zeros(n, dt) if x0 is None else x0
     y = jnp.zeros(m, dt) if y0 is None else y0
     if m == 0:

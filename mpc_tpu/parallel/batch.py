@@ -1,0 +1,133 @@
+"""Batched, sharded MPC pipelines — the scale-out surface of the framework.
+
+The reference solves one plant at a time (SURVEY §2 P2: batch parallelism is
+absent there); here thousands of LinMPC scenarios solve in lockstep:
+
+* every scenario's construct-time matrices live in a *stacked params pytree*;
+* the per-step pipeline (SKF correct → condensed-QP solve → SKF predict) is
+  ONE pure function vmapped over the batch and jitted;
+* multi-chip scaling shards the batch axis over a ``jax.sharding.Mesh`` with
+  ``NamedSharding`` — XLA inserts the (trivially few) collectives; ICI carries
+  only convergence diagnostics, exactly the design BASELINE.json prescribes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..controllers.linmpc import LinMPC
+
+
+def stack_params(controllers):
+    """Stack the params pytrees of several same-shaped controllers."""
+    keys = controllers[0].params.keys()
+    return {k: jnp.asarray(np.stack([np.asarray(c.params[k]) for c in controllers]))
+            for k in keys}
+
+
+def estimator_params(controllers):
+    """Stacked SteadyKalmanFilter matrices for the batched feedback path."""
+    def g(attr):
+        return jnp.asarray(np.stack([np.asarray(getattr(c.estim, attr))
+                                     for c in controllers]))
+    return dict(K_hat=g("K_hat"), A_hat=g("A_hat"), Bu_hat=g("Bu_hat"),
+                Cm_hat=g("Cm_hat"), Ddm_hat=g("Ddm_hat"), Bd_hat=g("Bd_hat"),
+                fop_m_xop=jnp.asarray(np.stack(
+                    [c.estim.fop_hat - c.estim.xop_hat for c in controllers])),
+                yop_m=jnp.asarray(np.stack(
+                    [c.estim.model.yop[c.estim.i_ym] for c in controllers])),
+                uop=jnp.asarray(np.stack([c.estim.model.uop for c in controllers])),
+                dop=jnp.asarray(np.stack([c.estim.model.dop for c in controllers])))
+
+
+class BatchedLinMPC:
+    """Lockstep batch of LinMPC controllers (one plant model each).
+
+    ``step(ym, ry, d)`` runs the full control step for every scenario:
+    estimator correction, QP solve, receding input extraction, estimator
+    prediction — as a single jitted computation.  Pass a ``Mesh`` to shard
+    the batch over devices.
+    """
+
+    def __init__(self, controllers: list[LinMPC], mesh: Mesh | None = None,
+                 dtype=None):
+        c0 = controllers[0]
+        self.B = len(controllers)
+        self.nu = c0.estim.model.nu
+        self.nym = c0.estim.nym
+        self.nd = c0.estim.model.nd
+        self.Hp = c0.Hp
+        self.params = stack_params(controllers)
+        self.eparams = estimator_params(controllers)
+        if dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            self.params = cast(self.params)
+            self.eparams = cast(self.eparams)
+        dt = self.params["H"].dtype
+        self.state = dict(
+            x0_hat=jnp.zeros((self.B, c0.estim.nx_hat), dt),
+            lastu0=jnp.zeros((self.B, self.nu), dt),
+            Z_tilde=jnp.zeros((self.B, c0.nZt), dt),
+            y_dual=jnp.zeros((self.B, c0.A_stack.shape[0]), dt),
+        )
+        self.mesh = mesh
+        if mesh is not None:
+            shard = NamedSharding(mesh, P("batch"))
+            repl = NamedSharding(mesh, P())
+            put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard), t)
+            self.params = put(self.params)
+            self.eparams = put(self.eparams)
+            self.state = put(self.state)
+        self._step = jax.jit(self._make_step(c0))
+
+    def _make_step(self, c0: LinMPC):
+        step_raw = c0._step_raw
+        nd = self.nd
+
+        def one(p, ep, st, ym, ry, d):
+            # --- estimator correction (SKF constant gain) ---
+            d0 = d - ep["dop"] if nd else d
+            y0m = ym - ep["yop_m"]
+            x0 = st["x0_hat"]
+            v = y0m - ep["Cm_hat"] @ x0 - (ep["Ddm_hat"] @ d0 if nd else 0.0)
+            x0c = x0 + ep["K_hat"] @ v
+            # --- MPC solve ---
+            D_hat_0 = jnp.tile(d0, self.Hp)
+            R_hat_y = jnp.tile(ry, self.Hp)
+            R_hat_u = p["Uop"]
+            nxs = p["Ks"].shape[1]
+            u, Z_t, y_dual, conv, F, obj = step_raw(
+                p, x0c, st["lastu0"], d0, D_hat_0, R_hat_y, R_hat_u,
+                jnp.zeros(nxs, x0.dtype), jnp.zeros(ep["yop_m"].shape[0] +
+                                                    (c0.estim.nyu), x0.dtype),
+                st["Z_tilde"], st["y_dual"])
+            lastu0 = u - ep["uop"]
+            # --- estimator prediction ---
+            x0n = ep["A_hat"] @ x0c + ep["Bu_hat"] @ lastu0
+            if nd:
+                x0n = x0n + ep["Bd_hat"] @ d0
+            x0n = x0n + ep["fop_m_xop"]
+            new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t, y_dual=y_dual)
+            return u, conv, obj, new_st
+
+        vone = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
+
+        def stepfn(params, eparams, state, ym, ry, d):
+            u, conv, obj, new_state = vone(params, eparams, state, ym, ry, d)
+            # cross-shard reduction: global convergence diagnostic only
+            n_conv = jnp.sum(conv.astype(jnp.int32))
+            return u, n_conv, new_state
+
+        return stepfn
+
+    def step(self, ym, ry, d=None):
+        if d is None:
+            d = jnp.zeros((self.B, self.nd), self.params["H"].dtype)
+        u, n_conv, self.state = self._step(self.params, self.eparams, self.state,
+                                           jnp.asarray(ym), jnp.asarray(ry),
+                                           jnp.asarray(d))
+        return u, n_conv

@@ -1,0 +1,140 @@
+"""MovingHorizonEstimator tests (mirrors reference test/2_test_state_estim.jl:886-1889)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import mpc_tpu as mpc
+
+
+@pytest.fixture(scope="module")
+def linmodel():
+    G = np.array([[mpc.tf(1.90, [18, 1]), mpc.tf(1.90, [18, 1]), mpc.tf(1.90, [18, 1])],
+                  [mpc.tf(-0.74, [8, 1]), mpc.tf(0.74, [8, 1]), mpc.tf(-0.74, [8, 1])]],
+                 dtype=object)
+    m = mpc.LinModel(G, 2.0, i_d=[2])
+    m.setop(uop=[10, 50], yop=[50, 30], dop=[20])
+    return m
+
+
+def test_mhe_vs_kf_direct_false(linmodel):
+    """Unconstrained MHE == KF, predictor form (ref :1750-1766)."""
+    rng = np.random.default_rng(42)
+    kf = mpc.KalmanFilter(linmodel, nint_ym=0, direct=False)
+    mhe = mpc.MovingHorizonEstimator(linmodel, He=3, nint_ym=0, direct=False)
+    for i in range(8):
+        y = np.array([50, 31]) + rng.normal(size=2)
+        x1 = mhe.preparestate(y, [25])
+        x2 = kf.preparestate(y, [25])
+        assert np.allclose(x1, x2, atol=1e-6, rtol=1e-6), i
+        mhe.updatestate([11, 50], y, [25])
+        kf.updatestate([11, 50], y, [25])
+
+
+def test_mhe_vs_kf_direct_true(linmodel):
+    """Unconstrained MHE == KF, filter form with seeded P̂(-1|-1)
+    (ref :1767-1784)."""
+    rng = np.random.default_rng(43)
+    kf = mpc.KalmanFilter(linmodel, nint_ym=0, direct=True)
+    kf.preparestate([50, 30], [20])
+    P_corr = kf.P_hat.copy()
+    mhe = mpc.MovingHorizonEstimator(linmodel, He=3, nint_ym=0, direct=True,
+                                     P0_hat=P_corr)
+    kf.updatestate([10, 50], [50, 30], [20])
+    for i in range(8):
+        y = np.array([50, 31]) + rng.normal(size=2)
+        x1 = mhe.preparestate(y, [25])
+        x2 = kf.preparestate(y, [25])
+        assert np.allclose(x1, x2, atol=1e-6, rtol=1e-6), i
+        mhe.updatestate([11, 50], y, [25])
+        kf.updatestate([11, 50], y, [25])
+
+
+def test_mhe_nonlinear_vs_ekf(linmodel):
+    """Nonlinear (wrapped-linear) MHE == EKF (ref :1786-1809)."""
+    A, Bu, Bd = linmodel.A, linmodel.Bu, linmodel.Bd
+    C, Dd = linmodel.C, linmodel.Dd
+    f = lambda x, u, d, p: A @ x + Bu @ u + Bd @ d
+    h = lambda x, d, p: C @ x + Dd @ d
+    nl = mpc.NonLinModel(f, h, linmodel.Ts, 2, linmodel.nx, 2, 1, solver=None)
+    nl.setop(uop=[10, 50], yop=[50, 30], dop=[20])
+    rng = np.random.default_rng(44)
+    ekf = mpc.ExtendedKalmanFilter(nl, nint_ym=0, direct=False)
+    mhe = mpc.MovingHorizonEstimator(nl, He=4, nint_ym=0, direct=False)
+    for i in range(7):
+        y = np.array([50, 31]) + rng.normal(size=2)
+        x1 = mhe.preparestate(y, [25])
+        x2 = ekf.preparestate(y, [25])
+        assert np.allclose(x1, x2, atol=1e-5, rtol=1e-5), (i, x1, x2)
+        mhe.updatestate([11, 50], y, [25])
+        ekf.updatestate([11, 50], y, [25])
+
+
+def test_mhe_state_constraints():
+    """Bounds on x̂ are enforced at the optimum (ref :1491,1582)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=4, nint_ym=[1])
+    mhe.setconstraint(xhatmin=[-0.1, -0.1], xhatmax=[0.1, 0.1])
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        y = [3.0 + rng.normal() * 0.1]   # large measurements push x̂ up
+        x = mhe.preparestate(y)
+        assert np.all(x <= 0.1 + 1e-5), (i, x)
+        assert np.all(x >= -0.1 - 1e-5)
+        mhe.updatestate([1.0], y)
+
+
+def test_mhe_what_constraints():
+    """Process-noise bounds ŵ ∈ [min, max]."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=4, nint_ym=[1])
+    mhe.setconstraint(whatmin=[-1e-6, -1e-6], whatmax=[1e-6, 1e-6])
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        y = [rng.normal()]
+        mhe.preparestate(y)
+        mhe.updatestate([1.0], y)
+    W = mhe.getinfo()["What"]
+    assert np.all(np.abs(W) <= 1e-5)
+
+
+def test_mhe_nan_measurements(linmodel):
+    """NaN in ym is ignored in the objective (ref mhe NaN masking)."""
+    mhe = mpc.MovingHorizonEstimator(linmodel, He=3, nint_ym=0)
+    y = np.array([50.0, np.nan])
+    x = mhe.preparestate(y, [25])
+    assert np.all(np.isfinite(x))
+    mhe.updatestate([10, 50], y, [25])
+    x = mhe.preparestate([50.0, 30.0], [25])
+    assert np.all(np.isfinite(x))
+
+
+def test_mhe_offset_estimation():
+    """MHE with integrator augmentation estimates a step output disturbance."""
+    plant = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    model = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(model, He=5)
+    for k in range(40):
+        y = plant.evaloutput() + 0.5
+        mhe.preparestate(y)
+        plant.updatestate([1.0])
+        mhe.updatestate([1.0], y)
+    mhe.preparestate(plant.evaloutput() + 0.5)
+    assert np.allclose(mhe.evaloutput(), plant.evaloutput() + 0.5, atol=1e-2)
+
+
+def test_mhe_in_linmpc_loop():
+    """ManualEstimator pattern: LinMPC fed by an MHE-estimated state."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=4)
+    manual = mpc.ManualEstimator(m, nint_ym=[1])
+    ctrl = mpc.LinMPC(manual, Hp=10, Hc=2)
+    plant = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    for k in range(40):
+        y = plant.evaloutput() + 0.2
+        x_hat = mhe.preparestate(y)
+        manual.setstate(x_hat)
+        u = ctrl.moveinput([1.0])
+        plant.updatestate(u)
+        mhe.updatestate(u, y)
+    assert np.allclose(plant.evaloutput() + 0.2, [1.0], atol=5e-2)

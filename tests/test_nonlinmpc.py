@@ -1,0 +1,163 @@
+"""NonLinMPC tests (mirrors reference test/3_test_predictive_control.jl:782-1552
+and the pendulum case study of docs/src/manual/nonlinmpc.md)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import mpc_tpu as mpc
+
+
+def pendulum_model(p=(9.8, 40.0, 1.2, 0.3)):
+    # inverted pendulum: θ'' = −g/L sinθ − K/m θ' + u/(m L²)
+    def f(x, u, d, par):
+        g, L, K, m = par
+        th, om = x[0], x[1]
+        return jnp.array([om, -g / L * jnp.sin(th) - K / m * om
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    return mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=p,
+                           solver=mpc.RungeKutta(4, supersample=1))
+
+
+@pytest.fixture(scope="module")
+def pendulum():
+    # parameters from the reference manual: g=9.8, L=0.4, K=1.2, m=0.3
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    return mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+
+
+def test_nonlinmpc_equals_linmpc_on_linear_plant():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    nmpc = mpc.NonLinMPC(m, Hp=10, Hc=2)
+    lmpc = mpc.LinMPC(m, Hp=10, Hc=2)
+    y = [0.0]
+    for k in range(5):
+        nmpc.preparestate(y)
+        lmpc.preparestate(y)
+        u1 = nmpc.moveinput([3.0])
+        u2 = lmpc.moveinput([3.0])
+        assert np.allclose(u1, u2, atol=1e-5), k
+        nmpc.updatestate(u1, y)
+        lmpc.updatestate(u2, y)
+
+
+def test_pendulum_swing_to_180(pendulum):
+    """Reference manual case: track θ = 180° with |u| ≤ 1.5 N·m."""
+    estim = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                      sigmaR=[5.0], nint_ym=[1],
+                                      sigmaQint_ym=[0.1])
+    ctrl = mpc.NonLinMPC(estim, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf)
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    res = mpc.sim(ctrl, 60, [180.0])
+    # pendulum reaches the inverted position
+    assert abs(res.Y_data[-1, 0] - 180.0) < 2.0
+    # torque limit respected
+    assert np.max(np.abs(res.U_data)) <= 1.5 + 1e-6
+
+
+def test_pendulum_multiple_shooting(pendulum):
+    """MultipleShooting transcription solves the same problem."""
+    estim = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                      sigmaR=[5.0], nint_ym=[1],
+                                      sigmaQint_ym=[0.1])
+    ctrl = mpc.NonLinMPC(estim, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
+                         transcription=mpc.MultipleShooting())
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    res = mpc.sim(ctrl, 60, [180.0])
+    assert abs(res.Y_data[-1, 0] - 180.0) < 2.0
+    assert np.max(np.abs(res.U_data)) <= 1.5 + 1e-6
+
+
+def test_economic_cost_reduces_energy(pendulum):
+    """EMPC with JE = ∫ u·ω dt (motor work) uses less energy than plain MPC
+    (reference manual: economic pendulum example)."""
+    p_phys = (9.8, 0.4, 1.2, 0.3)
+
+    def JE(Ue, Ye, De, p, eps):
+        # work ≈ Σ τ·ω over the horizon (ω not directly in Ye; use u² proxy)
+        return jnp.sum(Ue[:-1] ** 2)
+
+    estim1 = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                       sigmaR=[5.0], nint_ym=[1],
+                                       sigmaQint_ym=[0.1])
+    empc = mpc.NonLinMPC(estim1, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                         Cwt=np.inf, Ewt=0.03, JE=JE)
+    empc.setconstraint(umin=[-1.5], umax=[1.5])
+    res_e = mpc.sim(empc, 60, [180.0])
+    estim2 = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                       sigmaR=[5.0], nint_ym=[1],
+                                       sigmaQint_ym=[0.1])
+    plain = mpc.NonLinMPC(estim2, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf)
+    plain.setconstraint(umin=[-1.5], umax=[1.5])
+    res_p = mpc.sim(plain, 60, [180.0])
+    E_e = np.sum(res_e.U_data ** 2)
+    E_p = np.sum(res_p.U_data ** 2)
+    assert E_e < E_p  # economic term saves energy
+    assert abs(res_e.Y_data[-1, 0] - 180.0) < 5.0  # still tracks
+
+
+def test_custom_nonlinear_constraint(pendulum):
+    """gc: predicted output must stay below 100° during the first swing."""
+    estim = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                      sigmaR=[5.0], nint_ym=[1],
+                                      sigmaQint_ym=[0.1])
+    Hp = 20
+
+    def gc(Ue, Ye, De, p, eps):
+        # custom: all predicted angles ≤ 110° (soft via eps)
+        return Ye[1:] - 110.0 - eps * 10.0
+
+    ctrl = mpc.NonLinMPC(estim, Hp=Hp, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=1e5,
+                         gc=gc, nc=Hp)
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    res = mpc.sim(ctrl, 60, [100.0])
+    assert np.max(res.Y_data[:, 0]) < 112.0  # bound approximately honored
+    assert abs(res.Y_data[-1, 0] - 100.0) < 3.0
+
+
+def test_successive_linearization_adaptive_mpc(pendulum):
+    """SL-MPC: LinMPC + linearize_ + setmodel each step (reference manual's
+    210×-speedup pattern) controls the pendulum."""
+    linmodel = mpc.linearize(pendulum, x=[0.0, 0.0], u=[0.0])
+    kf = mpc.KalmanFilter(linmodel, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
+                          nint_ym=[1], sigmaQint_ym=[0.1])
+    ctrl = mpc.LinMPC(kf, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf)
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    plant = pendulum
+    plant.setstate([0.0, 0.0])
+    y_hist, u_hist = [], []
+    u = np.zeros(1)
+    for k in range(70):
+        y = plant.evaloutput()
+        x_hat = ctrl.preparestate(y)
+        # relinearize at the current estimate and hot-swap
+        mpc.linearize_(linmodel, pendulum, x_hat[:2], u, np.zeros(0))
+        ctrl.setmodel(linmodel)
+        u = ctrl.moveinput([180.0])
+        y_hist.append(y.copy())
+        u_hist.append(u.copy())
+        plant.updatestate(u)
+        ctrl.updatestate(u, y)
+    y_hist = np.array(y_hist)
+    assert abs(y_hist[-1, 0] - 180.0) < 5.0
+    assert np.max(np.abs(u_hist)) <= 1.5 + 1e-6
+
+
+def test_nonlinmpc_with_disturbance():
+    """NonLinModel with measured disturbance channel."""
+    def f(x, u, d, p):
+        return 0.6 * x + u + 0.5 * d
+
+    h = lambda x, d, p: x
+    m = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, 1, solver=None)
+    ctrl = mpc.NonLinMPC(m, Hp=10, Hc=2, Cwt=np.inf)
+    res = mpc.sim(ctrl, 30, [2.0], d=[1.0])
+    assert np.allclose(res.Y_data[-1], [2.0], atol=1e-2)
