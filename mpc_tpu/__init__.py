@@ -16,7 +16,8 @@ from .estimators import (StateEstimator, SteadyKalmanFilter, KalmanFilter,
                          Luenberger, InternalModel, ManualEstimator,
                          MovingHorizonEstimator, default_nint)
 from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
-                          NonLinMPC, SingleShooting, MultipleShooting)
+                          NonLinMPC, SingleShooting, MultipleShooting,
+                          TrapezoidalCollocation, OrthogonalCollocation)
 from .sim import sim, SimResult
 
 __version__ = "0.1.0"

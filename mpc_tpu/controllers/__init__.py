@@ -1,6 +1,7 @@
 from .base import PredictiveController, default_Hp
-from .transcription import (SingleShooting, MultipleShooting, move_blocking,
-                            init_predmat, init_defectmat)
+from .transcription import (SingleShooting, MultipleShooting,
+                            TrapezoidalCollocation, OrthogonalCollocation,
+                            move_blocking, init_predmat, init_defectmat)
 from .construct import ControllerWeights
 from .linmpc import LinMPC
 from .explicitmpc import ExplicitMPC
@@ -8,6 +9,7 @@ from .nonlinmpc import NonLinMPC
 
 __all__ = [
     "PredictiveController", "LinMPC", "ExplicitMPC", "NonLinMPC",
-    "SingleShooting", "MultipleShooting", "move_blocking",
+    "SingleShooting", "MultipleShooting", "TrapezoidalCollocation",
+    "OrthogonalCollocation", "move_blocking",
     "ControllerWeights", "default_Hp",
 ]

@@ -38,6 +38,7 @@ class LinMPC(PredictiveController):
     def __init__(self, model_or_estim, Hp=None, Hc=2,
                  Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
                  Cwt=1e5, transcription: TranscriptionMethod | None = None,
+                 Wy=None, Wu=None, Wd=None, Wr=None,
                  optim=None, **estim_kwargs):
         if isinstance(model_or_estim, StateEstimator):
             estim = model_or_estim
@@ -59,6 +60,9 @@ class LinMPC(PredictiveController):
         self.weights = ControllerWeights(nu, ny, Hp, Hc, Mwt, Nwt, Lwt,
                                          M_Hp, N_Hc, L_Hp, Cwt)
         self.n_eps = self.weights.n_eps
+        # custom linear constraints W (construct.jl:665-695, relaxW :1085-1160)
+        self.Wy, self.Wu, self.Wd, self.Wr, self.nw = _validate_custom_lincon(
+            model, Wy, Wu, Wd, Wr)
         self.optim_kwargs = optim or {}
         self._build(rebuild_weights=False)
         # runtime state
@@ -114,6 +118,34 @@ class LinMPC(PredictiveController):
         A_DUmin, A_DUmax, PDu_t = relax_DU(PDu, self.C_dumin, self.C_dumax, n_eps)
         A_Ymin, A_Ymax, E_t = relax_Y(E, self.C_ymin, self.C_ymax, n_eps)
         A_xmin, A_xmax, ex_t = relax_terminal(ex, self.c_xmin, self.c_xmax, n_eps)
+        # custom linear constraints: W = Ew Z + Fw (relaxW, construct.jl:1085-1160)
+        nw = self.nw
+        nW = nw * (Hp + 1)
+        from ..utils.linalg import repeatdiag
+        Wy_bar = repeatdiag(self.Wy, Hp + 1) if nw else np.zeros((0, (Hp + 1) * ny))
+        Wu_bar = repeatdiag(self.Wu, Hp + 1) if nw else np.zeros((0, (Hp + 1) * nu))
+        Wd_bar = repeatdiag(self.Wd, Hp + 1) if nw else np.zeros((0, (Hp + 1) * nd))
+        Wr_bar = repeatdiag(self.Wr, Hp + 1) if nw else np.zeros((0, (Hp + 1) * ny))
+        if nw:
+            Ew = (Wy_bar @ np.vstack([np.zeros((ny, E.shape[1])), E])
+                  + Wu_bar @ np.vstack([Pu, Pu[-nu:, :]]))
+            if not hasattr(self, "C_wmin"):
+                self.C_wmin = np.ones(nW)
+                self.C_wmax = np.ones(nW)
+                self.Wmin_b = np.full(nW, -BIG)
+                self.Wmax_b = np.full(nW, BIG)
+            if n_eps:
+                A_Wmin = -np.hstack([Ew, self.C_wmin[:, None]])
+                A_Wmax = np.hstack([Ew, -self.C_wmax[:, None]])
+            else:
+                A_Wmin, A_Wmax = -Ew, Ew
+        else:
+            self.C_wmin = np.zeros(0)
+            self.C_wmax = np.zeros(0)
+            self.Wmin_b = np.zeros(0)
+            self.Wmax_b = np.zeros(0)
+            A_Wmin = np.zeros((0, self.nZt))
+            A_Wmax = np.zeros((0, self.nZt))
         if n_eps:
             ES_t = np.hstack([ES, np.zeros((ES.shape[0], 1))])
         else:
@@ -121,7 +153,8 @@ class LinMPC(PredictiveController):
         H = init_quadprog(E_t, PDu_t, Pu_t, self.weights)
         # one-sided inequality row stack (order = linconstraint! b layout,
         # controller/transcription.jl:824-842) + ϵ ≥ 0 + equality rows
-        rows = [A_Umin, A_Umax, A_DUmin, A_DUmax, A_Ymin, A_Ymax, A_xmin, A_xmax]
+        rows = [A_Umin, A_Umax, A_DUmin, A_DUmax, A_Ymin, A_Ymax,
+                A_Wmin, A_Wmax, A_xmin, A_xmax]
         A_ineq = np.vstack(rows)
         self._blk = np.cumsum([0] + [r.shape[0] for r in rows])
         if n_eps:
@@ -162,11 +195,15 @@ class LinMPC(PredictiveController):
             x0min=self.x0min, x0max=self.x0max,
             C_umin_u=self.C_umin[:nu], C_umax_u=self.C_umax[:nu],
             Ks=Ks_l, Ps=Ps_l,
+            Wy_bar=Wy_bar, Wu_bar=Wu_bar, Wd_bar=Wd_bar, Wr_bar=Wr_bar,
+            Wmin_b=self.Wmin_b, Wmax_b=self.Wmax_b,
+            dop_w=model.dop, Dop_w=np.tile(model.dop, Hp),
         )
         self._step_raw = _build_step(nu, self.Hc, nd, self.n_eps, self.nZ,
                                      self._blk, self.n_ineq, self.n_eq,
                                      isinstance(self.transcription, MultipleShooting),
-                                     self.estim.nx_hat)
+                                     self.estim.nx_hat, self.nw, Hp,
+                                     model.ny)
         self._step = jax.jit(self._step_raw)
         self._solved_once = False
 
@@ -226,6 +263,14 @@ class LinMPC(PredictiveController):
                 if v.shape != (nx_hat,):
                     raise ValueError(f"{kws} size must be ({nx_hat},)")
                 getattr(self, attr)[:] = _clipinf(v - estim.xop_hat)
+        # custom linear constraint bounds (nw rows per step over Hp+1)
+        if self.nw:
+            v = pick("wmin", "Wmin", self.nw, Hp + 1)
+            if v is not None:
+                self.Wmin_b[:] = _clipinf(v)
+            v = pick("wmax", "Wmax", self.nw, Hp + 1)
+            if v is not None:
+                self.Wmax_b[:] = _clipinf(v)
         # softness updates rebuild the A matrices (construct-time only)
         soft = {k: v for k, v in kw.items() if k.startswith("c_") or k.startswith("C_")}
         if soft:
@@ -255,7 +300,7 @@ class LinMPC(PredictiveController):
             self._build()
         else:
             for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
-                         "x0min", "x0max"):
+                         "x0min", "x0max", "Wmin_b", "Wmax_b"):
                 self.params[name] = getattr(self, name)
         return self
 
@@ -322,12 +367,17 @@ class LinMPC(PredictiveController):
         else:
             xs_hat = np.zeros(self.params["Ks"].shape[1])
             ys_full = np.zeros(model.ny)
+        if self.nw:
+            y_now = np.asarray(estim.evaloutput(d if model.nd else None), float)
+        else:
+            y_now = np.zeros(model.ny)
         p = {k: jnp.asarray(v) for k, v in self.params.items()}
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(self.d0), jnp.asarray(self.D_hat_0),
                          jnp.asarray(R_hat_y), jnp.asarray(R_hat_u),
                          jnp.asarray(xs_hat), jnp.asarray(ys_full),
-                         jnp.asarray(self.Z_tilde), jnp.asarray(self.y_dual))
+                         jnp.asarray(self.Z_tilde), jnp.asarray(self.y_dual),
+                         jnp.asarray(ry), jnp.asarray(y_now))
         u, Z_t, y_dual, converged, F, obj = out
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Z_t)
@@ -382,6 +432,25 @@ class LinMPC(PredictiveController):
                 f"nZ̃={self.nZt}")
 
 
+def _validate_custom_lincon(model, Wy, Wu, Wd, Wr):
+    """Validate W matrices (construct.jl:665-695); None → zero matrices."""
+    nu, nd, ny = model.nu, model.nd, model.ny
+    nw = 0
+    for M in (Wy, Wu, Wd, Wr):
+        if M is not None:
+            nw = np.atleast_2d(np.asarray(M, float)).shape[0]
+            break
+    def pad(M, ncols, name):
+        if M is None:
+            return np.zeros((nw, ncols))
+        M = np.atleast_2d(np.asarray(M, float))
+        if M.shape != (nw, ncols):
+            raise ValueError(f"{name} must have shape ({nw}, {ncols})")
+        return M
+    return (pad(Wy, ny, "Wy"), pad(Wu, nu, "Wu"), pad(Wd, nd, "Wd"),
+            pad(Wr, ny, "Wr"), nw)
+
+
 def _init_stochpred(estim: InternalModel, Hp):
     """Ks, Ps: Ŷs = Ks x̂s + Ps ŷs, all-output form (construct.jl:1236-1267)."""
     As, Bs_hat, Cs = estim.As, estim.Bs_hat, estim.Cs
@@ -420,12 +489,13 @@ def _setmodel_estimator(estim, model, **cov):
 
 
 # ---------------------------------------------------------------------------
-def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat):
+def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
+                nw=0, Hp=None, ny=None):
     """Create the per-step solve (pure function; caller jits / vmaps it)."""
     blk = tuple(int(b) for b in blk)
 
     def step(p, x0_hat, lastu0, d0, D_hat_0, R_hat_y, R_hat_u,
-             xs_hat, ys_hat, Z_prev, y_prev):
+             xs_hat, ys_hat, Z_prev, y_prev, ry=None, y_now=None):
         # --- stochastic + deterministic output predictions F (initpred!) ---
         Ys = p["Ks"] @ xs_hat + p["Ps"] @ ys_hat
         F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0 + Ys
@@ -441,6 +511,22 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat):
         fx = p["bx"] + p["kx"] @ x0_hat + p["vx"] @ lastu0
         if nd:
             fx = fx + p["gx"] @ d0 + p["jx"] @ D_hat_0
+        # --- custom linear constraints Fw (relaxW + linconstraint_custom!,
+        # execute.jl:337-366) ---
+        if nw:
+            Ue_t = jnp.concatenate([Tu_lastu0 + p["Uop"],
+                                    lastu0 + p["Uop"][:nu]])
+            Fw = p["Wu_bar"] @ Ue_t
+            if nd:
+                De_t = jnp.concatenate([d0 + p["dop_w"], D_hat_0 + p["Dop_w"]])
+                Fw = Fw + p["Wd_bar"] @ De_t
+            Re_t = jnp.concatenate([ry, R_hat_y])
+            Fw = Fw + p["Wr_bar"] @ Re_t
+            Ye_t = jnp.concatenate([y_now, F + p["Yop"]])
+            Fw = Fw + p["Wy_bar"] @ Ye_t
+            bW = jnp.concatenate([-p["Wmin_b"] + Fw, p["Wmax_b"] - Fw])
+        else:
+            bW = jnp.zeros(0, F.dtype)
         # --- inequality RHS b (transcription.jl:824-842 order) ---
         b = jnp.concatenate([
             -p["U0min"] + Tu_lastu0,
@@ -449,6 +535,7 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat):
             p["DUmax"],
             -p["Y0min"] + F,
             p["Y0max"] - F,
+            bW,
             -p["x0min"] + fx,
             p["x0max"] - fx,
         ])

@@ -33,8 +33,10 @@ from ..utils.config import BIG
 from .base import PredictiveController, default_Hp
 from .construct import ControllerWeights
 from .linmpc import _clipinf
-from .transcription import (MultipleShooting, SingleShooting, init_ZtoDU,
-                            init_ZtoU, move_blocking)
+from .transcription import (CollocationMethod, MultipleShooting,
+                            OrthogonalCollocation, SingleShooting,
+                            TrapezoidalCollocation, init_orthocolloc,
+                            init_ZtoDU, init_ZtoU, move_blocking)
 
 
 class NonLinMPC(PredictiveController):
@@ -83,12 +85,27 @@ class NonLinMPC(PredictiveController):
         Hp, Hc, nb = self.Hp, self.Hc, self.nb
         nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
         tr = self.transcription
-        self.is_ms = isinstance(tr, MultipleShooting)
-        nZ = tr.nZ(nu, nx_hat, Hp, Hc)
+        self.is_ms = isinstance(tr, (MultipleShooting, CollocationMethod))
+        self.is_colloc = isinstance(tr, CollocationMethod)
+        if self.is_colloc:
+            from ..models import NonLinModel, RungeKutta
+            if not isinstance(model, NonLinModel) or not isinstance(
+                    model.solver, RungeKutta):
+                raise ValueError("Collocation methods require a continuous-time "
+                                 "NonLinModel (with a RungeKutta solver).")
+        if isinstance(tr, OrthogonalCollocation):
+            nZ = tr.nZ_colloc(nu, nx_hat, model.nx, Hp, Hc)
+            self.Mo, self.Co, self.lam_o = init_orthocolloc(model.nx, model.Ts, tr)
+        else:
+            nZ = tr.nZ(nu, nx_hat, Hp, Hc)
         self.nZ = nZ
         self.nZt = nZ + self.n_eps
-        PDu = init_ZtoDU(tr, nu, nx_hat, Hp, Hc)
-        Pu, Tu = init_ZtoU(tr, nu, nx_hat, Hp, Hc, nb)
+        # PΔu/Pu only need the leading [ΔU; X̂0] layout; extra K columns are 0
+        class _NZ:
+            def nZ(_, nu_, nxh_, Hp_, Hc_):
+                return nZ
+        PDu = init_ZtoDU(_NZ(), nu, nx_hat, Hp, Hc)
+        Pu, Tu = init_ZtoU(_NZ(), nu, nx_hat, Hp, Hc, nb)
         # soft/hard constraint bound storage (deviation form, data-only)
         self.U0min = np.full(nu * Hp, -BIG)
         self.U0max = np.full(nu * Hp, BIG)
@@ -216,7 +233,7 @@ class NonLinMPC(PredictiveController):
         def outputs_ms(p, Z, x0_hat, lastu0, Df, Dh):
             U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
             U0m = U0.reshape(Hp, nu)
-            X = Z[nDU:].reshape(Hp, nx_hat)
+            X = Z[nDU:nDU + nx_hat * Hp].reshape(Hp, nx_hat)
             Y = jax.vmap(lambda x, dh: jnp.asarray(h_hat(x, dh)))(X, Dh)
             # defects ŝ_j = f̂(x̂_{j-1}) + (f̂op−x̂op) − x̂_j  (stage-parallel)
             X_prev = jnp.vstack([x0_hat[None, :], X[:-1]])
@@ -225,6 +242,78 @@ class NonLinMPC(PredictiveController):
             S = (F - X).reshape(-1)
             return Y.reshape(-1), X[-1], S, U0
 
+        nx = model.nx
+        Cs_u = estim.Cs_u if hasattr(estim, "Cs_u") else np.zeros((nu, 0))
+        As_s = estim.As if hasattr(estim, "As") else np.zeros((0, 0))
+        f_cont = getattr(model, "_f_user", None)
+        p_model = model.p
+        Ts = model.Ts
+        tr = self.transcription
+        hold = getattr(tr, "h", 0)
+
+        def _disturbed_inputs(U0m, X_prev):
+            # û_j = u_j + Cs_u·x̂s(j) (estimator/execute.jl:162-173)
+            return U0m + X_prev[:, nx:] @ jnp.asarray(Cs_u).T
+
+        def outputs_trap(p, Z, x0_hat, lastu0, Df, Dh):
+            """Trapezoidal defects (controller/transcription.jl:1392-1437),
+            all stages evaluated in parallel with vmap."""
+            U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
+            U0m = U0.reshape(Hp, nu)
+            X = Z[nDU:nDU + nx_hat * Hp].reshape(Hp, nx_hat)
+            Y = jax.vmap(lambda x, dh: jnp.asarray(h_hat(x, dh)))(X, Dh)
+            X_prev = jnp.vstack([x0_hat[None, :], X[:-1]])
+            Uh = _disturbed_inputs(U0m, X_prev)
+            # u at the END of interval j: u_{j+1} for h=1 (clamped), u_j for h=0
+            Uh_next = jnp.vstack([Uh[1:], Uh[-1:]]) if hold else Uh
+            k1 = jax.vmap(lambda x, u, d: jnp.asarray(f_cont(x, u, d, p_model)))(
+                X_prev[:, :nx], Uh, Df)
+            k2 = jax.vmap(lambda x, u, d: jnp.asarray(f_cont(x, u, d, p_model)))(
+                X[:, :nx], Uh_next, Dh)
+            S_det = X_prev[:, :nx] - X[:, :nx] + 0.5 * Ts * (k1 + k2)
+            S_sto = X_prev[:, nx:] @ jnp.asarray(As_s).T - X[:, nx:]
+            S = jnp.concatenate([S_det, S_sto], axis=1).reshape(-1)
+            return Y.reshape(-1), X[-1], S, U0
+
+        def outputs_ortho(p, Z, x0_hat, lastu0, Df, Dh):
+            """Orthogonal collocation defects
+            (controller/transcription.jl:1486-1541): Mo(kᵢ−x̂d) − k̇ᵢ per
+            point, linear continuity Co·k + λo·x̂d − x̂d⁺, stochastic MS."""
+            no = tr.no
+            tau = jnp.asarray(tr.tau)
+            Mo = jnp.asarray(self.Mo)
+            Co = jnp.asarray(self.Co)
+            lam = self.lam_o
+            U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
+            U0m = U0.reshape(Hp, nu)
+            X = Z[nDU:nDU + nx_hat * Hp].reshape(Hp, nx_hat)
+            K = Z[nDU + nx_hat * Hp:].reshape(Hp, no, nx)
+            Y = jax.vmap(lambda x, dh: jnp.asarray(h_hat(x, dh)))(X, Dh)
+            X_prev = jnp.vstack([x0_hat[None, :], X[:-1]])
+            Uh = _disturbed_inputs(U0m, X_prev)
+            Uh_next = jnp.vstack([Uh[1:], Uh[-1:]])
+
+            def stage(xp, xn, kj, u0j, u0nj, d0j, d0nj):
+                xd = xp[:nx]
+                dk = (kj - xd[None, :]).reshape(-1)
+                sk = Mo @ dk
+                def point(i):
+                    di = (1 - tau[i]) * d0j + tau[i] * d0nj
+                    ui = u0j if hold < 1 else (1 - tau[i]) * u0j + tau[i] * u0nj
+                    return jnp.asarray(f_cont(kj[i], ui, di, p_model))
+                kdot = jnp.stack([point(i) for i in range(no)]).reshape(-1)
+                sk = sk - kdot
+                sc = Co @ kj.reshape(-1) + lam * xd - xn[:nx]
+                ss = jnp.asarray(As_s) @ xp[nx:] - xn[nx:]
+                return jnp.concatenate([sk, sc, ss])
+
+            S = jax.vmap(stage)(X_prev, X, K, Uh, Uh_next, Df, Dh).reshape(-1)
+            return Y.reshape(-1), X[-1], S, U0
+
+        if isinstance(tr, OrthogonalCollocation):
+            return outputs_ortho
+        if isinstance(tr, TrapezoidalCollocation):
+            return outputs_trap
         return outputs_ms if self.is_ms else outputs_ss
 
     def _make_step(self):
@@ -233,7 +322,13 @@ class NonLinMPC(PredictiveController):
         Hp, Hc, nZ, nZt = self.Hp, self.Hc, self.nZ, self.nZt
         n_eps, nc = self.n_eps, self.nc
         nDU = nu * Hc
-        neq = nx_hat * Hp if self.is_ms else 0
+        if isinstance(self.transcription, OrthogonalCollocation):
+            neq = Hp * (self.transcription.no * model.nx + nx_hat)
+        elif self.is_ms:
+            neq = nx_hat * Hp
+        else:
+            neq = 0
+        nK = self.nZ - nDU - nx_hat * Hp if self.is_ms else 0  # ortho K block
         JE, gc, p_user = self.JE, self.gc, self.p
         Cwt = self.weights.Cwt
         Ewt = self.weights.Ewt
@@ -306,6 +401,12 @@ class NonLinMPC(PredictiveController):
                 Zs = Zs.at[nDU:nDU + nX - nx_hat].set(Z_prev[nDU + nx_hat:nDU + nX])
                 Zs = Zs.at[nDU + nX - nx_hat:nDU + nX].set(
                     Z_prev[nDU + nX - nx_hat:nDU + nX])
+                if nK:  # shift the collocation-point block (transcription.jl:1056-1058)
+                    nk_st = nK // Hp
+                    o = nDU + nX
+                    Zs = Zs.at[o:o + nK - nk_st].set(Z_prev[o + nk_st:o + nK])
+                    Zs = Zs.at[o + nK - nk_st:o + nK].set(
+                        Z_prev[o + nK - nk_st:o + nK])
             if n_eps:
                 Zs = Zs.at[-1].set(Z_prev[-1])
 

@@ -31,6 +31,103 @@ class MultipleShooting(TranscriptionMethod):
         return nu * Hc + nx_hat * Hp
 
 
+class CollocationMethod(TranscriptionMethod):
+    pass
+
+
+class TrapezoidalCollocation(CollocationMethod):
+    """Implicit trapezoidal rule with h-th order hold on u
+    (transcription.jl:121-168).  Decision variables are the same as
+    MultipleShooting; the deterministic-state defects use the continuous-time
+    dynamics: ŝ(k+j+1) = x̂d(k+j) + Ts/2·(k̇1 + k̇2) − x̂d(k+j+1)
+    (controller/transcription.jl:1373-1437).  Stochastic states keep the
+    discrete MultipleShooting defects."""
+
+    def __init__(self, h: int = 0):
+        if h not in (0, 1):
+            raise ValueError("h argument must be 0 or 1 for TrapezoidalCollocation.")
+        self.h = h
+        self.no = 2
+
+    def nZ(self, nu, nx_hat, Hp, Hc):
+        return nu * Hc + nx_hat * Hp
+
+
+class OrthogonalCollocation(CollocationMethod):
+    """Orthogonal collocation on finite elements (transcription.jl:171-254):
+    Z = [ΔU; X̂0; K] with nₒ collocation-point states per interval at
+    Gauss-Radau or Gauss-Legendre roots; collocation defects
+    Mo(kᵢ−x̂d) − k̇ᵢ = 0 plus linear continuity Co·k + λo·x̂d − x̂d⁺ = 0
+    (controller/transcription.jl:1440-1541)."""
+
+    def __init__(self, h: int = 0, no: int = 3, roots: str = "gaussradau"):
+        if h not in (0, 1):
+            raise ValueError("h argument must be 0 or 1 for OrthogonalCollocation.")
+        self.h = h
+        self.no = int(no)
+        if roots == "gaussradau":
+            # Gauss-Radau nodes on [-1,1] (left endpoint fixed), mirrored so
+            # that τ includes the 1.0 node (transcription.jl:240-243)
+            x = _gaussradau_nodes(no)
+            tau = ((-x)[::-1] + 1) / 2
+        elif roots == "gausslegendre":
+            x, _ = np.polynomial.legendre.leggauss(no)
+            tau = (x + 1) / 2
+        else:
+            raise ValueError("roots argument must be 'gaussradau' or 'gausslegendre'.")
+        self.tau = np.asarray(tau, float)
+
+    def nZ(self, nu, nx_hat, Hp, Hc):
+        # nx (deterministic) collocation states set by the caller via init
+        raise RuntimeError("OrthogonalCollocation.nZ needs nx; use nZ_colloc")
+
+    def nZ_colloc(self, nu, nx_hat, nx, Hp, Hc):
+        return nu * Hc + nx_hat * Hp + nx * self.no * Hp
+
+
+def _gaussradau_nodes(n):
+    """Gauss-Radau nodes on [-1, 1] with fixed endpoint x = -1."""
+    if n == 1:
+        return np.array([-1.0])
+    # nodes: -1 plus roots of P_{n-1} + P_n of Legendre (standard result)
+    Pn1 = np.polynomial.legendre.Legendre.basis(n - 1)
+    Pn = np.polynomial.legendre.Legendre.basis(n)
+    poly = Pn1 + Pn
+    r = poly.roots()
+    r = np.sort(np.real(r[np.abs(np.imag(r)) < 1e-12]))
+    return np.concatenate([[-1.0], r[np.abs(r + 1) > 1e-10]])[:n]
+
+
+def init_orthocolloc(nx, Ts, transcription: OrthogonalCollocation):
+    """Differentiation/continuity matrices Mo, Co, λo
+    (transcription.jl:256-344)."""
+    no = transcription.no
+    tau = transcription.tau
+    Po = np.zeros((no, no))
+    Pdo = np.zeros((no, no))
+    for i in range(no):
+        for j in range(1, no + 1):
+            Po[i, j - 1] = tau[i] ** j
+            Pdo[i, j - 1] = j * tau[i] ** (j - 1)
+    Mo_small = Pdo @ np.linalg.inv(Po) / Ts      # (no × no), scalar form
+    Mo = np.kron(Mo_small, np.eye(nx))
+    # Lagrange basis at τ=1 over nodes [0, τ1..τno]
+    taus = np.concatenate([[0.0], tau])
+
+    def lagrange_end(j):
+        L = 1.0
+        for i in range(len(taus)):
+            if i == j:
+                continue
+            L *= (1.0 - taus[i]) / (taus[j] - taus[i])
+        return L
+
+    Co_small = np.array([lagrange_end(j) for j in range(1, no + 1)])
+    Co = np.kron(Co_small[None, :], np.eye(nx))
+    lam_o = lagrange_end(0)
+    return Mo, Co, lam_o
+
+
 def move_blocking(Hp, Hc):
     """Move-blocking vector nb (controller/construct.jl:596-660)."""
     if np.isscalar(Hc):

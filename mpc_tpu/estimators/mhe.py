@@ -42,7 +42,8 @@ class MovingHorizonEstimator(StateEstimator):
                  sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
                  Q_hat=None, R_hat=None, P0_hat=None, Cwt=np.inf,
-                 covestim=None, direct=True, sqp_iters=12, **_):
+                 covestim=None, direct=True, sqp_iters=12,
+                 gc=None, nc=0, p=None, **_):
         if He is None or He < 1:
             raise ValueError("estimation horizon He should be ≥ 1")
         self._init_common(model, i_ym, nint_u, nint_ym, direct)
@@ -62,6 +63,11 @@ class MovingHorizonEstimator(StateEstimator):
         self.Cwt = float(Cwt)
         self.n_eps = 0 if np.isinf(Cwt) else 1
         self.sqp_iters = int(sqp_iters)
+        # custom nonlinear constraints gc(X̂e, V̂e, Ŵe, Ue, Yem, De, P̄, x̄, p, ε)
+        # ≤ 0 (mhe/construct.jl:437-448); invalid window slots are NaN-padded
+        self.gc = gc
+        self.nc = int(nc)
+        self.p_user = p if p is not None else model.p
         # nested arrival-covariance estimator (mhe/construct.jl:641-648)
         if covestim is not None:
             self.covestim = covestim
@@ -148,6 +154,9 @@ class MovingHorizonEstimator(StateEstimator):
         from ..ops.qp import solve_qp
 
         p_form = 0 if self.direct else 1
+        gc, nc, p_user = self.gc, self.nc, self.p_user
+        i_ym = np.asarray(self.i_ym, int)
+        yopm = self.model.yop[i_ym]
 
         def rollout(p, x_arr, W, U, D):
             """Window states and measurement predictions.
@@ -269,6 +278,35 @@ class MovingHorizonEstimator(StateEstimator):
                 if n_eps:
                     er = jnp.zeros((1, nZt), dt).at[0, 0].set(1.0)
                     add(er, jnp.atleast_1d(-eps), jnp.full(1, big, dt))
+                # custom nonlinear constraints gc ≤ 0, linearized at the
+                # iterate (NaN-padded aligned windows, mhe/construct.jl:437-448)
+                if nc:
+                    def gfun(Zt_):
+                        eps_, xa, W_ = pack_problem(p, Zt_)
+                        X, Ym = rollout(p, xa, W_, p["U"], p["D"])
+                        nanv = jnp.asarray(jnp.nan, dt)
+                        mw = p["mask_w"][:, None] > 0
+                        Xe = jnp.vstack([xa[None, :],
+                                         jnp.where(mw, X, nanv)])
+                        V = jnp.where(p["mask_v"], p["Y0m"] - Ym, nanv)
+                        Ve = jnp.vstack([jnp.full((1, V.shape[1]), nanv), V])
+                        We = jnp.vstack([jnp.where(mw, W_.reshape(He, -1), nanv),
+                                         jnp.full((1, nx_hat), nanv)])
+                        Ue = jnp.vstack([jnp.where(mw, p["U"], nanv),
+                                         jnp.full((1, p["U"].shape[1]), nanv)])
+                        Yme = jnp.vstack([jnp.full((1, V.shape[1]), nanv),
+                                          jnp.where(p["mask_v"], p["Y0m"]
+                                                    + jnp.asarray(yopm), nanv)])
+                        De = p["D"]
+                        xb = p["x_arr_prior"] - xa
+                        g = jnp.asarray(gc(Xe.reshape(-1), Ve.reshape(-1),
+                                           We.reshape(-1), Ue.reshape(-1),
+                                           Yme.reshape(-1), De.reshape(-1),
+                                           p["invP"], xb, p_user, eps_))
+                        return jnp.nan_to_num(g, nan=-1.0)
+                    gcv = gfun(Zt)
+                    Jgc = jax.jacfwd(gfun)(Zt)
+                    add(Jgc, jnp.full(nc, -big, dt), -gcv)
                 return (jnp.vstack(rows), jnp.concatenate(lo),
                         jnp.concatenate(up), Xv, Vv)
 
@@ -296,7 +334,7 @@ class MovingHorizonEstimator(StateEstimator):
                     H = H.at[0, 0].add(2.0 * Cwt)
                 return H + 1e-10 * jnp.eye(nZt, dtype=dt)
 
-            n_iters = 1 if is_lin else sqp_iters
+            n_iters = 1 if (is_lin and nc == 0) else sqp_iters
 
             def body(i, carry):
                 Zt, _ = carry

@@ -1,0 +1,95 @@
+"""Embedded C codegen tests (mirrors reference test/5_test_extensions.jl:
+the generated controller must reproduce the Julia-side control actions)."""
+import ctypes
+import shutil
+
+import numpy as np
+import pytest
+
+import mpc_tpu as mpc
+from mpc_tpu.codegen import export_c, compile_and_load
+
+gcc = shutil.which("gcc")
+
+
+@pytest.mark.skipif(gcc is None, reason="no C compiler")
+def test_c_export_matches_python():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    m.setop(uop=[2.0], yop=[5.0])
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2, Cwt=1e5)
+    ctrl.setconstraint(umin=[-10], umax=[10], dumax=[3], dumin=[-3],
+                       ymax=[9.0], ymin=[0.0])
+    src = export_c(ctrl, name="mpc")
+    lib = compile_and_load(src, name="mpc")
+
+    class State(ctypes.Structure):
+        nx, nu = ctrl.estim.nx_hat, 1
+        nz, mr = ctrl.nZt, ctrl.A_stack.shape[0]
+        _fields_ = [("xhat", ctypes.c_double * nx),
+                    ("lastu0", ctypes.c_double * nu),
+                    ("z", ctypes.c_double * nz),
+                    ("zd", ctypes.c_double * mr),
+                    ("yd", ctypes.c_double * mr)]
+
+    st = State()
+    lib.mpc_init(ctypes.byref(st))
+    u_c = (ctypes.c_double * 1)()
+    d_dummy = (ctypes.c_double * 1)()
+
+    rng = np.random.default_rng(3)
+    for k in range(15):
+        y = 5.0 + rng.normal() * 0.3
+        ry = 7.0
+        # python side
+        ctrl.preparestate([y])
+        u_py = ctrl.moveinput([ry])
+        ctrl.updatestate(u_py, [y])
+        # C side
+        ym = (ctypes.c_double * 1)(y)
+        ryv = (ctypes.c_double * 1)(ry)
+        lib.mpc_step(ctypes.byref(st), ym, ryv, d_dummy, u_c)
+        assert abs(u_c[0] - u_py[0]) < 2e-4, (k, u_c[0], u_py[0])
+
+
+@pytest.mark.skipif(gcc is None, reason="no C compiler")
+def test_c_export_mimo_with_disturbance():
+    G = np.array([[mpc.tf(1.9, [18, 1]), mpc.tf(1.9, [18, 1]),
+                   mpc.tf(1.9, [18, 1])],
+                  [mpc.tf(-0.74, [8, 1]), mpc.tf(0.74, [8, 1]),
+                   mpc.tf(-0.74, [8, 1])]], dtype=object)
+    m = mpc.LinModel(G, 2.0, i_d=[2])
+    ctrl = mpc.LinMPC(m, Hp=8, Hc=2, Cwt=1e5)
+    ctrl.setconstraint(umax=[4.0, 4.0], umin=[-4.0, -4.0])
+    src = export_c(ctrl, name="mpc2")
+    lib = compile_and_load(src, name="mpc2")
+
+    class State(ctypes.Structure):
+        _fields_ = [("xhat", ctypes.c_double * ctrl.estim.nx_hat),
+                    ("lastu0", ctypes.c_double * 2),
+                    ("z", ctypes.c_double * ctrl.nZt),
+                    ("zd", ctypes.c_double * ctrl.A_stack.shape[0]),
+                    ("yd", ctypes.c_double * ctrl.A_stack.shape[0])]
+
+    st = State()
+    lib.mpc2_init(ctypes.byref(st))
+    u_c = (ctypes.c_double * 2)()
+    rng = np.random.default_rng(4)
+    for k in range(10):
+        y = rng.normal(size=2) * 0.5
+        d = [0.3]
+        ry = [1.0, -0.5]
+        ctrl.preparestate(y, d)
+        u_py = ctrl.moveinput(ry, d)
+        ctrl.updatestate(u_py, y, d)
+        ym = (ctypes.c_double * 2)(*y)
+        ryv = (ctypes.c_double * 2)(*ry)
+        dv = (ctypes.c_double * 1)(*d)
+        lib.mpc2_step(ctypes.byref(st), ym, ryv, dv, u_c)
+        assert np.allclose([u_c[0], u_c[1]], u_py, atol=5e-4), (k, u_c[:], u_py)
+
+
+def test_c_export_guards():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=5, Hc=2, transcription=mpc.MultipleShooting())
+    with pytest.raises(ValueError):
+        export_c(ctrl)

@@ -194,6 +194,19 @@ def test_internal_model_estimator_mpc():
     assert np.allclose(res.Y_data[-1], [1.0], atol=1e-3)
 
 
+def test_custom_linear_constraints():
+    """W = Wu·u + Wy·ŷ ≤ wmax over the horizon (construct.jl relaxW).
+
+    For y = 3u at steady state with u + 0.5y ≤ 2: optimum is u=0.8, y=2.4."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2, Cwt=1e5, Wu=[[1.0]], Wy=[[0.5]])
+    ctrl.setconstraint(wmax=[2.0])
+    res = mpc.sim(ctrl, 40, [3.0])
+    w = res.U_data[:, 0] + 0.5 * res.Y_data[:, 0]
+    assert w.max() <= 2.0 + 1e-3
+    assert np.isclose(res.Y_data[-1, 0], 2.4, atol=1e-2)
+
+
 def test_lastu_and_manual_protocol(model):
     ctrl = mpc.LinMPC(model, Hp=10, Hc=2)
     ctrl.preparestate([50, 30])

@@ -109,6 +109,26 @@ def test_mhe_nan_measurements(linmodel):
     assert np.all(np.isfinite(x))
 
 
+def test_mhe_custom_nonlinear_constraints():
+    """gc(X̂e, V̂e, Ŵe, Ue, Yem, De, P̄, x̄, p, ε) ≤ 0 with NaN-padded windows
+    (mhe/construct.jl:437-448)."""
+    import jax.numpy as jnp
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    He = 4
+
+    def gc(Xe, Ve, We, Ue, Yme, De, invP, xbar, p, eps):
+        X = Xe.reshape(He + 1, 2)
+        return jnp.nan_to_num(X[:, 0] - 0.4, nan=-1.0)
+
+    mhe = mpc.MovingHorizonEstimator(m, He=He, gc=gc, nc=He + 1)
+    rng = np.random.default_rng(0)
+    for k in range(10):
+        y = [3.0 + rng.normal() * 0.1]
+        x = mhe.preparestate(y)
+        assert x[0] <= 0.4 + 1e-5, (k, x)
+        mhe.updatestate([1.0], y)
+
+
 def test_mhe_offset_estimation():
     """MHE with integrator augmentation estimates a step output disturbance."""
     plant = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)

@@ -151,6 +151,40 @@ def test_successive_linearization_adaptive_mpc(pendulum):
     assert np.max(np.abs(u_hist)) <= 1.5 + 1e-6
 
 
+def test_pendulum_trapezoidal_collocation(pendulum):
+    """TrapezoidalCollocation transcription solves the swing-up."""
+    estim = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                      sigmaR=[5.0], nint_ym=[1],
+                                      sigmaQint_ym=[0.1])
+    ctrl = mpc.NonLinMPC(estim, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
+                         transcription=mpc.TrapezoidalCollocation(0))
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    res = mpc.sim(ctrl, 45, [180.0])
+    assert abs(res.Y_data[-1, 0] - 180.0) < 2.0
+    assert np.max(np.abs(res.U_data)) <= 1.5 + 1e-6
+
+
+def test_pendulum_orthogonal_collocation(pendulum):
+    """OrthogonalCollocation (Gauss-Radau, no=3) solves the swing-up."""
+    estim = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                      sigmaR=[5.0], nint_ym=[1],
+                                      sigmaQint_ym=[0.1])
+    ctrl = mpc.NonLinMPC(estim, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
+                         transcription=mpc.OrthogonalCollocation(0, 3))
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    res = mpc.sim(ctrl, 45, [180.0])
+    assert abs(res.Y_data[-1, 0] - 180.0) < 2.0
+    assert np.max(np.abs(res.U_data)) <= 1.5 + 1e-6
+
+
+def test_collocation_requires_continuous_model():
+    f = lambda x, u, d, p: 0.5 * x + u
+    h = lambda x, d, p: x
+    m = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, solver=None)  # discrete
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(m, Hp=5, Hc=2, transcription=mpc.TrapezoidalCollocation())
+
+
 def test_nonlinmpc_with_disturbance():
     """NonLinModel with measured disturbance channel."""
     def f(x, u, d, p):
