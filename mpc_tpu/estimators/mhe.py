@@ -43,7 +43,7 @@ class MovingHorizonEstimator(StateEstimator):
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
                  Q_hat=None, R_hat=None, P0_hat=None, Cwt=np.inf,
                  covestim=None, direct=True, sqp_iters=12,
-                 gc=None, nc=0, p=None, **_):
+                 gc=None, nc=0, p=None, transcription=None, **_):
         if He is None or He < 1:
             raise ValueError("estimation horizon He should be ≥ 1")
         self._init_common(model, i_ym, nint_u, nint_ym, direct)
@@ -91,9 +91,16 @@ class MovingHorizonEstimator(StateEstimator):
         self.x_arr_prior = np.zeros(nx_hat)
         self.P_arr = P0_hat.copy()
         self.invP_arr = np.linalg.inv(self.P_arr)
-        # decision vector Z̃ = [ϵ; x̂arr; Ŵ]
-        self.nZ = nx_hat + He_ * nx_hat
+        # decision vector: Z̃ = [ϵ; x̂arr; Ŵ] (SingleShooting) or
+        # [ϵ; x̂arr; X̂0; Ŵ] with defect equalities (MultipleShooting,
+        # mhe/transcription.jl:2-3)
+        from ..controllers.transcription import (MultipleShooting,
+                                                 SingleShooting)
+        self.transcription = transcription or SingleShooting()
+        self.is_ms = isinstance(self.transcription, MultipleShooting)
+        self.nZ = nx_hat + He_ * nx_hat + (He_ * nx_hat if self.is_ms else 0)
         self.nZt = self.nZ + self.n_eps
+        self._w_off = self.n_eps + nx_hat + (He_ * nx_hat if self.is_ms else 0)
         self.Z_tilde = np.zeros(self.nZt)
         self._pending_u0 = np.zeros(nu)
         # bounds (absolute, converted at solve): on x̂ (window), ŵ, v̂
@@ -184,15 +191,44 @@ class MovingHorizonEstimator(StateEstimator):
             Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h)))(Xmeas, D[1:])
             return X, Ym
 
+        is_ms = self.is_ms
+        w_off = n_eps + nx_hat + (He * nx_hat if is_ms else 0)
+
         def pack_problem(p, Zt):
             eps = Zt[0] if n_eps else jnp.asarray(0.0)
             x_arr = Zt[n_eps:n_eps + nx_hat]
-            W = Zt[n_eps + nx_hat:]
+            W = Zt[w_off:]
             return eps, x_arr, W
+
+        def rollout_z(p, Zt):
+            """Transcription-aware window states + measurement predictions."""
+            eps, x_arr, W = pack_problem(p, Zt)
+            if not is_ms:
+                return rollout(p, x_arr, W, p["U"], p["D"])
+            X = Zt[n_eps + nx_hat:w_off].reshape(He, nx_hat)
+            Xmeas = X if p_form == 0 else jnp.vstack([x_arr[None, :], X[:-1]])
+            Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h)))(
+                Xmeas, p["D"][1:])
+            return X, Ym
+
+        def defects_z(p, Zt):
+            """MS defect equalities ŵ(j) = x̂(j+1) − f̂(x̂(j)) per stage;
+            masked stages copy the state forward so they stay anchored."""
+            eps, x_arr, W = pack_problem(p, Zt)
+            X = Zt[n_eps + nx_hat:w_off].reshape(He, nx_hat)
+            Wm = W.reshape(He, nx_hat)
+            X_prev = jnp.vstack([x_arr[None, :], X[:-1]])
+            Df = p["D"][:-1] if p_form == 0 else p["D"][1:]
+            F = jax.vmap(lambda x, u, d: jnp.asarray(f_hat(x, u, d)))(
+                X_prev, p["U"], Df) + p["fop_m_xop"]
+            S_valid = F + Wm - X
+            S_anchor = X_prev + Wm - X
+            mask = p["mask_w"][:, None] > 0
+            return jnp.where(mask, S_valid, S_anchor).reshape(-1)
 
         def objective(p, Zt):
             eps, x_arr, W = pack_problem(p, Zt)
-            X, Ym = rollout(p, x_arr, W, p["U"], p["D"])
+            X, Ym = rollout_z(p, Zt)
             V = p["Y0m"] - Ym                       # (He, nym)
             xb = p["x_arr_prior"] - x_arr
             Wm = W.reshape(He, nx_hat)
@@ -215,8 +251,7 @@ class MovingHorizonEstimator(StateEstimator):
                 eps, x_arr, W = pack_problem(p, Zt)
 
                 def xv_fun(Zt_):
-                    _, xa, W_ = pack_problem(p, Zt_)
-                    X, Ym = rollout(p, xa, W_, p["U"], p["D"])
+                    X, Ym = rollout_z(p, Zt_)
                     V = p["Y0m"] - Ym
                     return X.reshape(-1), V.reshape(-1)
 
@@ -256,8 +291,8 @@ class MovingHorizonEstimator(StateEstimator):
                 add(JXmax, jnp.full(He * nx_hat, -big, dt), Xmax_t + ceps_X - Xv)
                 # ŵ bounds (linear rows on decision block)
                 e_w = jnp.zeros((He * nx_hat, nZt), dt)
-                e_w = e_w.at[:, n_eps + nx_hat:].set(jnp.eye(He * nx_hat, dtype=dt))
-                Wv = Zt[n_eps + nx_hat:]
+                e_w = e_w.at[:, w_off:].set(jnp.eye(He * nx_hat, dtype=dt))
+                Wv = Zt[w_off:]
                 Wmin_t = jnp.where(mw, jnp.tile(p["Wmin"], He), -big)
                 Wmax_t = jnp.where(mw, jnp.tile(p["Wmax"], He), big)
                 ew_min = e_w.at[:, 0].add(jnp.tile(p["C_wmin"], He)) if n_eps else e_w
@@ -278,12 +313,17 @@ class MovingHorizonEstimator(StateEstimator):
                 if n_eps:
                     er = jnp.zeros((1, nZt), dt).at[0, 0].set(1.0)
                     add(er, jnp.atleast_1d(-eps), jnp.full(1, big, dt))
+                # MS defect equalities ŵ = x̂⁺ − f̂(x̂) (linearized rows)
+                if is_ms:
+                    Sv = defects_z(p, Zt)
+                    Js = jax.jacfwd(lambda Zt_: defects_z(p, Zt_))(Zt)
+                    add(Js, -Sv, -Sv)
                 # custom nonlinear constraints gc ≤ 0, linearized at the
                 # iterate (NaN-padded aligned windows, mhe/construct.jl:437-448)
                 if nc:
                     def gfun(Zt_):
                         eps_, xa, W_ = pack_problem(p, Zt_)
-                        X, Ym = rollout(p, xa, W_, p["U"], p["D"])
+                        X, Ym = rollout_z(p, Zt_)
                         nanv = jnp.asarray(jnp.nan, dt)
                         mw = p["mask_w"][:, None] > 0
                         Xe = jnp.vstack([xa[None, :],
@@ -317,8 +357,7 @@ class MovingHorizonEstimator(StateEstimator):
                 """Gauss-Newton Hessian: exact for LinModel (objective is a
                 quadratic), GN for nonlinear."""
                 def res_fun(Zt_):
-                    eps_, xa, W_ = pack_problem(p, Zt_)
-                    X, Ym = rollout(p, xa, W_, p["U"], p["D"])
+                    X, Ym = rollout_z(p, Zt_)
                     V = jnp.where(p["mask_v"], p["Y0m"] - Ym, 0.0)
                     return V.reshape(-1)
 
@@ -329,7 +368,7 @@ class MovingHorizonEstimator(StateEstimator):
                 H = H.at[n_eps:n_eps + nx_hat, n_eps:n_eps + nx_hat].add(2.0 * p["invP"])
                 wblk = jnp.kron(jnp.diag(p["mask_w"]), p["invQ"]) + \
                     jnp.kron(jnp.diag(1.0 - p["mask_w"]), jnp.eye(nx_hat))
-                H = H.at[n_eps + nx_hat:, n_eps + nx_hat:].add(2.0 * wblk)
+                H = H.at[w_off:, w_off:].add(2.0 * wblk)
                 if n_eps:
                     H = H.at[0, 0].add(2.0 * Cwt)
                 return H + 1e-10 * jnp.eye(nZt, dtype=dt)
@@ -341,7 +380,7 @@ class MovingHorizonEstimator(StateEstimator):
                 g = grad_f(Zt)
                 H = gn_hessian(Zt)
                 A, l, u, Xv, Vv = constraint_rows(Zt)
-                sol = solve_qp(H, g, A, l, u, max_iter=800)
+                sol = solve_qp(H, g, A, l, u, max_iter=1500, tol=1e-8)
                 # line search only needed for nonlinear models
                 if is_lin:
                     Zn = Zt + sol.x
@@ -356,7 +395,7 @@ class MovingHorizonEstimator(StateEstimator):
             Zt, ok = jax.lax.fori_loop(0, n_iters, body, (Zt0, jnp.array(True)))
             # final rollout for the state estimate
             eps, x_arr, W = pack_problem(p, Zt)
-            X, Ym = rollout(p, x_arr, W, p["U"], p["D"])
+            X, Ym = rollout_z(p, Zt)
             # x̂0 = x̂ at window slot Nk−1 (the newest valid state)
             idx = jnp.clip(p["Nk"] - 1, 0, He - 1)
             x_hat_new = jnp.where(p["Nk"] > 0, X[idx], x_arr)
@@ -408,11 +447,14 @@ class MovingHorizonEstimator(StateEstimator):
             self.D0_win[:-1] = self.D0_win[1:]   # He+1 slots; slot 0 = pre-window d
             self.X0_old_win[:-1] = self.X0_old_win[1:]
             self.Nk = He - 1
-            # warm start: shift Ŵ window one slot (mhe/transcription.jl:936-1075)
-            nx, ne = self.nx_hat, self.n_eps
+            # warm start: shift the window blocks one slot
+            # (mhe/transcription.jl:936-1075)
+            nx, ne, wo = self.nx_hat, self.n_eps, self._w_off
             Z = self.Z_tilde
-            Z[ne + nx:ne + nx + (He - 1) * nx] = Z[ne + nx + nx:]
-            Z[ne + nx + (He - 1) * nx:] = 0.0
+            if self.is_ms:  # shift X̂0 block
+                Z[ne + nx:ne + nx + (He - 1) * nx] = Z[ne + 2 * nx:ne + nx + He * nx]
+            Z[wo:wo + (He - 1) * nx] = Z[wo + nx:]
+            Z[wo + (He - 1) * nx:] = 0.0
         i = self.Nk
         self.Y0m_win[i] = y0m
         self.D0_win[i + 1] = d0
@@ -510,7 +552,7 @@ class MovingHorizonEstimator(StateEstimator):
     def getinfo(self):
         info = {}
         ne, nx = self.n_eps, self.nx_hat
-        info["What"] = info["Ŵ"] = self.Z_tilde[ne + nx:]
+        info["What"] = info["Ŵ"] = self.Z_tilde[self._w_off:]
         info["xarr"] = info["x̄"] = self.x_arr_prior - self._last.get(
             "x_arr", self.x_arr_prior)
         info["epsilon"] = info["ϵ"] = float(self.Z_tilde[0]) if ne else 0.0

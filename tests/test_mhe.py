@@ -50,6 +50,22 @@ def test_mhe_vs_kf_direct_true(linmodel):
         kf.updatestate([11, 50], y, [25])
 
 
+def test_mhe_multiple_shooting_vs_kf(linmodel):
+    """MS-MHE (Z = [x̂arr; X̂0; Ŵ] + defect equalities) == KF
+    (mhe/transcription.jl:2-3)."""
+    rng = np.random.default_rng(7)
+    kf = mpc.KalmanFilter(linmodel, nint_ym=0, direct=False)
+    mhe = mpc.MovingHorizonEstimator(linmodel, He=3, nint_ym=0, direct=False,
+                                     transcription=mpc.MultipleShooting())
+    for i in range(8):
+        y = np.array([50, 31]) + rng.normal(size=2)
+        x1 = mhe.preparestate(y, [25])
+        x2 = kf.preparestate(y, [25])
+        assert np.allclose(x1, x2, atol=1e-6, rtol=1e-6), i
+        mhe.updatestate([11, 50], y, [25])
+        kf.updatestate([11, 50], y, [25])
+
+
 def test_mhe_nonlinear_vs_ekf(linmodel):
     """Nonlinear (wrapped-linear) MHE == EKF (ref :1786-1809)."""
     A, Bu, Bd = linmodel.A, linmodel.Bu, linmodel.Bd
