@@ -42,6 +42,16 @@ class ExplicitMPC(PredictiveController):
         self.weights = ControllerWeights(nu, ny, Hp, Hc, Mwt, Nwt, Lwt,
                                          M_Hp, N_Hc, L_Hp, Cwt=np.inf)
         self.n_eps = 0
+        self._build()
+        self.Z_tilde = np.zeros(self.nZt)
+        self.lastu0 = np.zeros(nu)
+        self._step = _build_step(nu, nd)
+        self._last = {}
+
+    def _build(self):
+        model, estim = self.estim.model, self.estim
+        Hp, Hc, nb = self.Hp, self.Hc, self.nb
+        nu, nx_hat = model.nu, estim.nx_hat
         (E, G, J, K, V, B, ex, gx, jx, kx, vx, bx) = init_predmat(
             self.transcription, estim.A_hat, estim.Bu_hat, estim.C_hat,
             estim.Bd_hat, estim.Dd_hat, estim.xop_hat, estim.fop_hat, Hp, Hc, nb)
@@ -57,10 +67,25 @@ class ExplicitMPC(PredictiveController):
         self.Uop = np.tile(model.uop, Hp)
         self.Yop = np.tile(model.yop, Hp)
         self.Dop = np.tile(model.dop, Hp)
-        self.Z_tilde = np.zeros(self.nZt)
-        self.lastu0 = np.zeros(nu)
-        self._step = _build_step(nu, nd)
-        self._last = {}
+
+    def setmodel(self, model=None, Mwt=None, Nwt=None, Lwt=None, **cov):
+        """Hot-swap the plant model (explicitmpc.jl setmodel! support)."""
+        from .linmpc import _setmodel_estimator
+        model_ = self.estim.model
+        if model is not None:
+            lastu_abs = self.lastu0 + model_.uop
+            _setmodel_estimator(self.estim, model, **cov)
+            self.lastu0 = lastu_abs - model.uop
+            model_ = model
+        if Mwt is not None or Nwt is not None or Lwt is not None:
+            self.weights = ControllerWeights(
+                model_.nu, model_.ny, self.Hp, self.Hc,
+                Mwt if Mwt is not None else np.diag(self.weights.M_Hp)[:model_.ny],
+                Nwt if Nwt is not None else np.diag(self.weights.N_Hc)[:model_.nu],
+                Lwt if Lwt is not None else np.diag(self.weights.L_Hp)[:model_.nu],
+                Cwt=np.inf)
+        self._build()
+        return self
 
     def moveinput(self, ry=None, d=None, D_hat=None, R_hat_y=None,
                   R_hat_u=None, lastu=None, **alias):

@@ -194,7 +194,7 @@ class LinMPC(PredictiveController):
             Y0min=self.Y0min, Y0max=self.Y0max,
             x0min=self.x0min, x0max=self.x0max,
             C_umin_u=self.C_umin[:nu], C_umax_u=self.C_umax[:nu],
-            Ks=Ks_l, Ps=Ps_l,
+            Ks=Ks_l, Ps=Ps_l, ex_t=ex_t,
             Wy_bar=Wy_bar, Wu_bar=Wu_bar, Wd_bar=Wd_bar, Wr_bar=Wr_bar,
             Wmin_b=self.Wmin_b, Wmax_b=self.Wmax_b,
             dop_w=model.dop, Dop_w=np.tile(model.dop, Hp),
@@ -383,7 +383,8 @@ class LinMPC(PredictiveController):
         self.Z_tilde = np.asarray(Z_t)
         self.y_dual = np.asarray(y_dual)
         self._last = dict(F=np.asarray(F), converged=bool(converged),
-                          obj=float(obj), d=d, D_hat=D_hat)
+                          obj=float(obj), d=d, D_hat=D_hat,
+                          x0_hat=estim.x0_hat.copy())
         self._solved_once = True
         u = np.asarray(u)
         if not self._last["converged"]:
@@ -416,6 +417,16 @@ class LinMPC(PredictiveController):
         info["Yhat"] = info["Ŷ"] = np.asarray(Y0) + self.Yop
         info["Rhaty"] = info["R̂y"] = self.R_hat_y
         info["Rhatu"] = info["R̂u"] = self.R_hat_u
+        info["lastu"] = lastu0 + model.uop
+        # terminal state x̂(k+Hp) = ẽx̂ Z̃ + fx̂ (linconstraint!, :806-821)
+        x0s = self._last.get("x0_hat")
+        if x0s is not None:
+            p = self.params
+            fx = p["bx"] + p["kx"] @ x0s + p["vx"] @ lastu0
+            if model.nd:
+                fx = fx + p["gx"] @ self.d0 + p["jx"] @ self.D_hat_0
+            info["xhatend"] = info["x̂end"] = (
+                np.asarray(p["ex_t"]) @ Z_t + fx + estim.xop_hat)
         info["converged"] = self._last["converged"]
         return info
 

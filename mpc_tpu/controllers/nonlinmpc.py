@@ -550,16 +550,18 @@ class NonLinMPC(PredictiveController):
                 sqp_cond, sqp_body, (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt)))
             J_final = obj(Zt)
             viol_final = viol(Zt)
+            # final rollout for getinfo diagnostics
+            Zf, eps_f = split(Zt)
+            Y0f, xendf, _, U0f = rollout(p, Zf, x0_hat, lastu0, Df, Dh)
             # receding input, clamped to the (soft-relaxed) actuator box: the
             # SQP's linearized subproblem may be locally infeasible mid-
             # transient, and the applied u must always respect hard u bounds
-            _, eps_f = split(Zt)
             u0 = Zt[:nu] + lastu0
             u0 = jnp.clip(u0,
                           p["U0min"][:nu] - p["C_umin"][:nu] * eps_f,
                           p["U0max"][:nu] + p["C_umax"][:nu] * eps_f)
             u = u0 + p["uop"]
-            return u, Zt, y_d, J_final, viol_final, iters
+            return u, Zt, y_d, J_final, viol_final, iters, Y0f, xendf, U0f
 
         return step
 
@@ -584,12 +586,13 @@ class NonLinMPC(PredictiveController):
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
                          jnp.asarray(R_hat_u), jnp.asarray(yk),
                          jnp.asarray(self.Z_tilde), None)
-        u, Zt, y_d, J, viol, iters = out
+        u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = out
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Zt)
         self.R_hat_y, self.R_hat_u = R_hat_y, R_hat_u
         self._last = dict(J=float(J), viol=float(viol), iters=int(iters),
-                          d=d, D_hat=D_hat)
+                          d=d, D_hat=D_hat, Y0=np.asarray(Y0f),
+                          xend=np.asarray(xendf), U0=np.asarray(U0f))
         u = np.asarray(u)
         self.lastu0 = u - model.uop
         return u
@@ -604,10 +607,22 @@ class NonLinMPC(PredictiveController):
         info["J"] = self._last.get("J")
         info["viol"] = self._last.get("viol")
         info["iters"] = self._last.get("iters")
-        U0 = self.params["Pu"] @ Z + self.params["Tu"] @ getattr(
-            self, "lastu0_at_solve", self.lastu0)
+        U0 = self._last.get("U0")
+        if U0 is None:
+            U0 = self.params["Pu"] @ Z + self.params["Tu"] @ getattr(
+                self, "lastu0_at_solve", self.lastu0)
         info["U"] = U0 + self.Uop
         info["u"] = info["U"][:nu]
+        info["lastu"] = getattr(self, "lastu0_at_solve", self.lastu0) + model.uop
+        info["d"] = self._last.get("d")
+        info["Dhat"] = info["D̂"] = self._last.get("D_hat")
+        if self._last.get("Y0") is not None:
+            info["Yhat"] = info["Ŷ"] = self._last["Y0"] + self.Yop
+        if self._last.get("xend") is not None:
+            info["xhatend"] = info["x̂end"] = (self._last["xend"]
+                                              + self.estim.xop_hat)
+        info["Rhaty"] = info["R̂y"] = getattr(self, "R_hat_y", None)
+        info["Rhatu"] = info["R̂u"] = getattr(self, "R_hat_u", None)
         info["xhat"] = info["x̂"] = self.estim.x0_hat + self.estim.xop_hat
         return info
 
