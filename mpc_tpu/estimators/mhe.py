@@ -242,6 +242,10 @@ class MovingHorizonEstimator(StateEstimator):
                 J = J + Cwt * eps ** 2
             return J
 
+        # expose for getinfo's derivative dumps (reference mhe/execute.jl
+        # getinfo ∇J diagnostics)
+        self._obj_fn = objective
+
         @jax.jit
         def solve(p, Zt0):
             dt = Zt0.dtype
@@ -558,5 +562,15 @@ class MovingHorizonEstimator(StateEstimator):
         info["epsilon"] = info["ϵ"] = float(self.Z_tilde[0]) if ne else 0.0
         info["J"] = self._last.get("J")
         info["Xhat"] = info["X̂"] = self._last.get("X")
+        info["Ym"] = self._last.get("Ym")
         info["Nk"] = self.Nk
+        # derivative dumps at the optimum (reference getinfo :∇J)
+        try:
+            import jax
+            import jax.numpy as jnp
+            p = {k: jnp.asarray(v) for k, v in self._windows_params().items()}
+            g = jax.grad(lambda Zt: self._obj_fn(p, Zt))(jnp.asarray(self.Z_tilde))
+            info["nablaJ"] = info["∇J"] = np.asarray(g)
+        except Exception:
+            pass
         return info

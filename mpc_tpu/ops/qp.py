@@ -83,7 +83,24 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
              sigma=1e-6, rho=0.1, alpha=1.6,
              max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
              scaling=10, polish=True, polish_iters=3, polish_delta=1e-9):
-    """Solve one dense QP.  jit- and vmap-compatible (static shapes only)."""
+    """Solve one dense QP.  jit- and vmap-compatible (static shapes only).
+
+    Matmuls run at full float32 precision: the TPU MXU's default reduced
+    precision (~bf16 mantissa) breaks the ADMM residual tests.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_qp_impl(P, q, A, l, u, x0, y0, sigma=sigma, rho=rho,
+                              alpha=alpha, max_iter=max_iter, tol=tol,
+                              tol_final=tol_final, check_every=check_every,
+                              scaling=scaling, polish=polish,
+                              polish_iters=polish_iters,
+                              polish_delta=polish_delta)
+
+
+def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
+                   sigma=1e-6, rho=0.1, alpha=1.6,
+                   max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
+                   scaling=10, polish=True, polish_iters=3, polish_delta=1e-9):
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
@@ -142,21 +159,30 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
         return r_prim / s_prim, r_dual / s_dual
 
     def cond(carry):
-        x, z, y, it, done = carry
+        x, z, y, it, done, infeas = carry
         return (~done) & (it < max_iter)
 
     def body(carry):
-        # run `check_every` ADMM steps then test residuals
+        # run `check_every` ADMM steps then test residuals + infeasibility
+        x0_, z0_, y0_, it0, done0, infeas0 = carry
         def inner(i, c):
             return admm_step(c)
-        carry = jax.lax.fori_loop(0, check_every, inner, carry)
-        x, z, y, it, _ = carry
+        x, z, y, it, _ = jax.lax.fori_loop(
+            0, check_every, inner, (x0_, z0_, y0_, it0, done0))
         rp, rd = residuals(x, z, y)
         done = (rp < tol) & (rd < tol)
-        return (x, z, y, it, done)
+        # OSQP §3.4 primal-infeasibility certificate from the dual direction
+        dy = y - y0_
+        ndy = jnp.linalg.norm(dy, jnp.inf)
+        crit1 = jnp.linalg.norm(A.T @ dy, jnp.inf) <= 1e-5 * ndy
+        sup = jnp.sum(jnp.where(dy > 0, jnp.minimum(u, 1e17) * dy, 0.0)
+                      + jnp.where(dy < 0, jnp.maximum(l, -1e17) * dy, 0.0))
+        crit2 = sup < -1e-5 * ndy
+        infeas = infeas0 | ((ndy > 1e-12) & crit1 & crit2)
+        return (x, z, y, it, done | infeas, infeas)
 
-    x, z, y, iters, done = jax.lax.while_loop(
-        cond, body, (x, z, y, jnp.array(0), jnp.array(False)))
+    x, z, y, iters, done, infeasible = jax.lax.while_loop(
+        cond, body, (x, z, y, jnp.array(0), jnp.array(False), jnp.array(False)))
 
     if polish:
         x, y, z = _polish(P, q, A, l, u, x, y, rhov,
@@ -165,17 +191,22 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
     # convergence assessed on the final (post-polish) KKT residuals: the ADMM
     # loop only needs to identify the active set; polish supplies accuracy.
     rp, rd = residuals(x, z, y)
-    converged = (rp < tol_final) & (rd < tol_final)
+    converged = ((rp < tol_final) & (rd < tol_final) | done) & ~infeasible
     # unscale (x = D x̄, y = E ȳ / c, z = z̄ / E)
     x = D * x
     y = Esc * y / c
     z = z / Esc
     obj = 0.5 * x @ P_orig @ x + q_orig @ x
-    return QPSolution(x, y, z, converged | done, iters, obj)
+    return QPSolution(x, y, z, converged, iters, obj)
 
 
 def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-9):
-    """Active-set polish with masked static-shape KKT + iterative refinement."""
+    """Active-set polish with masked static-shape KKT + iterative refinement.
+
+    For float32 inputs the refinement residual is accumulated in float64
+    (classic mixed-precision IR): the hot factorization stays f32/TPU-native,
+    but the polished solution reaches near-f64 accuracy.
+    """
     n, m = q.shape[0], l.shape[0]
     dt = q.dtype
     act_low = (y < -delta) & (l > -_BIG)
@@ -192,12 +223,18 @@ def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-9):
     lu = jax.scipy.linalg.lu_factor(K)
     rhs = jnp.concatenate([-q, actf * b])
 
+    hi = jnp.float64 if (dt == jnp.float32 and
+                         jax.config.jax_enable_x64) else dt
+    P_h, Am_h, q_h = P.astype(hi), Am.astype(hi), q.astype(hi)
+    actf_h, b_h = actf.astype(hi), b.astype(hi)
+
     def refine(i, sol):
-        # residual of the UNregularized system
-        xs, nu = sol[:n], sol[n:]
-        res_top = P @ xs + Am.T @ nu + q
-        res_bot = Am @ xs - (1.0 - actf) * nu - actf * b
-        dsol = jax.scipy.linalg.lu_solve(lu, -jnp.concatenate([res_top, res_bot]))
+        # residual of the UNregularized system, accumulated in high precision
+        xs, nu = sol[:n].astype(hi), sol[n:].astype(hi)
+        res_top = P_h @ xs + Am_h.T @ nu + q_h
+        res_bot = Am_h @ xs - (1.0 - actf_h) * nu - actf_h * b_h
+        res = -jnp.concatenate([res_top, res_bot]).astype(dt)
+        dsol = jax.scipy.linalg.lu_solve(lu, res)
         return sol + dsol
 
     sol0 = jax.scipy.linalg.lu_solve(lu, rhs)

@@ -194,6 +194,20 @@ def test_internal_model_estimator_mpc():
     assert np.allclose(res.Y_data[-1], [1.0], atol=1e-3)
 
 
+def test_infeasible_qp_graceful_degradation():
+    """Reference failure policy (controller/execute.jl:499-504): a failed
+    solve warns and applies the shifted warm start instead of crashing."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2, Cwt=np.inf)  # hard constraints only
+    ctrl.preparestate([0])
+    u_ok = ctrl.moveinput([1.0])
+    # contradictory hard output bounds → infeasible QP
+    ctrl.setconstraint(ymin=[2.0], ymax=[-2.0])
+    with pytest.warns(UserWarning, match="did not converge"):
+        u_bad = ctrl.moveinput([1.0])
+    assert np.all(np.isfinite(u_bad))
+
+
 def test_custom_linear_constraints():
     """W = Wu·u + Wy·ŷ ≤ wmax over the horizon (construct.jl relaxW).
 
