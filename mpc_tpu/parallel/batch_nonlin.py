@@ -1,0 +1,90 @@
+"""Batched NonLinMPC: a fleet of nonlinear MPC problems solved in lockstep.
+
+The NonLinMPC SQP step is a pure function of (params, state, inputs); since
+all scenarios share the plant structure (the jax-traceable f/h), a fleet over
+different states/setpoints/parameters is ONE vmapped jitted computation —
+every SQP iteration's rollouts, Jacobians and QP subproblems batch onto the
+MXU/VPU together.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..controllers.nonlinmpc import NonLinMPC
+
+
+class BatchedNonLinMPC:
+    """Lockstep batch of one NonLinMPC problem over many scenario states.
+
+    The template controller supplies the structure (model, horizons, weights,
+    bounds); the batch axis carries (x̂0, lastu0, Z̃ warm starts, setpoints).
+    UKF feedback is vmapped alongside.
+    """
+
+    def __init__(self, template: NonLinMPC, batch: int):
+        self.t = template
+        self.B = int(batch)
+        estim = template.estim
+        self.nu = template.estim.model.nu
+        self.state = dict(
+            x0_hat=jnp.zeros((batch, estim.nx_hat)),
+            P_hat=jnp.tile(jnp.asarray(getattr(estim, "P0_hat",
+                                               np.eye(estim.nx_hat)))[None],
+                           (batch, 1, 1)),
+            lastu0=jnp.zeros((batch, self.nu)),
+            Z_tilde=jnp.zeros((batch, template.nZt)),
+        )
+        self._solve = jax.jit(self._make())
+
+    def _make(self):
+        t = self.t
+        estim = t.estim
+        model = estim.model
+        nd, Hp = model.nd, t.Hp
+        step_fn = t._step  # jitted; vmap of jit is fine
+        corr, pred = estim._kernels() if hasattr(estim, "_kernels") else (None, None)
+        m_hat = jnp.asarray(getattr(estim, "m_hat", 0.0))
+        S_hat = jnp.asarray(getattr(estim, "S_hat", 0.0))
+        R_hat = jnp.asarray(getattr(estim, "R_hat", 0.0))
+        Q_hat = jnp.asarray(getattr(estim, "Q_hat", 0.0))
+        fop_m_xop = jnp.asarray(estim.fop_hat - estim.xop_hat)
+        yopm = jnp.asarray(model.yop[np.asarray(estim.i_ym, int)])
+        uop = jnp.asarray(model.uop)
+        dop = jnp.asarray(model.dop)
+        yop = jnp.asarray(model.yop)
+
+        def one(p, st, ym, ry, d):
+            d0 = d - dop if nd else d
+            y0m = ym - yopm
+            # UKF correction
+            x0c, Pc = corr(st["x0_hat"], st["P_hat"], y0m, d0, m_hat, S_hat,
+                           R_hat)
+            yk = jnp.asarray(estim.h_hat(x0c, d0)) + yop
+            D0 = jnp.tile(d0, Hp)
+            Ry = jnp.tile(ry, Hp)
+            Ru = jnp.tile(uop, Hp)
+            u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = step_fn(
+                p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, st["Z_tilde"], None)
+            lastu0 = u - uop
+            # UKF prediction
+            x0n, Pn = pred(x0c, Pc, lastu0, d0, m_hat, S_hat, Q_hat, fop_m_xop)
+            return u, J, dict(x0_hat=x0n, P_hat=Pn, lastu0=lastu0, Z_tilde=Zt)
+
+        vone = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
+
+        def solve(p, st, ym, ry, d):
+            u, J, new_st = vone(p, st, ym, ry, d)
+            return u, J, new_st
+
+        return solve
+
+    def step(self, ym, ry, d=None):
+        if d is None:
+            d = jnp.zeros((self.B, self.t.estim.model.nd))
+        p = {k: jnp.asarray(v) for k, v in self.t.params.items()}
+        u, J, self.state = self._solve(p, self.state, jnp.asarray(ym),
+                                       jnp.asarray(ry), jnp.asarray(d))
+        return u, J

@@ -1,0 +1,65 @@
+"""Batched pipeline tests (parallel/)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mpc_tpu as mpc
+from mpc_tpu.parallel import (BatchedLinMPC, BatchedNonLinMPC,
+                              random_cstr_controllers)
+
+
+def test_batched_linmpc_matches_single():
+    """The vmapped pipeline reproduces the single-controller path."""
+    ctrls = random_cstr_controllers(4, Hp=10, Hc=2, seed=0)
+    bat = BatchedLinMPC(ctrls)
+    B = bat.B
+    rng = np.random.default_rng(2)
+    ym = rng.normal(size=(B, 2)) * 0.5
+    ry = rng.normal(size=(B, 2))
+    u_b, n_conv = bat.step(jnp.asarray(ym), jnp.asarray(ry))
+    assert int(n_conv) == B
+    for i in range(B):
+        c = ctrls[i]
+        c.preparestate(ym[i])
+        u_s = c.moveinput(ry[i])
+        assert np.allclose(np.asarray(u_b[i]), u_s, atol=1e-6), i
+
+
+def test_batched_linmpc_sharded():
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("batch",))
+    ctrls = random_cstr_controllers(8, Hp=8, Hc=2, seed=1)
+    bat = BatchedLinMPC(ctrls, mesh=mesh)
+    u, n_conv = bat.step(jnp.zeros((8, 2)), jnp.ones((8, 2)))
+    assert int(n_conv) == 8
+    assert "batch" in str(u.sharding)
+
+
+def test_batched_nonlinmpc_fleet():
+    """A fleet of nonlinear MPC problems steps in lockstep."""
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+    estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
+                                      nint_ym=[1], sigmaQint_ym=[0.1])
+    ctrl = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                         Cwt=np.inf, sqp_iters=8)
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    B = 4
+    fleet = BatchedNonLinMPC(ctrl, B)
+    ry = np.full((B, 1), 30.0)      # modest setpoint, few steps
+    fv = jax.jit(jax.vmap(lambda x, u: pend.f(x, u, jnp.zeros(0), pend.p)))
+    X = jnp.zeros((B, 2))
+    for k in range(12):
+        ym = np.asarray(X[:, 0] * 180 / np.pi)[:, None]
+        u, J = fleet.step(jnp.asarray(ym), jnp.asarray(ry))
+        assert np.all(np.abs(np.asarray(u)) <= 1.5 + 1e-6)
+        X = fv(X, u)
+    deg = np.asarray(X[:, 0]) * 180 / np.pi
+    assert np.all(np.abs(deg - 30.0) < 15.0)   # heading to the setpoint
