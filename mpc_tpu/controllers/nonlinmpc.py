@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from ..estimators import (InternalModel, StateEstimator, SteadyKalmanFilter,
                           UnscentedKalmanFilter)
+# (InternalModel also needs its stochastic output predictions added to the
+# rollout outputs — wired through params["Ks"]/["Ps"] and the Ys argument)
 from ..models import LinModel
 from ..ops.qp import solve_qp
 from ..utils.config import BIG
@@ -123,7 +125,15 @@ class NonLinMPC(PredictiveController):
         self.C_ymax = np.ones(ny * Hp)
         self.c_xmin = np.ones(nx_hat)
         self.c_xmax = np.ones(nx_hat)
+        # InternalModel stochastic output predictions Ŷs (construct.jl:1236-1267)
+        if isinstance(estim, InternalModel):
+            from .linmpc import _init_stochpred
+            Ks_l, Ps_l = _init_stochpred(estim, Hp)
+        else:
+            Ks_l = np.zeros((ny * Hp, getattr(estim, "nxs", 0)))
+            Ps_l = np.zeros((ny * Hp, ny))
         self.params = dict(
+            Ks=Ks_l, Ps=Ps_l, Ys_now=np.zeros(ny * Hp),
             Pu=Pu, PDu=PDu, Tu=Tu,
             M_Hp=self.weights.M_Hp, Nt_Hc=self.weights.Nt_Hc,
             L_Hp=self.weights.L_Hp,
@@ -228,7 +238,7 @@ class NonLinMPC(PredictiveController):
                 return xn, (y, xn)
 
             xend, (Y, X) = jax.lax.scan(scan_f, x0_hat, (U0m, Df, Dh))
-            return Y.reshape(-1), xend, jnp.zeros(0, Z.dtype), U0
+            return Y.reshape(-1) + p["Ys_now"], xend, jnp.zeros(0, Z.dtype), U0
 
         def outputs_ms(p, Z, x0_hat, lastu0, Df, Dh):
             U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
@@ -240,7 +250,7 @@ class NonLinMPC(PredictiveController):
             F = jax.vmap(lambda x, u, df: jnp.asarray(f_hat(x, u, df)))(
                 X_prev, U0m, Df) + p["fop_m_xop"]
             S = (F - X).reshape(-1)
-            return Y.reshape(-1), X[-1], S, U0
+            return Y.reshape(-1) + p["Ys_now"], X[-1], S, U0
 
         nx = model.nx
         Cs_u = estim.Cs_u if hasattr(estim, "Cs_u") else np.zeros((nu, 0))
@@ -273,7 +283,7 @@ class NonLinMPC(PredictiveController):
             S_det = X_prev[:, :nx] - X[:, :nx] + 0.5 * Ts * (k1 + k2)
             S_sto = X_prev[:, nx:] @ jnp.asarray(As_s).T - X[:, nx:]
             S = jnp.concatenate([S_det, S_sto], axis=1).reshape(-1)
-            return Y.reshape(-1), X[-1], S, U0
+            return Y.reshape(-1) + p["Ys_now"], X[-1], S, U0
 
         def outputs_ortho(p, Z, x0_hat, lastu0, Df, Dh):
             """Orthogonal collocation defects
@@ -308,7 +318,7 @@ class NonLinMPC(PredictiveController):
                 return jnp.concatenate([sk, sc, ss])
 
             S = jax.vmap(stage)(X_prev, X, K, Uh, Uh_next, Df, Dh).reshape(-1)
-            return Y.reshape(-1), X[-1], S, U0
+            return Y.reshape(-1) + p["Ys_now"], X[-1], S, U0
 
         if isinstance(tr, OrthogonalCollocation):
             return outputs_ortho
@@ -581,6 +591,10 @@ class NonLinMPC(PredictiveController):
         d0 = d - model.dop
         D0 = D_hat - self.Dop
         yk = np.asarray(estim.evaloutput(d if model.nd else None), float)
+        # InternalModel: stochastic output predictions enter the rollout
+        if isinstance(estim, InternalModel):
+            self.params["Ys_now"] = (self.params["Ks"] @ estim.xs_hat
+                                     + self.params["Ps"] @ estim.ys_hat)
         p = {k: jnp.asarray(v) for k, v in self.params.items()}
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
