@@ -37,11 +37,23 @@ def get_linearization_func(model: NonLinModel):
     return linfunc
 
 
-def linearize(model: NonLinModel, x=None, u=None, d=None) -> LinModel:
-    """Linearize ``model`` at ``(x, u, d)`` and return a new LinModel."""
+def linearize(model, x=None, u=None, d=None) -> LinModel:
+    """Linearize ``model`` at ``(x, u, d)`` and return a new LinModel.
+
+    For a LinModel input the matrices are copied and only the operating
+    points move (linearization.jl:208-213)."""
     u = model.uop.copy() if u is None else np.asarray(u, float).ravel()
     d = model.dop.copy() if d is None else np.asarray(d, float).ravel()
     x = (model.x0 + model.xop) if x is None else np.asarray(x, float).ravel()
+    if isinstance(model, LinModel):
+        lin = LinModel(model.A.copy(), model.Bu.copy(), model.C.copy(),
+                       model.Bd.copy(), model.Dd.copy(), model.Ts)
+        x0 = x - model.xop
+        u0, d0 = u - model.uop, d - model.dop
+        fx = np.asarray(model.f(x0, u0, d0, None), float) + model.fop
+        y = np.asarray(model.h(x0, d0, None), float) + model.yop
+        lin.setop(uop=u, yop=y, dop=d, xop=x, fop=fx)
+        return lin
     linmodel = LinModel(np.zeros((model.nx, model.nx)), np.zeros((model.nx, model.nu)),
                         np.zeros((model.ny, model.nx)), np.zeros((model.nx, model.nd)),
                         np.zeros((model.ny, model.nd)), model.Ts)

@@ -1,6 +1,7 @@
 from .batch import BatchedLinMPC, stack_params, estimator_params
 from .batch_nonlin import BatchedNonLinMPC
+from .batch_mhe import BatchedMHE
 from .scenarios import random_cstr_controllers
 
-__all__ = ["BatchedLinMPC", "BatchedNonLinMPC", "stack_params",
+__all__ = ["BatchedLinMPC", "BatchedNonLinMPC", "BatchedMHE", "stack_params",
            "estimator_params", "random_cstr_controllers"]

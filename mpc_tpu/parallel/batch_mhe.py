@@ -1,0 +1,122 @@
+"""Batched MovingHorizonEstimator: many estimation problems in lockstep.
+
+The MHE solver is already one pure jitted function of (params, Z̃₀); a fleet
+over independent measurement streams vmaps it — thousands of constrained
+estimators run as a single TPU computation (the reference solves one MHE at
+a time through OSQP/Ipopt).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..estimators.mhe import MovingHorizonEstimator
+
+
+class BatchedMHE:
+    """Lockstep batch of one MHE problem over many measurement streams.
+
+    Host-side window bookkeeping is vectorized NumPy; the solve is a single
+    vmapped jitted call.  ``direct=True`` (filter form) only.
+    """
+
+    def __init__(self, template: MovingHorizonEstimator, batch: int):
+        if not template.direct:
+            raise ValueError("BatchedMHE supports the direct (p=0) form")
+        self.t = template
+        self.B = int(batch)
+        He, nym = template.He, template.nym
+        nu, nd = template.model.nu, template.model.nd
+        nx = template.nx_hat
+        self.Y0m = np.full((batch, He, nym), np.nan)
+        self.U0 = np.zeros((batch, He, nu))
+        self.D0 = np.zeros((batch, He + 1, nd))
+        self.X0_old = np.zeros((batch, He, nx))
+        self.Nk = 0
+        self.x_arr_prior = np.zeros((batch, nx))
+        self.Z = np.zeros((batch, template.nZt))
+        self.x0_hat = np.zeros((batch, nx))
+        self.pending_u0 = np.zeros((batch, nu))
+        # the LinModel-KF arrival covariance recursion is data-independent,
+        # so one P̄ tracks all streams (correct ↔ predict per the reference's
+        # correct_cov!/update_cov! cadence)
+        self.P_arr = template.P0_hat.copy()
+        self.invP_arr = np.linalg.inv(self.P_arr)
+        ce = template.covestim
+        self._P_correct = lambda P: np.asarray(
+            _kf_P_correct(P, ce.Cm_hat, ce.R_hat))
+        self._P_predict = lambda P: np.asarray(
+            ce.A_hat @ P @ ce.A_hat.T + ce.Q_hat)
+        self._solve = jax.jit(jax.vmap(template._solve_jit, in_axes=(
+            dict(U=0, D=0, Y0m=0, mask_w=None, mask_v=0, invP=None, invQ=None,
+                 invR=None, x_arr_prior=0, fop_m_xop=None, Xmin=None, Xmax=None,
+                 Wmin=None, Wmax=None, Vmin=None, Vmax=None, C_xmin=None,
+                 C_xmax=None, C_wmin=None, C_wmax=None, C_vmin=None,
+                 C_vmax=None, Nk=None), 0)))
+
+    def step(self, ym, u_prev=None):
+        """Append measurements for every stream and solve in lockstep.
+        ``u_prev`` is the input applied at the previous step (B, nu)."""
+        t = self.t
+        He = t.He
+        ym = np.asarray(ym, float)
+        y0m = ym - t.model.yop[np.asarray(t.i_ym, int)]
+        if u_prev is not None:
+            self.pending_u0 = np.asarray(u_prev, float) - t.model.uop
+        moving = (self.Nk + 1) > He
+        x0_old = self.x0_hat.copy()
+        if moving:
+            self.Y0m[:, :-1] = self.Y0m[:, 1:]
+            self.U0[:, :-1] = self.U0[:, 1:]
+            self.D0[:, :-1] = self.D0[:, 1:]
+            self.X0_old[:, :-1] = self.X0_old[:, 1:]
+            self.Nk -= 1
+            # warm start shift (Ŵ block) + arrival seed
+            ne, nx = t.n_eps, t.nx_hat
+            self.Z[:, ne + nx:ne + nx + (He - 1) * nx] = self.Z[:, ne + 2 * nx:]
+            self.Z[:, ne + nx + (He - 1) * nx:] = 0.0
+        i = self.Nk
+        self.Y0m[:, i] = y0m
+        self.X0_old[:, i] = x0_old
+        self.Nk += 1
+        self.U0[:, self.Nk - 1] = self.pending_u0
+        self.x_arr_prior = self.X0_old[:, 0].copy()
+        if moving:
+            self.Z[:, t.n_eps:t.n_eps + t.nx_hat] = self.x_arr_prior
+            # correct_cov! at the (moving) preparestate
+            self.P_arr = self._P_correct(self.P_arr)
+            self.invP_arr = np.linalg.inv(self.P_arr)
+        mask_w = (np.arange(He) < self.Nk).astype(float)
+        mask_v = (mask_w[None, :, None] > 0) & np.isfinite(self.Y0m)
+        p = dict(U=jnp.asarray(self.U0), D=jnp.asarray(self.D0),
+                 Y0m=jnp.asarray(np.nan_to_num(self.Y0m)),
+                 mask_w=jnp.asarray(mask_w), mask_v=jnp.asarray(mask_v),
+                 invP=jnp.asarray(self.invP_arr), invQ=jnp.asarray(t.invQ),
+                 invR=jnp.asarray(t.invR),
+                 x_arr_prior=jnp.asarray(self.x_arr_prior),
+                 fop_m_xop=jnp.asarray(t.fop_hat - t.xop_hat),
+                 Xmin=jnp.asarray(t.X_min), Xmax=jnp.asarray(t.X_max),
+                 Wmin=jnp.asarray(t.W_min), Wmax=jnp.asarray(t.W_max),
+                 Vmin=jnp.asarray(t.V_min), Vmax=jnp.asarray(t.V_max),
+                 C_xmin=jnp.asarray(t.C_xmin), C_xmax=jnp.asarray(t.C_xmax),
+                 C_wmin=jnp.asarray(t.C_wmin), C_wmax=jnp.asarray(t.C_wmax),
+                 C_vmin=jnp.asarray(t.C_vmin), C_vmax=jnp.asarray(t.C_vmax),
+                 Nk=jnp.int32(self.Nk))
+        Zt, x_new, X, Ym, J, ok = self._solve(p, jnp.asarray(self.Z))
+        self.Z = np.array(Zt)
+        self.x0_hat = np.array(x_new)
+        # update_cov! predict once the window is full (updatestate cadence)
+        if self.Nk == self.t.He:
+            self.P_arr = self._P_predict(self.P_arr)
+            self.invP_arr = np.linalg.inv(self.P_arr)
+        return self.x0_hat + self.t.xop_hat
+
+
+def _kf_P_correct(P, Cm, R):
+    PCt = P @ Cm.T
+    M = Cm @ PCt + R
+    K = np.linalg.solve(M.T, PCt.T).T
+    Pc = (np.eye(P.shape[0]) - K @ Cm) @ P
+    return 0.5 * (Pc + Pc.T)

@@ -36,6 +36,26 @@ def test_batched_linmpc_sharded():
     assert "batch" in str(u.sharding)
 
 
+def test_batched_mhe_matches_singles():
+    """Vmapped MHE fleet reproduces per-stream single MHEs exactly."""
+    from mpc_tpu.parallel import BatchedMHE
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    tmpl = mpc.MovingHorizonEstimator(m, He=4)
+    B = 4
+    bat = BatchedMHE(tmpl, B)
+    singles = [mpc.MovingHorizonEstimator(m, He=4) for _ in range(B)]
+    rng = np.random.default_rng(0)
+    u_prev = np.zeros((B, 1))
+    for k in range(8):
+        ym = rng.normal(size=(B, 1))
+        xb = bat.step(ym, u_prev)
+        xs = np.array([singles[i].preparestate(ym[i]) for i in range(B)])
+        assert np.allclose(xb, xs, atol=1e-8), k
+        u_prev = rng.normal(size=(B, 1)) * 0.2
+        for i in range(B):
+            singles[i].updatestate(u_prev[i], ym[i])
+
+
 def test_batched_nonlinmpc_fleet():
     """A fleet of nonlinear MPC problems steps in lockstep."""
     def f(x, u, d, par):
