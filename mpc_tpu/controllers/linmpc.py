@@ -199,12 +199,20 @@ class LinMPC(PredictiveController):
             Wmin_b=self.Wmin_b, Wmax_b=self.Wmax_b,
             dop_w=model.dop, Dop_w=np.tile(model.dop, Hp),
         )
-        self._step_raw = _build_step(nu, self.Hc, nd, self.n_eps, self.nZ,
-                                     self._blk, self.n_ineq, self.n_eq,
-                                     isinstance(self.transcription, MultipleShooting),
-                                     self.estim.nx_hat, self.nw, Hp,
-                                     model.ny)
-        self._step = jax.jit(self._step_raw)
+        # (re)create the jitted step only when the shapes changed — setmodel
+        # swaps data every control period in successive-linearization MPC and
+        # must NOT trigger a retrace (a silent 1000× slowdown otherwise)
+        shape_key = (nu, self.Hc, nd, self.n_eps, self.nZ, tuple(self._blk),
+                     self.n_ineq, self.n_eq, self.nw, Hp, ny,
+                     isinstance(self.transcription, MultipleShooting),
+                     self.estim.nx_hat)
+        if getattr(self, "_step_shape_key", None) != shape_key:
+            self._step_raw = _build_step(
+                nu, self.Hc, nd, self.n_eps, self.nZ, self._blk, self.n_ineq,
+                self.n_eq, isinstance(self.transcription, MultipleShooting),
+                self.estim.nx_hat, self.nw, Hp, model.ny)
+            self._step = jax.jit(self._step_raw)
+            self._step_shape_key = shape_key
         self._solved_once = False
 
     # ------------------------------------------------------------------

@@ -28,11 +28,21 @@ class NonLinModel(SimModel):
         self._fd = solver.discretize(f, Ts)
         self._init_common(nu, nx, ny, nd, Ts)
         self.p = p
+        # jitted host-API step (eager lax.fori_loop dispatch is ~100ms/call);
+        # the pure self.f stays unjitted for tracing inside larger graphs
+        import jax
+        self._fd_jit = jax.jit(self._fd)
+        self._h_jit = jax.jit(h)
 
     def f(self, x0, u0, d0, p):
+        # inside a trace, stay traceable; from the host API, use the jitted step
+        if isinstance(x0, np.ndarray) or np.isscalar(x0):
+            return self._fd_jit(x0, u0, d0, p)
         return self._fd(x0, u0, d0, p)
 
     def h(self, x0, d0, p):
+        if isinstance(x0, np.ndarray) or np.isscalar(x0):
+            return self._h_jit(x0, d0, p)
         return self._h_user(x0, d0, p)
 
     def __repr__(self):
