@@ -16,7 +16,7 @@ from .estimators import (StateEstimator, SteadyKalmanFilter, KalmanFilter,
                          Luenberger, InternalModel, ManualEstimator,
                          MovingHorizonEstimator, default_nint)
 from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
-                          NonLinMPC, SingleShooting, MultipleShooting,
+                          NonLinMPC, SLMPC, SingleShooting, MultipleShooting,
                           TrapezoidalCollocation, OrthogonalCollocation)
 from .sim import sim, SimResult
 

@@ -6,9 +6,10 @@ from .construct import ControllerWeights
 from .linmpc import LinMPC
 from .explicitmpc import ExplicitMPC
 from .nonlinmpc import NonLinMPC
+from .slmpc import SLMPC
 
 __all__ = [
-    "PredictiveController", "LinMPC", "ExplicitMPC", "NonLinMPC",
+    "PredictiveController", "LinMPC", "ExplicitMPC", "NonLinMPC", "SLMPC",
     "SingleShooting", "MultipleShooting", "TrapezoidalCollocation",
     "OrthogonalCollocation", "move_blocking",
     "ControllerWeights", "default_Hp",

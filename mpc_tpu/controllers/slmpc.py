@@ -1,0 +1,287 @@
+"""SLMPC — successive-linearization adaptive MPC, fully in-graph.
+
+The reference's fastest nonlinear-control pattern is successive linearization
+(linearize! + setmodel! + LinMPC each step — the 210×-speedup headline,
+docs/src/manual/nonlinmpc.md:417-502).  Its reference implementation rebuilds
+prediction matrices on the host every period.  Here the ENTIRE per-step
+pipeline is one jitted pure function:
+
+    jacfwd linearization of f/h at (x̂, u, d)
+      → augmented matrices (integrator blocks are static structure)
+      → condensed prediction matrices from Â-power cumulative products
+        (lax.scan of small matmuls — MXU work)
+      → H̃/q̃ build → Ruiz + ADMM + polish QP → receding input
+      → EKF-style covariance/state update with the fresh Jacobians
+
+No host round trip, no retrace — and because it is a pure function, a FLEET
+of nonlinear plants runs under ``vmap`` with per-scenario linearization
+points, something the reference architecture cannot express.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..estimators.construct import init_estimstoch
+from ..estimators.kalman import kf_correct, kf_predict, _default_P0, _default_sigmas
+from ..models import NonLinModel
+from ..ops.qp import solve_qp
+from ..utils.config import BIG
+from .base import PredictiveController
+from .construct import ControllerWeights
+from .transcription import move_blocking
+
+
+class SLMPC(PredictiveController):
+    """Successive-linearization MPC on a NonLinModel with EKF feedback."""
+
+    def __init__(self, model: NonLinModel, Hp=10, Hc=2,
+                 Mwt=None, Nwt=None, Lwt=None, Cwt=np.inf,
+                 i_ym=None, nint_u=0, nint_ym=None,
+                 sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
+                 sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None):
+        if not isinstance(model, NonLinModel):
+            raise TypeError("SLMPC requires a NonLinModel (use LinMPC otherwise)")
+        self.model = model
+        nb = move_blocking(Hp, Hc)
+        if any(n != nb_i for n, nb_i in zip([1] * (len(nb) - 1), nb[:-1])):
+            raise ValueError("SLMPC supports the default move-blocking pattern")
+        self.Hp, self.Hc = int(Hp), len(nb)
+        nu, ny, nd, nx = model.nu, model.ny, model.nd, model.nx
+        # estimator structure (integrator augmentation, default 1/ym)
+        i_ym = list(range(ny)) if i_ym is None else list(i_ym)
+        if nint_ym is None:
+            nint_ym = [1] * len(i_ym)
+        As, Cs_u, Cs_y, nint_u, nint_ym = init_estimstoch(model, i_ym,
+                                                          nint_u, nint_ym)
+        self.i_ym = i_ym
+        self.As, self.Cs_u, self.Cs_y = As, Cs_u, Cs_y
+        self.nxs = As.shape[0]
+        self.nx_hat = nx + self.nxs
+        Q_hat, R_hat = _default_sigmas(model, i_ym, nint_u, nint_ym, sigmaQ,
+                                       sigmaR, sigmaQint_u, sigmaQint_ym)
+        P0_hat = _default_P0(model, nint_u, nint_ym, sigmaP_0,
+                             sigmaPint_u_0, sigmaPint_ym_0)
+        self.Q_hat, self.R_hat, self.P0_hat = Q_hat, R_hat, P0_hat
+        self.weights = ControllerWeights(nu, ny, self.Hp, self.Hc, Mwt, Nwt,
+                                         Lwt, Cwt=Cwt)
+        self.n_eps = self.weights.n_eps
+        self.nZt = nu * self.Hc + self.n_eps
+        # bounds (absolute; converted per-step in-graph with fresh op points)
+        self.umin = np.full(nu, -BIG)
+        self.umax = np.full(nu, BIG)
+        self.dumin = np.full(nu, -BIG)
+        self.dumax = np.full(nu, BIG)
+        self.ymin = np.full(ny, -BIG)
+        self.ymax = np.full(ny, BIG)
+        # runtime state
+        self.state = dict(x_hat=jnp.zeros(self.nx_hat),
+                          P_hat=jnp.asarray(P0_hat),
+                          lastu=jnp.asarray(model.uop),
+                          Z=jnp.zeros(self.nZt),
+                          ydual=jnp.zeros(2 * nu * self.Hp + 2 * nu * self.Hc
+                                          + 2 * ny * self.Hp + self.n_eps))
+        self._step = jax.jit(self._make_step())
+
+    def setconstraint(self, umin=None, umax=None, dumin=None, dumax=None,
+                      ymin=None, ymax=None):
+        for name, v in (("umin", umin), ("umax", umax), ("dumin", dumin),
+                        ("dumax", dumax), ("ymin", ymin), ("ymax", ymax)):
+            if v is not None:
+                arr = getattr(self, name)
+                arr[:] = np.clip(np.nan_to_num(np.asarray(v, float),
+                                               posinf=BIG, neginf=-BIG),
+                                 -BIG, BIG)
+        return self
+
+    # ------------------------------------------------------------------
+    def _make_step(self):
+        model = self.model
+        nu, ny, nd, nx = model.nu, model.ny, model.nd, model.nx
+        nxs, nx_hat = self.nxs, self.nx_hat
+        Hp, Hc, n_eps = self.Hp, self.Hc, self.n_eps
+        nZt = self.nZt
+        fd, hh = model._fd, model._h_user
+        p_mod = model.p
+        As = jnp.asarray(self.As)
+        Cs_u = jnp.asarray(self.Cs_u)
+        Cs_y = jnp.asarray(self.Cs_y)
+        i_ym = np.asarray(self.i_ym, int)
+        M_Hp = jnp.asarray(self.weights.M_Hp)
+        Nt_Hc = jnp.asarray(self.weights.Nt_Hc)
+        L_Hp = jnp.asarray(self.weights.L_Hp)
+        Q_hat = jnp.asarray(self.Q_hat)
+        R_hat = jnp.asarray(self.R_hat)
+
+        def linearize(x, u, d):
+            A = jax.jacfwd(lambda xx: fd(xx, u, d, p_mod))(x)
+            Bu = jax.jacfwd(lambda uu: fd(x, uu, d, p_mod))(u)
+            Bd = (jax.jacfwd(lambda dd: fd(x, u, dd, p_mod))(d)
+                  if nd else jnp.zeros((nx, 0)))
+            C = jax.jacfwd(lambda xx: hh(xx, d, p_mod))(x)
+            Dd = (jax.jacfwd(lambda dd: hh(x, dd, p_mod))(d)
+                  if nd else jnp.zeros((ny, 0)))
+            fx = fd(x, u, d, p_mod)       # = fop (next state at the op point)
+            yx = hh(x, d, p_mod)          # = yop
+            return A, Bu, Bd, C, Dd, fx, yx
+
+        def augment(A, Bu, Bd, C):
+            Ah = jnp.block([[A, Bu @ Cs_u],
+                            [jnp.zeros((nxs, nx)), As]])
+            Buh = jnp.vstack([Bu, jnp.zeros((nxs, nu))])
+            Ch = jnp.hstack([C, Cs_y])
+            Bdh = jnp.vstack([Bd, jnp.zeros((nxs, nd))])
+            return Ah, Buh, Ch, Bdh
+
+        def predmat(Ah, Buh, Ch):
+            """Condensed E, K, V, B-coef from Â-power scans (default move
+            blocking [1,…,1,Hp−Hc+1]) — controller/transcription.jl:115-194
+            in-graph."""
+            def pow_step(Ap, _):
+                An = Ap @ Ah
+                return An, An
+            _, Apows = jax.lax.scan(pow_step, jnp.eye(nx_hat), None, length=Hp)
+            Apows = jnp.concatenate([jnp.eye(nx_hat)[None], Apows])  # Â^0..Â^Hp
+            S = jnp.cumsum(Apows, axis=0)                            # S(m)=ΣÂ^ℓ
+            CSB = jnp.einsum("ox,kxy,yu->kou", Ch, S, Buh)           # ĈS(k)B̂u
+            CA = jnp.einsum("ox,kxy->koy", Ch, Apows)                # ĈÂ^k
+            # K rows: ĈÂ^j, j=1..Hp
+            K = CA[1:Hp + 1].reshape(Hp * ny, nx_hat)
+            V = CSB[0:Hp].reshape(Hp * ny, nu)
+            # E block (stage i, move j) = ĈS(i−j)B̂u for i ≥ j — a gather over
+            # the precomputed CSB stack (default move blocking)
+            idx = jnp.arange(Hp)[:, None] - jnp.arange(Hc)[None, :]
+            valid = idx >= 0
+            gathered = CSB[jnp.clip(idx, 0, Hp)]          # (Hp, Hc, ny, nu)
+            E_blocks = jnp.where(valid[:, :, None, None], gathered, 0.0)
+            E = E_blocks.transpose(0, 2, 1, 3).reshape(Hp * ny, Hc * nu)
+            Bc = jnp.einsum("ox,kxy->koy", Ch, S[0:Hp]).reshape(Hp * ny, nx_hat)
+            return E, K, V, Bc
+
+        Cwt = self.weights.Cwt
+
+        def step(st, ym, ry, d, bounds):
+            # bounds are runtime data (NOT closure constants: jnp.asarray of a
+            # host array may alias or copy unpredictably on CPU)
+            umin, umax = bounds["umin"], bounds["umax"]
+            dumin, dumax = bounds["dumin"], bounds["dumax"]
+            ymin, ymax = bounds["ymin"], bounds["ymax"]
+            x_hat, P_hat, lastu = st["x_hat"], st["P_hat"], st["lastu"]
+            xd = x_hat[:nx]
+            # --- linearize at the current estimate & last input ---
+            A, Bu, Bd, C, Dd, fx, yx = linearize(xd, lastu, d)
+            Ah, Buh, Ch, Bdh = augment(A, Bu, Bd, C)
+            Chm = Ch[i_ym, :]
+            # --- EKF correction with fresh Jacobians ---
+            ys = Cs_y @ x_hat[nx:]
+            y_pred_m = (yx + ys)[i_ym]
+            xc, Pc = kf_correct(x_hat, P_hat, y_pred_m, ym, Chm, R_hat)
+            # --- condensed prediction matrices, deviation around (xd, lastu) ---
+            E, K, V, Bc = predmat(Ah, Buh, Ch)
+            # operating point: xop = [xd;0(before correction xs…)] — use the
+            # corrected estimate as the linearization/deviation point
+            xcd = xc[:nx]
+            # re-linearize? one linearization per step (at pre-correction xd)
+            # is the reference behavior; deviations below use xc
+            x0c = xc - jnp.concatenate([xd, jnp.zeros(nxs)])
+            fop_m_xop = jnp.concatenate([fx - xd, jnp.zeros(nxs)])
+            F = K @ x0c + Bc @ fop_m_xop
+            Yop = jnp.tile(yx, Hp)   # stochastic part flows through K @ x0c
+            # u deviation: u0 = u − lastu (op point = lastu) ⇒ lastu0 = 0
+            Cy = F + Yop - ry_full(ry)
+            q = 2.0 * (E_t(E).T @ (M_Hp @ Cy))
+            H = 2.0 * (E_t(E).T @ M_Hp @ E_t(E) + PDu_t().T @ Nt_Hc @ PDu_t()
+                       + Pu_t(E).T @ L_Hp @ Pu_t(E))
+            H = 0.5 * (H + H.T) + 1e-9 * jnp.eye(nZt)
+            # --- constraint rows (U, ΔU, Ŷ) ---
+            A_rows, l, u = rows(E, F, Yop, lastu, bounds)
+            sol = solve_qp(H, q, A_rows, l, u, x0=shift(st["Z"]),
+                           y0=st["ydual"], max_iter=1000)
+            Z = jnp.where(sol.converged, sol.x, shift(st["Z"]))
+            du = Z[:nu]
+            u_new = jnp.clip(du + lastu, umin, umax)
+            # --- EKF prediction (exact augmented dynamics) ---
+            u_dist = u_new + Cs_u @ xc[nx:]
+            xn_raw = jnp.concatenate([fd(xcd, u_dist, d, p_mod),
+                                      As @ xc[nx:]])
+            xn, Pn = kf_predict(xn_raw, Pc, Ah, Q_hat, jnp.zeros(nx_hat))
+            new_st = dict(x_hat=xn, P_hat=Pn, lastu=u_new, Z=Z, ydual=sol.y)
+            return u_new, sol.converged, new_st
+
+        # ---- helpers over static shapes ----
+        def ry_full(ry):
+            return jnp.tile(ry, Hp)
+
+        def E_t(E):
+            return jnp.hstack([E, jnp.zeros((Hp * ny, n_eps))])
+
+        def PDu_t():
+            P = jnp.eye(Hc * nu, nZt)
+            if n_eps:
+                P = jnp.vstack([P, jnp.zeros((1, nZt)).at[0, -1].set(1.0)])
+            return P
+
+        _Pu = np.zeros((Hp * nu, Hc * nu))
+        for i in range(Hp):
+            for j in range(min(i + 1, Hc)):
+                _Pu[i * nu:(i + 1) * nu, j * nu:(j + 1) * nu] = np.eye(nu)
+        _Pu_j = jnp.asarray(_Pu)
+
+        def Pu_t(E):
+            return jnp.hstack([_Pu_j, jnp.zeros((Hp * nu, n_eps))])
+
+        def shift(Z):
+            Zs = jnp.zeros_like(Z)
+            Zs = Zs.at[:(Hc - 1) * nu].set(Z[nu:Hc * nu])
+            if n_eps:
+                Zs = Zs.at[-1].set(Z[-1])
+            return Zs
+
+        def rows(E, F, Yop, lastu, bounds):
+            umin, umax = bounds["umin"], bounds["umax"]
+            dumin, dumax = bounds["dumin"], bounds["dumax"]
+            ymin, ymax = bounds["ymin"], bounds["ymax"]
+            dt = F.dtype
+            big = jnp.asarray(2e18, dt)
+            Pu_full = jnp.hstack([_Pu_j, jnp.zeros((Hp * nu, n_eps))])
+            Umin_d = jnp.tile(umin, Hp) - jnp.tile(lastu, Hp)
+            Umax_d = jnp.tile(umax, Hp) - jnp.tile(lastu, Hp)
+            PDu_rows = jnp.eye(Hc * nu, nZt)
+            Et = jnp.hstack([E, -jnp.ones((Hp * ny, n_eps))]) if n_eps else E
+            Etm = jnp.hstack([E, jnp.ones((Hp * ny, n_eps))]) if n_eps else E
+            A_rows = jnp.vstack([
+                -Pu_full, Pu_full,
+                -PDu_rows, PDu_rows,
+                -Etm, Et,
+            ] + ([jnp.zeros((1, nZt)).at[0, -1].set(1.0)] if n_eps else []))
+            bU_min = jnp.clip(-Umin_d, -big, big)
+            bU_max = jnp.clip(Umax_d, -big, big)
+            bDU_min = jnp.clip(-jnp.tile(dumin, Hc), -big, big)
+            bDU_max = jnp.clip(jnp.tile(dumax, Hc), -big, big)
+            bY_min = jnp.clip(-(jnp.tile(ymin, Hp) - Yop) + F, -big, big)
+            bY_max = jnp.clip(jnp.tile(ymax, Hp) - Yop - F, -big, big)
+            u_vec = jnp.concatenate([bU_min, bU_max, bDU_min, bDU_max,
+                                     bY_min, bY_max]
+                                    + ([jnp.full(1, big, dt)] if n_eps else []))
+            l_vec = jnp.concatenate([jnp.full(u_vec.shape[0] - n_eps, -big, dt)]
+                                    + ([jnp.zeros(1, dt)] if n_eps else []))
+            return A_rows, l_vec, u_vec
+
+        return step
+
+    # ------------------------------------------------------------------
+    def bounds(self):
+        return dict(umin=jnp.array(self.umin), umax=jnp.array(self.umax),
+                    dumin=jnp.array(self.dumin), dumax=jnp.array(self.dumax),
+                    ymin=jnp.array(self.ymin), ymax=jnp.array(self.ymax))
+
+    def moveinput_closed(self, ym, ry, d=None):
+        """One full control period: EKF correct → linearize → QP → predict.
+        Returns the applied u."""
+        d = np.zeros(0) if d is None else np.asarray(d, float)
+        u, conv, self.state = self._step(self.state, jnp.asarray(ym, float),
+                                         jnp.asarray(ry, float),
+                                         jnp.asarray(d), self.bounds())
+        return np.asarray(u), bool(conv)

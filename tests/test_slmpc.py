@@ -1,0 +1,67 @@
+"""In-graph successive-linearization MPC (SLMPC) tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mpc_tpu as mpc
+
+
+def make_pendulum():
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    return mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+
+
+def test_slmpc_pendulum_swing_up():
+    pend = make_pendulum()
+    ctrl = mpc.SLMPC(pend, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                     sigmaQ=[0.1, 1.0], sigmaR=[5.0], sigmaQint_ym=[0.1])
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    plant = make_pendulum()
+    plant.setstate([0.0, 0.0])
+    us = []
+    for k in range(70):
+        y = plant.evaloutput()
+        u, conv = ctrl.moveinput_closed(y, np.array([180.0]))
+        us.append(u[0])
+        plant.updatestate(u)
+    assert abs(plant.evaloutput()[0] - 180.0) < 2.0
+    assert np.max(np.abs(us)) <= 1.5 + 1e-9
+
+
+def test_slmpc_fleet_vmap():
+    """The whole SLMPC step vmaps over a fleet with per-lane linearization."""
+    pend = make_pendulum()
+    ctrl = mpc.SLMPC(pend, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                     sigmaQ=[0.1, 1.0], sigmaR=[5.0], sigmaQint_ym=[0.1])
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    B = 4
+    step_v = jax.jit(jax.vmap(ctrl._make_step(), in_axes=(0, 0, 0, 0, None)))
+    bounds = ctrl.bounds()
+    st = jax.tree.map(lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+                      ctrl.state)
+    rng = np.random.default_rng(0)
+    X = jnp.stack([jnp.asarray(rng.uniform(-0.3, 0.3, B)), jnp.zeros(B)], 1)
+    fv = jax.jit(jax.vmap(lambda x, u: pend.f(x, u, jnp.zeros(0), pend.p)))
+    ry = jnp.full((B, 1), 90.0)
+    d = jnp.zeros((B, 0))
+    for k in range(40):
+        ym = X[:, :1] * 180 / np.pi
+        u, conv, st = step_v(st, ym, ry, d, bounds)
+        assert np.all(np.abs(np.asarray(u)) <= 1.5 + 1e-9)
+        X = fv(X, u)
+    deg = np.asarray(X[:, 0]) * 180 / np.pi
+    assert np.all(np.abs(deg - 90.0) < 10.0)
+
+
+def test_slmpc_requires_nonlinmodel():
+    m = mpc.LinModel(mpc.tf(1, [1, 1]), 1.0)
+    with pytest.raises(TypeError):
+        mpc.SLMPC(m)
