@@ -11,8 +11,6 @@ successive-linearization adaptive MPC cheap.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

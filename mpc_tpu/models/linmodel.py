@@ -33,6 +33,10 @@ class LinModel(SimModel):
                 sys = lti.tf_matrix(sys)
             if isinstance(sys, lti.TransferFunction):
                 sys = lti.tf_matrix([[sys]])
+            if sys.dtype != object:
+                raise TypeError(
+                    "numeric-matrix form requires all 6 matrices: "
+                    "LinModel(A, Bu, C, Bd, Dd, Ts)")
             # continuous tf (possibly with dead time) → discretize entries
             if sys.ravel()[0].Ts is None:
                 if Ts is None:

@@ -9,7 +9,6 @@ stays a single fused XLA computation.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 class DiffSolver:

@@ -8,12 +8,11 @@ matplotlib.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from .controllers.base import PredictiveController
-from .estimators import StateEstimator
 from .models import SimModel
 
 

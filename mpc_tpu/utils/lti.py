@@ -9,7 +9,7 @@ matrices are what the jitted runtime consumes.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.linalg as sla

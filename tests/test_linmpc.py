@@ -194,6 +194,33 @@ def test_internal_model_estimator_mpc():
     assert np.allclose(res.Y_data[-1], [1.0], atol=1e-3)
 
 
+def test_terminal_state_constraint():
+    """Hard terminal constraint x̂(k+Hp) ≤ x̂max saturates exactly
+    (setconstraint! terminal rows, construct.jl:201-560)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=3, Cwt=np.inf, nint_ym=0)
+    ctrl.setconstraint(xhatmin=[-0.5], xhatmax=[0.5])
+    ctrl.preparestate([0])
+    ctrl.moveinput([100.0])   # wants to push the state far beyond 0.5
+    info = ctrl.getinfo()
+    assert info["xhatend"][0] <= 0.5 + 1e-6
+    assert np.isclose(info["xhatend"][0], 0.5, atol=1e-5)  # rides the bound
+
+
+def test_move_blocking_behavior():
+    """Custom blocking [2,3,5]: Δu only at steps 0, 2, 5 of the horizon."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=[2, 3, 5], Cwt=np.inf)
+    assert ctrl.Hc == 3 and ctrl.nb == [2, 3, 5]
+    ctrl.preparestate([0])
+    ctrl.moveinput([2.0])
+    U = ctrl.getinfo()["U"]
+    # u is constant within each block
+    assert np.isclose(U[0], U[1])
+    assert np.isclose(U[2], U[3]) and np.isclose(U[3], U[4])
+    assert np.allclose(U[5:], U[5])
+
+
 def test_infeasible_qp_graceful_degradation():
     """Reference failure policy (controller/execute.jl:499-504): a failed
     solve warns and applies the shifted warm start instead of crashing."""
