@@ -45,6 +45,7 @@ class NonLinMPC(PredictiveController):
     def __init__(self, model_or_estim, Hp=None, Hc=2,
                  Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
                  Cwt=1e5, Ewt=0.0, JE=None, gc=None, nc=0, p=None,
+                 Wy=None, Wu=None, Wd=None, Wr=None,
                  transcription=None, sqp_iters=30, sqp_tol=1e-8,
                  trust_radius=None, **estim_kwargs):
         if isinstance(model_or_estim, StateEstimator):
@@ -69,6 +70,13 @@ class NonLinMPC(PredictiveController):
         self.JE = JE or (lambda Ue, Ye, De, p_, eps: 0.0)
         self.gc = gc
         self.nc = int(nc)
+        # custom linear constraints W (construct.jl:665-695): the Wy (output)
+        # term is linear in Z only for LinModel (construct.jl:668-669)
+        if Wy is not None and not isinstance(model, LinModel):
+            raise ValueError("Wy matrix can be specified only with LinModel")
+        from .linmpc import _validate_custom_lincon
+        self.Wy, self.Wu, self.Wd, self.Wr, self.nw = _validate_custom_lincon(
+            model, Wy, Wu, Wd, Wr)
         self.p = p if p is not None else model.p
         self.sqp_iters = int(sqp_iters)
         self.sqp_tol = float(sqp_tol)
@@ -125,6 +133,30 @@ class NonLinMPC(PredictiveController):
         self.C_ymax = np.ones(ny * Hp)
         self.c_xmin = np.ones(nx_hat)
         self.c_xmax = np.ones(nx_hat)
+        # custom linear constraints: W(Z) rows (relaxW, construct.jl:1085-1160)
+        nw = self.nw
+        nW = nw * (Hp + 1)
+        self.nW = nW
+        from ..utils.linalg import repeatdiag
+        if nw:
+            Wy_bar = repeatdiag(self.Wy, Hp + 1)
+            Wu_bar = repeatdiag(self.Wu, Hp + 1)
+            Wd_bar = repeatdiag(self.Wd, Hp + 1)
+            Wr_bar = repeatdiag(self.Wr, Hp + 1)
+            # fold the held terminal input u(k+Hp)=u(k+Hp−1) into the U block
+            Wu_fold = Wu_bar[:, :nu * Hp].copy()
+            Wu_fold[:, -nu:] += Wu_bar[:, nu * Hp:]
+            Wy_now, Wy_pred = Wy_bar[:, :ny], Wy_bar[:, ny:]
+        else:
+            Wy_now = np.zeros((0, ny))
+            Wy_pred = np.zeros((0, ny * Hp))
+            Wu_fold = np.zeros((0, nu * Hp))
+            Wd_bar = np.zeros((0, (Hp + 1) * nd))
+            Wr_bar = np.zeros((0, (Hp + 1) * ny))
+        self.C_wmin = np.ones(nW)
+        self.C_wmax = np.ones(nW)
+        self.Wmin_b = np.full(nW, -BIG)
+        self.Wmax_b = np.full(nW, BIG)
         # InternalModel stochastic output predictions Ŷs (construct.jl:1236-1267)
         if isinstance(estim, InternalModel):
             from .linmpc import _init_stochpred
@@ -146,6 +178,10 @@ class NonLinMPC(PredictiveController):
             C_dumin=self.C_dumin, C_dumax=self.C_dumax,
             C_ymin=self.C_ymin, C_ymax=self.C_ymax,
             c_xmin=self.c_xmin, c_xmax=self.c_xmax,
+            Wy_now=Wy_now, Wy_pred=Wy_pred, Wu_fold=Wu_fold,
+            Wd_bar=Wd_bar, Wr_bar=Wr_bar,
+            Wmin_b=self.Wmin_b, Wmax_b=self.Wmax_b,
+            C_wmin=self.C_wmin, C_wmax=self.C_wmax,
             fop_m_xop=estim.fop_hat - estim.xop_hat,
             yop=model.yop, uop=model.uop, dop=model.dop,
         )
@@ -192,8 +228,14 @@ class NonLinMPC(PredictiveController):
                 if v.shape != (nx_hat,):
                     raise ValueError(f"{kws} size must be ({nx_hat},)")
                 getattr(self, attr)[:] = _clipinf(v - estim.xop_hat)
+        if self.nw:
+            for small, cap, attr in (("wmin", "Wmin", "Wmin_b"),
+                                     ("wmax", "Wmax", "Wmax_b")):
+                v = pick(small, cap, self.nw, Hp + 1)
+                if v is not None:
+                    getattr(self, attr)[:] = _clipinf(v)
         for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
-                     "x0min", "x0max"):
+                     "x0min", "x0max", "Wmin_b", "Wmax_b"):
             self.params[name] = getattr(self, name)
         # softness parameters
         soft = {k: v for k, v in kw.items() if k.startswith("c_") or k.startswith("C_")}
@@ -204,7 +246,9 @@ class NonLinMPC(PredictiveController):
             sm = {"c_umin": ("C_umin", nu, Hp), "c_umax": ("C_umax", nu, Hp),
                   "c_dumin": ("C_dumin", nu, Hc), "c_dumax": ("C_dumax", nu, Hc),
                   "c_ymin": ("C_ymin", ny, Hp), "c_ymax": ("C_ymax", ny, Hp),
-                  "c_xhatmin": ("c_xmin", nx_hat, 1), "c_xhatmax": ("c_xmax", nx_hat, 1)}
+                  "c_xhatmin": ("c_xmin", nx_hat, 1), "c_xhatmax": ("c_xmax", nx_hat, 1),
+                  "c_wmin": ("C_wmin", self.nw, Hp + 1),
+                  "c_wmax": ("C_wmax", self.nw, Hp + 1)}
             for k, v in soft.items():
                 key = k if k.startswith("c_") else "c_" + k[2:].lower()
                 if key not in sm:
@@ -339,6 +383,7 @@ class NonLinMPC(PredictiveController):
         else:
             neq = 0
         nK = self.nZ - nDU - nx_hat * Hp if self.is_ms else 0  # ortho K block
+        nw, nW = self.nw, self.nW
         JE, gc, p_user = self.JE, self.gc, self.p
         Cwt = self.weights.Cwt
         Ewt = self.weights.Ewt
@@ -393,7 +438,8 @@ class NonLinMPC(PredictiveController):
             return Y0, xend, S, Jy, Jx, Js, gcv, Jgc
 
         @jax.jit
-        def step(p, x0_hat, lastu0, d0, D_hat_0, R_y, R_u, yk, Z_prev, y_prev):
+        def step(p, x0_hat, lastu0, d0, D_hat_0, R_y, R_u, yk, ry, Z_prev,
+                 y_prev):
             dt = x0_hat.dtype
             d = d0 + p["dop"]
             D_hat = D_hat_0 + jnp.tile(p["dop"], Hp) if nd else D_hat_0
@@ -432,6 +478,16 @@ class NonLinMPC(PredictiveController):
 
             Tu_lastu0 = p["Tu"] @ lastu0
 
+            # custom linear constraint value W (absolute units; the w(k+Hp)
+            # slot reuses the held input via Wu_fold — construct.jl:665-695)
+            De_t = jnp.concatenate([d, D_hat])
+            Re_t = jnp.concatenate([ry, R_y])
+
+            def W_of(U0_, Y0_):
+                return (p["Wy_now"] @ yk + p["Wy_pred"] @ (Y0_ + p["Yop"])
+                        + p["Wu_fold"] @ (U0_ + p["Uop"])
+                        + p["Wd_bar"] @ De_t + p["Wr_bar"] @ Re_t)
+
             def viol(Zt):
                 Z_, eps_ = split(Zt)
                 Y0, xend, S, U0 = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
@@ -445,6 +501,11 @@ class NonLinMPC(PredictiveController):
                              + jnp.maximum(Y0 - p["Y0max"] - p["C_ymax"] * eps_, 0))
                 v += jnp.sum(jnp.maximum(p["x0min"] - p["c_xmin"] * eps_ - xend, 0)
                              + jnp.maximum(xend - p["x0max"] - p["c_xmax"] * eps_, 0))
+                if nw:
+                    Wv = W_of(U0, Y0)
+                    v += jnp.sum(
+                        jnp.maximum(p["Wmin_b"] - p["C_wmin"] * eps_ - Wv, 0)
+                        + jnp.maximum(Wv - p["Wmax_b"] - p["C_wmax"] * eps_, 0))
                 v += jnp.sum(jnp.abs(S))
                 if nc:
                     Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
@@ -518,6 +579,16 @@ class NonLinMPC(PredictiveController):
                     -(p["Y0min"] - p["C_ymin"] * eps - Y0))
                 add(Jy_eps_max, jnp.full(ny * Hp, -2e18, dt),
                     p["Y0max"] + p["C_ymax"] * eps - Y0)
+                # custom linear constraint W rows (linearized Wy term via Jy)
+                if nw:
+                    W0 = W_of(U0, Y0)
+                    Jw = p["Wy_pred"] @ Jy + p["Wu_fold"] @ A_u
+                    Jw_min = Jw.at[:, -1].add(p["C_wmin"]) if n_eps else Jw
+                    Jw_max = Jw.at[:, -1].add(-p["C_wmax"]) if n_eps else Jw
+                    add(-Jw_min, jnp.full(nW, -2e18, dt),
+                        -(p["Wmin_b"] - p["C_wmin"] * eps - W0))
+                    add(Jw_max, jnp.full(nW, -2e18, dt),
+                        p["Wmax_b"] + p["C_wmax"] * eps - W0)
                 # terminal rows
                 Jx_min = Jx.at[:, -1].add(p["c_xmin"]) if n_eps else Jx
                 Jx_max = Jx.at[:, -1].add(-p["c_xmax"]) if n_eps else Jx
@@ -554,8 +625,8 @@ class NonLinMPC(PredictiveController):
                 return (it < sqp_iters) & ((it < 2) | (step_norm > sqp_tol))
 
             Zt0 = Zs
-            y0 = jnp.zeros(2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nx_hat
-                           + nc + n_eps + neq, dt)
+            y0 = jnp.zeros(2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nW
+                           + 2 * nx_hat + nc + n_eps + neq, dt)
             Zt, y_d, iters, sn = jax.lax.while_loop(
                 sqp_cond, sqp_body, (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt)))
             J_final = obj(Zt)
@@ -599,7 +670,7 @@ class NonLinMPC(PredictiveController):
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
                          jnp.asarray(R_hat_u), jnp.asarray(yk),
-                         jnp.asarray(self.Z_tilde), None)
+                         jnp.asarray(ry), jnp.asarray(self.Z_tilde), None)
         u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = out
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Zt)

@@ -67,7 +67,8 @@ class BatchedNonLinMPC:
             Ry = jnp.tile(ry, Hp)
             Ru = jnp.tile(uop, Hp)
             u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = step_fn(
-                p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, st["Z_tilde"], None)
+                p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, ry, st["Z_tilde"],
+                None)
             lastu0 = u - uop
             # UKF prediction
             x0n, Pn = pred(x0c, Pc, lastu0, d0, m_hat, S_hat, Q_hat, fop_m_xop)

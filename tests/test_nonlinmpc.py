@@ -195,3 +195,48 @@ def test_nonlinmpc_with_disturbance():
     ctrl = mpc.NonLinMPC(m, Hp=10, Hc=2, Cwt=np.inf)
     res = mpc.sim(ctrl, 30, [2.0], d=[1.0])
     assert np.allclose(res.Y_data[-1], [2.0], atol=1e-2)
+
+
+def test_custom_lincon_matches_linmpc():
+    """W = Wy·ŷ + Wu·u rows on a LinModel: NonLinMPC SQP must match the
+    LinMPC condensed-QP path (construct.jl:665-695, relaxW :1085-1160)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    kw = dict(Hp=10, Hc=3, Wy=[[1.0]], Wu=[[0.5]])
+    nmpc = mpc.NonLinMPC(m, **kw)
+    lmpc = mpc.LinMPC(m, **kw)
+    for c in (nmpc, lmpc):
+        c.setconstraint(wmax=[2.2])     # ŷ + 0.5 u ≤ 2.2 along the horizon
+    y = [0.0]
+    for k in range(6):
+        nmpc.preparestate(y)
+        lmpc.preparestate(y)
+        u1 = nmpc.moveinput([5.0])
+        u2 = lmpc.moveinput([5.0])
+        assert np.allclose(u1, u2, atol=2e-4), (k, u1, u2)
+        nmpc.updatestate(u1, y)
+        lmpc.updatestate(u2, y)
+    # the combination constraint must actually bind below the unconstrained u
+    free = mpc.LinMPC(m, Hp=10, Hc=3)
+    free.preparestate(y)
+    assert u1[0] < free.moveinput([5.0])[0] - 0.1
+
+
+def test_custom_lincon_wu_nonlinear_plant(pendulum):
+    """Wu-only custom linear constraint is allowed on NonLinModel
+    (construct.jl:668-669 restricts only the Wy term to LinModel)."""
+    nmpc = mpc.NonLinMPC(pendulum, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                         Cwt=np.inf)
+    nmpc.setconstraint(umin=[-5], umax=[5])
+    nmpc_w = mpc.NonLinMPC(pendulum, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                           Cwt=np.inf, Wu=[[1.0]])
+    nmpc_w.setconstraint(umin=[-5], umax=[5], wmax=[0.8])
+    y = [0.0]
+    nmpc.preparestate(y)
+    nmpc_w.preparestate(y)
+    u_free = nmpc.moveinput([180.0])
+    u_capped = nmpc_w.moveinput([180.0])
+    assert u_free[0] > 1.0                    # swing-up wants large torque
+    assert u_capped[0] <= 0.8 + 1e-5          # W row caps it
+    # Wy on a nonlinear plant must be rejected
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(pendulum, Hp=5, Wy=[[1.0]])
