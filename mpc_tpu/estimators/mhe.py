@@ -564,6 +564,14 @@ class MovingHorizonEstimator(StateEstimator):
         info["Xhat"] = info["X̂"] = self._last.get("X")
         info["Ym"] = self._last.get("Ym")
         info["Nk"] = self.Nk
+        # sensor-noise estimates V̂ = ym − ŷm over the valid window slots
+        # (reference getinfo :V̂, mhe/execute.jl:86-203)
+        Ym_pred = self._last.get("Ym")
+        if Ym_pred is not None:
+            mask_w = np.arange(self.He) < self.Nk
+            mask_v = mask_w[:, None] & np.isfinite(self.Y0m_win)
+            V = np.where(mask_v, np.nan_to_num(self.Y0m_win) - Ym_pred, 0.0)
+            info["Vhat"] = info["V̂"] = V[mask_w]
         # derivative dumps at the optimum (reference getinfo :∇J)
         try:
             import jax

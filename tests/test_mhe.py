@@ -174,3 +174,17 @@ def test_mhe_in_linmpc_loop():
         plant.updatestate(u)
         mhe.updatestate(u, y)
     assert np.allclose(plant.evaloutput() + 0.2, [1.0], atol=5e-2)
+
+
+def test_mhe_vhat_constraints():
+    """Sensor-noise bounds v̂ ∈ [min, max] (ref mhe/construct.jl:773-1046)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=4, nint_ym=[1])
+    mhe.setconstraint(vhatmin=[-0.02], vhatmax=[0.02])
+    rng = np.random.default_rng(2)
+    for i in range(8):
+        y = [1.0 + rng.normal() * 0.5]    # noisy: unconstrained v̂ would be big
+        mhe.preparestate(y)
+        mhe.updatestate([1.0], y)
+    V = mhe.getinfo()["Vhat"]
+    assert np.all(np.abs(V) <= 0.02 + 1e-5), V
