@@ -37,13 +37,42 @@ class SimResult:
     def u_data(self):
         return self.U_data
 
+    def _auto_bounds(self, which, n):
+        """Derive absolute constraint bounds from the simulated controller
+        (mirrors the reference plot recipes' bound overlays,
+        plot_sim.jl:362,484,745).  Returns (vmin, vmax) or (None, None)."""
+        obj = self.obj
+        params = getattr(obj, "params", None)
+        if not isinstance(params, dict):
+            return None, None
+        try:
+            if which == "y":
+                lo = np.asarray(params["Y0min"])[:n] + np.asarray(params["Yop"])[:n]
+                hi = np.asarray(params["Y0max"])[:n] + np.asarray(params["Yop"])[:n]
+            else:
+                lo = np.asarray(params["U0min"])[:n] + np.asarray(params["Uop"])[:n]
+                hi = np.asarray(params["U0max"])[:n] + np.asarray(params["Uop"])[:n]
+        except (KeyError, IndexError):
+            return None, None
+        big = 1e17
+        lo = np.where(np.abs(lo) < big, lo, -np.inf)
+        hi = np.where(np.abs(hi) < big, hi, np.inf)
+        return lo, hi
+
     def plot(self, file=None, plotry=True, plotymax=True, plotymin=True,
-             ymax=None, ymin=None):
+             plotumax=True, plotumin=True, ymax=None, ymin=None,
+             umax=None, umin=None):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         N, ny = self.Y_data.shape
         nu = self.U_data.shape[1]
+        auto_ymin, auto_ymax = self._auto_bounds("y", ny)
+        auto_umin, auto_umax = self._auto_bounds("u", nu)
+        ymin = ymin if ymin is not None else auto_ymin
+        ymax = ymax if ymax is not None else auto_ymax
+        umin = umin if umin is not None else auto_umin
+        umax = umax if umax is not None else auto_umax
         fig, axes = plt.subplots(ny + nu, 1, figsize=(7, 2 * (ny + nu)),
                                  sharex=True)
         axes = np.atleast_1d(axes)
@@ -62,6 +91,10 @@ class SimResult:
             ax = axes[ny + j]
             ax.step(self.T_data, self.U_data[:, j], where="post",
                     label=f"$u_{{{j+1}}}$")
+            if plotumax and umax is not None and np.isfinite(umax[j]):
+                ax.axhline(umax[j], color="r", ls=":")
+            if plotumin and umin is not None and np.isfinite(umin[j]):
+                ax.axhline(umin[j], color="r", ls=":")
             ax.legend(loc="best")
         axes[-1].set_xlabel("time (s)")
         fig.tight_layout()
