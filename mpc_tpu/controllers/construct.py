@@ -113,9 +113,24 @@ def relax_terminal(ex, c_xmin, c_xmax, n_eps):
     return A_xmin, A_xmax, ex_t
 
 
-def init_quadprog(E_t, PDu_t, Pu_t, weights: ControllerWeights):
-    """H̃ = 2(ẼᵀM_HpẼ + P̃ΔuᵀÑ_HcP̃Δu + P̃uᵀL_HpP̃u) (construct.jl:811-845)."""
+def init_quadprog(E_t, PDu_t, Pu_t, weights: ControllerWeights,
+                  warn_cond=1e6, single_shooting=True):
+    """H̃ = 2(ẼᵀM_HpẼ + P̃ΔuᵀÑ_HcP̃Δu + P̃uᵀL_HpP̃u) (construct.jl:811-845).
+
+    Warns when ``cond(H̃) > warn_cond`` for SingleShooting (``verify_cond``,
+    construct.jl:854-868) — an ill-conditioned condensed Hessian hurts the
+    f32 ADMM path on TPU even more than it hurts OSQP.
+    """
     H = 2.0 * (E_t.T @ weights.M_Hp @ E_t
                + PDu_t.T @ weights.Nt_Hc @ PDu_t
                + Pu_t.T @ weights.L_Hp @ Pu_t)
-    return 0.5 * (H + H.T)
+    H = 0.5 * (H + H.T)
+    if single_shooting and np.isfinite(warn_cond) and H.size:
+        cond_H = np.linalg.cond(H)
+        if cond_H > warn_cond:
+            import warnings
+            warnings.warn(
+                f"The Hessian condition number {cond_H:.3g} > {warn_cond:.3g}."
+                " The optimization problem may be ill-conditioned; consider"
+                " changing the tunings or using MultipleShooting.")
+    return H

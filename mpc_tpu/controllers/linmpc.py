@@ -148,7 +148,8 @@ class LinMPC(PredictiveController):
             ES_t = np.hstack([ES, np.zeros((ES.shape[0], 1))])
         else:
             ES_t = ES
-        H = init_quadprog(E_t, PDu_t, Pu_t, self.weights)
+        H = init_quadprog(E_t, PDu_t, Pu_t, self.weights,
+                          single_shooting=isinstance(tr, SingleShooting))
         # one-sided inequality row stack (order = linconstraint! b layout,
         # controller/transcription.jl:824-842) + ϵ ≥ 0 + equality rows
         rows = [A_Umin, A_Umax, A_DUmin, A_DUmax, A_Ymin, A_Ymax,
