@@ -487,23 +487,9 @@ def _init_stochpred(estim: InternalModel, Hp):
 
 
 def _setmodel_estimator(estim, model, **cov):
-    """Minimal setmodel! for estimators (execute.jl:440-544)."""
-    from ..estimators import KalmanFilter
-    from ..estimators.construct import augment_model
-    estim.model = model
-    (A_hat, Bu_hat, C_hat, Bd_hat, Dd_hat, xop_hat, fop_hat) = augment_model(
-        model, estim.As, estim.Cs_u, estim.Cs_y, verify_obsv=False)
-    x_abs = estim.x0_hat + estim.xop_hat
-    estim.A_hat, estim.Bu_hat, estim.C_hat = A_hat, Bu_hat, C_hat
-    estim.Bd_hat, estim.Dd_hat = Bd_hat, Dd_hat
-    estim.xop_hat, estim.fop_hat = xop_hat, fop_hat
-    if C_hat is not None:
-        estim.Cm_hat = C_hat[estim.i_ym, :]
-        estim.Ddm_hat = Dd_hat[estim.i_ym, :]
-    estim.x0_hat = x_abs - xop_hat
-    for k, v in cov.items():
-        if k in ("Q_hat", "R_hat") and isinstance(estim, KalmanFilter):
-            setattr(estim, k, np.asarray(v, float))
+    """Delegate to the public estimator API (execute.jl:440-544)."""
+    estim.setmodel(model, Qhat=cov.get("Q_hat", cov.get("Qhat")),
+                   Rhat=cov.get("R_hat", cov.get("Rhat")))
 
 
 # ---------------------------------------------------------------------------

@@ -174,6 +174,48 @@ class StateEstimator:
         raise ValueError(f"{type(self).__name__} does not compute an estimation "
                          "covariance matrix P̂.")
 
+    # ------------------------------------------------------------------
+    def setmodel(self, model=None, Qhat=None, Rhat=None, **alias):
+        """Swap the LinModel data + augmented matrices at runtime
+        (``setmodel!``, estimator/execute.jl:440-544).  The x̂ estimate is
+        rebased to the new operating point.  Only LinModel parameters can
+        change; dimensions and Ts must match."""
+        Qhat = Qhat if Qhat is not None else alias.pop("Q_hat", None)
+        Rhat = Rhat if Rhat is not None else alias.pop("R_hat", None)
+        if alias:
+            raise TypeError(f"unknown setmodel arguments {list(alias)}")
+        old = self.model
+        model = model if model is not None else old
+        if model is not old:
+            if not (isinstance(model, LinModel) and isinstance(old, LinModel)):
+                raise ValueError("Only LinModel can be modified in setmodel")
+            for a in ("Ts", "nu", "nx", "ny", "nd"):
+                if getattr(model, a) != getattr(old, a):
+                    raise ValueError(f"model.{a} must be {getattr(old, a)}")
+        self._update_model(model, Qhat, Rhat)
+        return self
+
+    def _update_model(self, model, Qhat, Rhat):
+        """Default: re-augment the swapped model (setmodel_estimator!,
+        estimator/execute.jl:524-544) and invalidate jitted kernels that
+        baked the old matrices in as compile-time constants."""
+        self.model = model
+        (A_hat, Bu_hat, C_hat, Bd_hat, Dd_hat, xop_hat, fop_hat) = augment_model(
+            model, self.As, self.Cs_u, self.Cs_y, verify_obsv=False)
+        x_abs = self.x0_hat + self.xop_hat
+        self.A_hat, self.Bu_hat, self.C_hat = A_hat, Bu_hat, C_hat
+        self.Bd_hat, self.Dd_hat = Bd_hat, Dd_hat
+        self.xop_hat, self.fop_hat = xop_hat, fop_hat
+        if C_hat is not None:
+            self.Cm_hat = C_hat[np.asarray(self.i_ym, int), :]
+            self.Ddm_hat = Dd_hat[np.asarray(self.i_ym, int), :]
+        self.x0_hat = x_abs - xop_hat
+        if Qhat is not None:
+            self.Q_hat = np.asarray(Qhat, float)
+        if Rhat is not None:
+            self.R_hat = np.asarray(Rhat, float)
+        self._jit_kernels = None
+
     def __repr__(self):
         return (f"{type(self).__name__} estimator with a sample time "
                 f"Ts = {self.model.Ts} s:\n"

@@ -107,6 +107,22 @@ class InternalModel(StateEstimator):
         self.x0_hat = x0n + self.fop_hat - self.xop_hat
         self.xs_hat = self.As_hat @ self.xs_hat + self.Bs_hat @ self.ys_hat
 
+    def _update_model(self, model, Qhat, Rhat):
+        """setmodel_estimator! for InternalModel (internal_model.jl:239-247):
+        the stochastic model is untouched; only the deterministic model data
+        and operating points change."""
+        if Qhat is not None or Rhat is not None:
+            raise ValueError("InternalModel does not use Q̂/R̂ covariances")
+        x_abs = self.x0_hat + self.xop_hat
+        self.model = model
+        self.xop_hat = model.xop.copy()
+        self.fop_hat = model.fop.copy()
+        self.A_hat, self.Bu_hat, self.C_hat = model.A, model.Bu, model.C
+        self.Bd_hat, self.Dd_hat = model.Bd, model.Dd
+        self.Cm_hat = model.C[np.asarray(self.i_ym, int), :]
+        self.Ddm_hat = model.Dd[np.asarray(self.i_ym, int), :]
+        self.x0_hat = x_abs - self.xop_hat
+
     def evaloutput(self, d=None):
         """ŷ = ŷd + ŷs (internal_model.jl:357-368)."""
         if not self.prepared:

@@ -84,6 +84,16 @@ class SteadyKalmanFilter(StateEstimator):
         x0n = np.asarray(self.f_hat(self.x0_hat, u0, d0), float)
         self.x0_hat = x0n + self.fop_hat - self.xop_hat
 
+    def _update_model(self, model, Qhat, Rhat):
+        """Unlike the reference (which rejects setmodel! on the
+        SteadyKalmanFilter, kalman.jl:228-234), the steady gain is simply
+        recomputed from the new model's DARE — a host-side solve that keeps
+        successive-linearization adaptive MPC working with the default
+        estimator."""
+        super()._update_model(model, Qhat, Rhat)
+        self.K_hat, self.P_hat = ula.steady_kalman_gain(
+            self.A_hat, self.Cm_hat, self.Q_hat, self.R_hat, direct=self.direct)
+
 
 # ---------------------------------------------------------------------------
 # pure kernels for the time-varying KF (shared by KF and EKF)

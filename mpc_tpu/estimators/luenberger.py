@@ -39,3 +39,7 @@ class Luenberger(StateEstimator):
 
     _correct = SteadyKalmanFilter._correct
     _predict = SteadyKalmanFilter._predict
+
+    def _update_model(self, model, Qhat, Rhat):
+        raise ValueError("Luenberger does not support setmodel "
+                         "(luenberger.jl:149-155)")

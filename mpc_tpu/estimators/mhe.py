@@ -543,6 +543,20 @@ class MovingHorizonEstimator(StateEstimator):
         self._pending_u0 = np.asarray(u, float) - self.model.uop
         return x
 
+    def _update_model(self, model, Qhat, Rhat):
+        """setmodel_estimator! for MHE (mhe/execute.jl:944-1040): re-augment,
+        refresh the objective inverses, swap the nested covestim's model, and
+        rebuild the jitted window solver (the old matrices were baked into
+        the trace as constants)."""
+        super()._update_model(model, Qhat, Rhat)
+        if Qhat is not None:
+            self.invQ = np.linalg.inv(self.Q_hat)
+        if Rhat is not None:
+            self.invR = np.linalg.inv(self.R_hat)
+        if self.covestim is not None and self.covestim is not self:
+            self.covestim.setmodel(model, Qhat, Rhat)
+        self._solve_jit = self._make_solver()
+
     def _init_cov(self):
         self.P_arr = self.P0_hat.copy()
         self.invP_arr = np.linalg.inv(self.P_arr)

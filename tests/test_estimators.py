@@ -198,3 +198,37 @@ def test_initstate_bumpless(sysmodel):
     assert np.allclose(estim.evaloutput(), [3 - 0.1])
     x2 = estim.updatestate([1], [3 - 0.1])
     assert np.allclose(x, x2, atol=1e-9)
+
+
+def test_estimator_setmodel_public_api():
+    """setmodel on estimators directly (execute.jl:440-544): matrices swap,
+    x̂ is rebased, jitted kernels are invalidated, SKF regains its gain."""
+    A1, A2 = np.array([[0.5]]), np.array([[0.8]])
+    z = np.zeros((1, 0))
+    m1 = mpc.LinModel(A1, np.array([[1.0]]), np.array([[1.0]]), z, z, 1.0)
+    m2 = mpc.LinModel(A2, np.array([[1.0]]), np.array([[1.0]]), z, z, 1.0)
+    kf = mpc.KalmanFilter(m1, nint_ym=[1])
+    kf.setmodel(m2, Qhat=np.eye(2) * 0.1)
+    assert kf.A_hat[0, 0] == 0.8 and kf.Q_hat[0, 0] == 0.1
+    skf = mpc.SteadyKalmanFilter(m1, nint_ym=[1])
+    K1 = skf.K_hat.copy()
+    skf.setmodel(m2)
+    assert not np.allclose(K1, skf.K_hat)
+    # UKF: the jitted kernels must pick up the new model
+    ukf = mpc.UnscentedKalmanFilter(m1, nint_ym=[1])
+    ukf.preparestate([0.0])
+    ukf.updatestate([0.0], [0.0])
+    ukf.setmodel(m2)
+    plant = mpc.LinModel(A2, np.array([[1.0]]), np.array([[1.0]]), z, z, 1.0)
+    for _ in range(60):
+        y = plant.evaloutput()
+        ukf.preparestate(y)
+        ukf.updatestate([0.3], y)
+        plant.updatestate([0.3])
+    assert np.allclose(ukf.evaloutput(), plant.evaloutput(), atol=1e-3)
+    with pytest.raises(ValueError):
+        mpc.Luenberger(m1, nint_ym=[1]).setmodel(m2)
+    m3 = mpc.LinModel(np.eye(2) * 0.5, np.ones((2, 1)), np.ones((1, 2)),
+                      np.zeros((1, 0)), np.zeros((1, 0)), 1.0)
+    with pytest.raises(ValueError):
+        kf.setmodel(m3)
