@@ -647,6 +647,54 @@ class NonLinMPC(PredictiveController):
         return step
 
     # ------------------------------------------------------------------
+    def setmodel(self, model=None, Mwt=None, Nwt=None, Lwt=None,
+                 Qhat=None, Rhat=None):
+        """Hot-swap a LinModel-backed NonLinMPC's plant/weights at runtime
+        (setmodel!, controller/execute.jl:621-699).  Constraint bounds are
+        preserved across the rebuild (re-expressed in the new operating
+        point); ``lastu0`` is rebased."""
+        model_old = self.estim.model
+        bound_keys = ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
+                      "x0min", "x0max", "C_umin", "C_umax", "C_dumin",
+                      "C_dumax", "C_ymin", "C_ymax", "c_xmin", "c_xmax",
+                      "Wmin_b", "Wmax_b", "C_wmin", "C_wmax")
+        saved = {k: getattr(self, k).copy() for k in bound_keys}
+        if model is not None:
+            Umin = saved["U0min"] + self.Uop
+            Umax = saved["U0max"] + self.Uop
+            Ymin = saved["Y0min"] + self.Yop
+            Ymax = saved["Y0max"] + self.Yop
+            xmin = saved["x0min"] + self.estim.xop_hat
+            xmax = saved["x0max"] + self.estim.xop_hat
+            lastu_abs = self.lastu0 + model_old.uop
+            self.estim.setmodel(model, Qhat=Qhat, Rhat=Rhat)
+            self.Uop = np.tile(model.uop, self.Hp)
+            self.Yop = np.tile(model.yop, self.Hp)
+            self.Dop = np.tile(model.dop, self.Hp)
+            saved["U0min"] = _clipinf(Umin - self.Uop)
+            saved["U0max"] = _clipinf(Umax - self.Uop)
+            saved["Y0min"] = _clipinf(Ymin - self.Yop)
+            saved["Y0max"] = _clipinf(Ymax - self.Yop)
+            saved["x0min"] = _clipinf(xmin - self.estim.xop_hat)
+            saved["x0max"] = _clipinf(xmax - self.estim.xop_hat)
+            self.lastu0 = lastu_abs - model.uop
+        elif Qhat is not None or Rhat is not None:
+            self.estim.setmodel(Qhat=Qhat, Rhat=Rhat)
+        if Mwt is not None or Nwt is not None or Lwt is not None:
+            w = self.weights
+            model_ = self.estim.model
+            self.weights = ControllerWeights(
+                model_.nu, model_.ny, self.Hp, self.Hc,
+                Mwt if Mwt is not None else np.diag(w.M_Hp)[:model_.ny],
+                Nwt if Nwt is not None else np.diag(w.N_Hc)[:model_.nu],
+                Lwt if Lwt is not None else np.diag(w.L_Hp)[:model_.nu],
+                Cwt=w.Cwt, Ewt=w.Ewt)
+        self._build()
+        for k, v in saved.items():
+            getattr(self, k)[:] = v
+        return self
+
+    # ------------------------------------------------------------------
     def moveinput(self, ry=None, d=None, D_hat=None, R_hat_y=None,
                   R_hat_u=None, lastu=None, **alias):
         model, estim = self.estim.model, self.estim

@@ -240,3 +240,35 @@ def test_custom_lincon_wu_nonlinear_plant(pendulum):
     # Wy on a nonlinear plant must be rejected
     with pytest.raises(ValueError):
         mpc.NonLinMPC(pendulum, Hp=5, Wy=[[1.0]])
+
+
+def test_nonlinmpc_setmodel():
+    """setmodel on a LinModel-backed NonLinMPC (execute.jl:621-699) matches
+    a freshly built controller on the new model, and preserves bounds."""
+    z = np.zeros((1, 0))
+    m1 = mpc.LinModel(np.array([[0.5]]), np.array([[1.0]]), np.array([[1.0]]),
+                      z, z, 1.0)
+    m2 = mpc.LinModel(np.array([[0.8]]), np.array([[0.5]]), np.array([[1.0]]),
+                      z, z, 1.0)
+    a = mpc.NonLinMPC(m1, Hp=8, Hc=2)
+    a.setconstraint(umax=[1.5])
+    a.setmodel(m2)
+    b = mpc.NonLinMPC(m2, Hp=8, Hc=2)
+    b.setconstraint(umax=[1.5])
+    y = [0.0]
+    for k in range(4):
+        a.preparestate(y)
+        b.preparestate(y)
+        u1 = a.moveinput([2.0])
+        u2 = b.moveinput([2.0])
+        assert np.allclose(u1, u2, atol=1e-6), (k, u1, u2)
+        assert u1[0] <= 1.5 + 1e-8
+        a.updatestate(u1, y)
+        b.updatestate(u2, y)
+    # NonLinModel-backed controllers refuse a model swap
+    def f(x, u, d, p):
+        return 0.5 * x + u
+    h = lambda x, d, p: x
+    nm = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, solver=None)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(nm, Hp=5).setmodel(m2)
