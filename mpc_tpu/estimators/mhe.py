@@ -103,46 +103,60 @@ class MovingHorizonEstimator(StateEstimator):
         self._w_off = self.n_eps + nx_hat + (He_ * nx_hat if self.is_ms else 0)
         self.Z_tilde = np.zeros(self.nZt)
         self._pending_u0 = np.zeros(nu)
-        # bounds (absolute, converted at solve): on x̂ (window), ŵ, v̂
-        self.X_min = np.full(nx_hat, -BIG)
-        self.X_max = np.full(nx_hat, BIG)
-        self.W_min = np.full(nx_hat, -BIG)
-        self.W_max = np.full(nx_hat, BIG)
-        self.V_min = np.full(nym, -BIG)
-        self.V_max = np.full(nym, BIG)
-        self.C_xmin = np.ones(nx_hat)
-        self.C_xmax = np.ones(nx_hat)
-        self.C_wmin = np.ones(nx_hat)
-        self.C_wmax = np.ones(nx_hat)
-        self.C_vmin = np.ones(nym)
-        self.C_vmax = np.ones(nym)
+        # bounds, full-window shaped so time-varying (capital) forms work
+        # (mhe/construct.jl:773-1046): X̂ has He+1 slots (slot 0 = arrival)
+        self.X_min = np.full((He + 1) * nx_hat, -BIG)
+        self.X_max = np.full((He + 1) * nx_hat, BIG)
+        self.W_min = np.full(He * nx_hat, -BIG)
+        self.W_max = np.full(He * nx_hat, BIG)
+        self.V_min = np.full(He * nym, -BIG)
+        self.V_max = np.full(He * nym, BIG)
+        self.C_xmin = np.ones((He + 1) * nx_hat)
+        self.C_xmax = np.ones((He + 1) * nx_hat)
+        self.C_wmin = np.ones(He * nx_hat)
+        self.C_wmax = np.ones(He * nx_hat)
+        self.C_vmin = np.ones(He * nym)
+        self.C_vmax = np.ones(He * nym)
         self._solve_jit = self._make_solver()
         self._last = {}
 
     # ------------------------------------------------------------------
     def setconstraint(self, **kw):
-        """Bounds on x̂, ŵ, v̂ (mhe/construct.jl:773-1046).  Keywords:
-        xhatmin/xhatmax, whatmin/whatmax, vhatmin/vhatmax (+ c_* softness)."""
-        nx_hat, nym = self.nx_hat, self.nym
-        m = {"xhatmin": ("X_min", nx_hat), "xhatmax": ("X_max", nx_hat),
-             "whatmin": ("W_min", nx_hat), "whatmax": ("W_max", nx_hat),
-             "vhatmin": ("V_min", nym), "vhatmax": ("V_max", nym),
-             "c_xhatmin": ("C_xmin", nx_hat), "c_xhatmax": ("C_xmax", nx_hat),
-             "c_whatmin": ("C_wmin", nx_hat), "c_whatmax": ("C_wmax", nx_hat),
-             "c_vhatmin": ("C_vmin", nym), "c_vhatmax": ("C_vmax", nym)}
+        """Bounds on x̂, ŵ, v̂ (mhe/construct.jl:773-1046).  Lowercase
+        keywords (xhatmin …) tile over the window; the capital forms
+        (Xhatmin of size ``nx̂*(He+1)``, Whatmin/Vhatmin of size ``nx̂*He`` /
+        ``nym*He``) set time-varying bounds per window slot (slot 0 of the
+        X̂ forms is the arrival state)."""
+        nx_hat, nym, He = self.nx_hat, self.nym, self.He
+        # key -> (attr, per-slot size, slot count, subtract xop?)
+        m = {"xhatmin": ("X_min", nx_hat, He + 1, True),
+             "xhatmax": ("X_max", nx_hat, He + 1, True),
+             "whatmin": ("W_min", nx_hat, He, False),
+             "whatmax": ("W_max", nx_hat, He, False),
+             "vhatmin": ("V_min", nym, He, False),
+             "vhatmax": ("V_max", nym, He, False),
+             "c_xhatmin": ("C_xmin", nx_hat, He + 1, False),
+             "c_xhatmax": ("C_xmax", nx_hat, He + 1, False),
+             "c_whatmin": ("C_wmin", nx_hat, He, False),
+             "c_whatmax": ("C_wmax", nx_hat, He, False),
+             "c_vhatmin": ("C_vmin", nym, He, False),
+             "c_vhatmax": ("C_vmax", nym, He, False)}
         for k, v in kw.items():
-            if k not in m:
+            key = k.lower()
+            if key not in m:
                 raise ValueError(f"unknown constraint keyword {k}")
-            attr, n = m[k]
+            attr, n, rep, sub_op = m[key]
             v = np.asarray(v, float).ravel()
-            if v.shape != (n,):
-                raise ValueError(f"{k} size must be ({n},)")
-            if k.startswith("c_") and self.n_eps != 1:
+            if v.shape == (n,):
+                v = np.tile(v, rep)
+            if v.shape != (n * rep,):
+                raise ValueError(f"{k} size must be ({n},) or ({n * rep},)")
+            if key.startswith("c_") and self.n_eps != 1:
                 raise ValueError("Slack variable weight Cwt must be finite to "
                                  "set softness parameters")
             val = v.copy()
-            if k in ("xhatmin", "xhatmax"):
-                val = val - self.xop_hat
+            if sub_op:
+                val = val - np.tile(self.xop_hat, rep)
             getattr(self, attr)[:] = np.clip(np.nan_to_num(val, posinf=BIG,
                                                            neginf=-BIG), -BIG, BIG)
         return self
@@ -276,42 +290,44 @@ class MovingHorizonEstimator(StateEstimator):
                 e_arr = jnp.zeros((nx_hat, nZt), dt)
                 e_arr = e_arr.at[:, n_eps:n_eps + nx_hat].set(jnp.eye(nx_hat, dtype=dt))
                 if n_eps:
-                    e_arr_min = e_arr.at[:, 0].add(p["C_xmin"])
-                    e_arr_max = e_arr.at[:, 0].add(-p["C_xmax"])
+                    e_arr_min = e_arr.at[:, 0].add(p["C_xmin"][:nx_hat])
+                    e_arr_max = e_arr.at[:, 0].add(-p["C_xmax"][:nx_hat])
                 else:
                     e_arr_min = e_arr_max = e_arr
-                add(-e_arr_min, jnp.full(nx_hat, -big, dt), -(p["Xmin"] - x_arr) +
-                    (p["C_xmin"] * eps if n_eps else 0.0))
+                add(-e_arr_min, jnp.full(nx_hat, -big, dt),
+                    -(p["Xmin"][:nx_hat] - x_arr) +
+                    (p["C_xmin"][:nx_hat] * eps if n_eps else 0.0))
                 add(e_arr_max, jnp.full(nx_hat, -big, dt),
-                    p["Xmax"] - x_arr + (p["C_xmax"] * eps if n_eps else 0.0))
-                # window states
-                Xmin_t = jnp.where(mw, jnp.tile(p["Xmin"], He), -big)
-                Xmax_t = jnp.where(mw, jnp.tile(p["Xmax"], He), big)
-                JXmin = JX.at[:, 0].add(jnp.tile(p["C_xmin"], He)) if n_eps else JX
-                JXmax = JX.at[:, 0].add(-jnp.tile(p["C_xmax"], He)) if n_eps else JX
-                ceps_x = (jnp.tile(p["C_xmin"], He) * eps) if n_eps else 0.0
-                ceps_X = (jnp.tile(p["C_xmax"], He) * eps) if n_eps else 0.0
+                    p["Xmax"][:nx_hat] - x_arr +
+                    (p["C_xmax"][:nx_hat] * eps if n_eps else 0.0))
+                # window states (slots 1..He of the window-shaped arrays)
+                Xmin_t = jnp.where(mw, p["Xmin"][nx_hat:], -big)
+                Xmax_t = jnp.where(mw, p["Xmax"][nx_hat:], big)
+                JXmin = JX.at[:, 0].add(p["C_xmin"][nx_hat:]) if n_eps else JX
+                JXmax = JX.at[:, 0].add(-p["C_xmax"][nx_hat:]) if n_eps else JX
+                ceps_x = (p["C_xmin"][nx_hat:] * eps) if n_eps else 0.0
+                ceps_X = (p["C_xmax"][nx_hat:] * eps) if n_eps else 0.0
                 add(-JXmin, jnp.full(He * nx_hat, -big, dt), -(Xmin_t - ceps_x - Xv))
                 add(JXmax, jnp.full(He * nx_hat, -big, dt), Xmax_t + ceps_X - Xv)
                 # ŵ bounds (linear rows on decision block)
                 e_w = jnp.zeros((He * nx_hat, nZt), dt)
                 e_w = e_w.at[:, w_off:].set(jnp.eye(He * nx_hat, dtype=dt))
                 Wv = Zt[w_off:]
-                Wmin_t = jnp.where(mw, jnp.tile(p["Wmin"], He), -big)
-                Wmax_t = jnp.where(mw, jnp.tile(p["Wmax"], He), big)
-                ew_min = e_w.at[:, 0].add(jnp.tile(p["C_wmin"], He)) if n_eps else e_w
-                ew_max = e_w.at[:, 0].add(-jnp.tile(p["C_wmax"], He)) if n_eps else e_w
-                cw_min = (jnp.tile(p["C_wmin"], He) * eps) if n_eps else 0.0
-                cw_max = (jnp.tile(p["C_wmax"], He) * eps) if n_eps else 0.0
+                Wmin_t = jnp.where(mw, p["Wmin"], -big)
+                Wmax_t = jnp.where(mw, p["Wmax"], big)
+                ew_min = e_w.at[:, 0].add(p["C_wmin"]) if n_eps else e_w
+                ew_max = e_w.at[:, 0].add(-p["C_wmax"]) if n_eps else e_w
+                cw_min = (p["C_wmin"] * eps) if n_eps else 0.0
+                cw_max = (p["C_wmax"] * eps) if n_eps else 0.0
                 add(-ew_min, jnp.full(He * nx_hat, -big, dt), -(Wmin_t - cw_min - Wv))
                 add(ew_max, jnp.full(He * nx_hat, -big, dt), Wmax_t + cw_max - Wv)
                 # v̂ bounds
-                Vmin_t = jnp.where(mv, jnp.tile(p["Vmin"], He), -big)
-                Vmax_t = jnp.where(mv, jnp.tile(p["Vmax"], He), big)
-                JVmin = JV.at[:, 0].add(jnp.tile(p["C_vmin"], He)) if n_eps else JV
-                JVmax = JV.at[:, 0].add(-jnp.tile(p["C_vmax"], He)) if n_eps else JV
-                cv_min = (jnp.tile(p["C_vmin"], He) * eps) if n_eps else 0.0
-                cv_max = (jnp.tile(p["C_vmax"], He) * eps) if n_eps else 0.0
+                Vmin_t = jnp.where(mv, p["Vmin"], -big)
+                Vmax_t = jnp.where(mv, p["Vmax"], big)
+                JVmin = JV.at[:, 0].add(p["C_vmin"]) if n_eps else JV
+                JVmax = JV.at[:, 0].add(-p["C_vmax"]) if n_eps else JV
+                cv_min = (p["C_vmin"] * eps) if n_eps else 0.0
+                cv_max = (p["C_vmax"] * eps) if n_eps else 0.0
                 add(-JVmin, jnp.full(He * nym, -big, dt), -(Vmin_t - cv_min - Vv))
                 add(JVmax, jnp.full(He * nym, -big, dt), Vmax_t + cv_max - Vv)
                 if n_eps:

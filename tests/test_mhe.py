@@ -188,3 +188,25 @@ def test_mhe_vhat_constraints():
         mhe.updatestate([1.0], y)
     V = mhe.getinfo()["Vhat"]
     assert np.all(np.abs(V) <= 0.02 + 1e-5), V
+
+
+def test_mhe_time_varying_bounds():
+    """Capital forms set per-window-slot bounds: tighten ŵ only on the most
+    recent slot and check the rest stay free."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    He = 4
+    mhe = mpc.MovingHorizonEstimator(m, He=He, nint_ym=[1])
+    nx = mhe.nx_hat
+    Wmax = np.full(He * nx, 1e17)
+    Wmin = np.full(He * nx, -1e17)
+    Wmax[-nx:] = 1e-6                 # newest slot: ŵ ≈ 0
+    Wmin[-nx:] = -1e-6
+    mhe.setconstraint(Whatmin=Wmin, Whatmax=Wmax)
+    rng = np.random.default_rng(5)
+    for i in range(8):
+        y = [rng.normal()]
+        mhe.preparestate(y)
+        mhe.updatestate([1.0], y)
+    W = mhe.getinfo()["What"].reshape(He, nx)
+    assert np.all(np.abs(W[-1]) <= 1e-5)       # newest slot pinned
+    assert np.any(np.abs(W[:-1]) > 1e-4)       # older slots still absorb noise
