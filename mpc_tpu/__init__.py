@@ -11,6 +11,9 @@ from .utils import tf, delay, ss, tf_matrix, StateSpace, TransferFunction
 from .utils.config import enable_x64, set_dtype, default_dtype
 from .models import (SimModel, LinModel, NonLinModel, RungeKutta, ForwardEuler,
                      EmptySolver, linearize, linearize_)
+from .models.solver import DiffSolver
+from .controllers.transcription import TranscriptionMethod
+from .utils.config import BIG
 from .estimators import (StateEstimator, SteadyKalmanFilter, KalmanFilter,
                          UnscentedKalmanFilter, ExtendedKalmanFilter,
                          Luenberger, InternalModel, ManualEstimator,
