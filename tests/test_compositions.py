@@ -112,3 +112,41 @@ def test_kf_setmodel_covariances(linmodel):
     assert np.allclose(kf.R_hat, np.diag([2.0]))
     ctrl.preparestate([0])
     assert np.isfinite(ctrl.moveinput([1.0])).all()
+
+
+def test_all_mpcs_with_move_blocking():
+    """ExplicitMPC / LinMPC(SS,MS) / NonLinMPC(SS,MS; lin+nonlin model) agree
+    under the blocking vector Hc=[2,3,4,21] (reference test/3:1593-1634)."""
+    G = mpc.tf(10, [400, 1])
+    linmodel = mpc.LinModel(G, 100.0)
+    A, Bu, C = linmodel.A, linmodel.Bu, linmodel.C
+
+    def f(x, u, d, p):
+        return A @ x + Bu @ u
+
+    def h(x, d, p):
+        return C @ x
+
+    nonlinmodel = mpc.NonLinModel(f, h, 100.0, 1, 1, 1, solver=None)
+    kw = dict(Mwt=[1.0], Nwt=[0.0], Hp=30, Hc=[2, 3, 4, 21])
+    ctrls = [
+        mpc.ExplicitMPC(linmodel, **kw),
+        mpc.LinMPC(linmodel, transcription=mpc.SingleShooting(), **kw),
+        mpc.LinMPC(linmodel, transcription=mpc.MultipleShooting(), **kw),
+        mpc.NonLinMPC(linmodel, transcription=mpc.SingleShooting(), **kw),
+        mpc.NonLinMPC(linmodel, transcription=mpc.MultipleShooting(), **kw),
+        mpc.NonLinMPC(nonlinmodel, transcription=mpc.SingleShooting(), **kw),
+        mpc.NonLinMPC(nonlinmodel, transcription=mpc.MultipleShooting(), **kw),
+    ]
+    N = 12
+    plant = mpc.LinModel(G, 100.0)
+    U = np.zeros((len(ctrls), N))
+    for i in range(N):
+        y = plant.evaloutput()
+        for j, c in enumerate(ctrls):
+            c.preparestate(y)
+            U[j, i] = c.moveinput([5.0])[0]
+            c.updatestate([U[j, i]], y)
+        plant.updatestate([U[1, i]])
+    for j in range(1, len(ctrls)):
+        assert np.allclose(U[0], U[j], atol=1e-3), (j, U[0], U[j])

@@ -253,3 +253,66 @@ def test_lastu_and_manual_protocol(model):
     ctrl.preparestate([50, 30])
     u = ctrl.moveinput([50, 30])
     assert np.allclose(u, [10, 50], atol=1e-6)  # at op point, stay put
+
+
+def test_terminal_cost_equals_lqr():
+    """A DARE terminal weight M_end makes Hp=3 MPC equal to infinite-horizon
+    LQR (reference test/3_test_predictive_control.jl:498-528)."""
+    import scipy.linalg as sla
+    A = np.array([[0.5, -0.4], [0.6, 0.5]])
+    B = np.eye(2)
+    C = np.eye(2)
+    z2 = np.zeros((2, 0))
+    model = mpc.LinModel(A, B, C, z2, z2, 1.0)
+    Q, R = np.eye(2), 0.5 * np.eye(2)
+    M_end = sla.solve_discrete_are(A, B, Q, R)
+    K = np.linalg.solve(R + B.T @ M_end @ B, B.T @ M_end @ A)
+    M_Hp = np.block([[np.eye(4), np.zeros((4, 2))],
+                     [np.zeros((2, 4)), M_end]])
+    ctrl = mpc.LinMPC(model, Hp=3, Hc=3, M_Hp=M_Hp, Nwt=[0.0, 0.0],
+                      Lwt=[0.5, 0.5], nint_ym=0)
+    X_mpc = np.zeros((20, 2))
+    ctrl.estim.setstate([1.0, 1.0])
+    plant = mpc.LinModel(A, B, C, z2, z2, 1.0)
+    plant.setstate([1.0, 1.0])
+    for i in range(20):
+        y = plant.evaloutput()
+        ctrl.preparestate(y)
+        u = ctrl.moveinput([0.0, 0.0])
+        X_mpc[i] = plant.x0
+        plant.updatestate(u)
+        ctrl.updatestate(u, y)
+    X_lqr = np.zeros((20, 2))
+    x = np.array([1.0, 1.0])
+    for i in range(20):
+        u = -K @ x
+        X_lqr[i] = x
+        x = A @ x + B @ u
+    assert np.allclose(X_mpc, X_lqr, atol=1e-5)
+
+
+def test_manual_estimator_vs_default():
+    """LinMPC(ManualEstimator) fed from an external SKF equals
+    LinMPC(default SKF) exactly (reference test/3:211-238)."""
+    model = mpc.LinModel(mpc.tf(5, [2, 1]), 3.0)
+    model.setop(yop=[10.0])
+    r, outdist = [15.0], np.array([5.0])
+    mpc_man = mpc.LinMPC(mpc.ManualEstimator(model))
+    skf = mpc.SteadyKalmanFilter(model)
+    mpc_def = mpc.LinMPC(model)
+    plant = mpc.LinModel(mpc.tf(5, [2, 1]), 3.0)
+    plant.setop(yop=[10.0])
+    U_man, U_def = np.zeros(25), np.zeros(25)
+    for i in range(25):
+        ym = plant.evaloutput() - outdist
+        x_hat = skf.preparestate(ym)
+        mpc_man.estim.setstate(x_hat)
+        mpc_man.estim.prepared = True
+        mpc_def.preparestate(ym)
+        u_man = mpc_man.moveinput(r)
+        u_def = mpc_def.moveinput(r)
+        U_man[i], U_def[i] = u_man[0], u_def[0]
+        skf.updatestate(u_man, ym)
+        mpc_def.updatestate(u_def, ym)
+        plant.updatestate(u_man)
+    assert np.allclose(U_man, U_def, atol=1e-9)
