@@ -65,3 +65,27 @@ def test_slmpc_requires_nonlinmodel():
     m = mpc.LinModel(mpc.tf(1, [1, 1]), 1.0)
     with pytest.raises(TypeError):
         mpc.SLMPC(m)
+
+
+def test_slmpc_fleet_chunked():
+    """make_fleet_step chunks the vmap under lax.map: results must equal the
+    plain vmapped step, and any B that is a chunk multiple runs."""
+    pend = make_pendulum()
+    ctrl = mpc.SLMPC(pend, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                     sigmaQ=[0.1, 1.0], sigmaR=[5.0], sigmaQint_ym=[0.1])
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    B, CH = 8, 4
+    bounds = ctrl.bounds()
+    cstep = ctrl.make_fleet_step(B, chunk=CH)
+    vstep = jax.jit(jax.vmap(ctrl._make_step(), in_axes=(0, 0, 0, 0, None)))
+    st = ctrl.fleet_state(B)
+    rng = np.random.default_rng(1)
+    ym = jnp.asarray(rng.uniform(-20, 20, (B, 1)))
+    ry = jnp.full((B, 1), 90.0)
+    d = jnp.zeros((B, 0))
+    u_c, conv_c, st_c = cstep(st, ym, ry, d, bounds)
+    u_v, conv_v, st_v = vstep(st, ym, ry, d, bounds)
+    assert np.allclose(np.asarray(u_c), np.asarray(u_v), atol=1e-10)
+    assert np.array_equal(np.asarray(conv_c), np.asarray(conv_v))
+    with pytest.raises(ValueError):
+        ctrl.make_fleet_step(10, chunk=4)
