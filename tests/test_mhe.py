@@ -210,3 +210,34 @@ def test_mhe_time_varying_bounds():
     W = mhe.getinfo()["What"].reshape(He, nx)
     assert np.all(np.abs(W[-1]) <= 1e-5)       # newest slot pinned
     assert np.any(np.abs(W[:-1]) > 1e-4)       # older slots still absorb noise
+
+
+def test_mhe_setmodel_tracks_new_model():
+    """After setmodel the MHE matches a KalmanFilter built on the new model
+    (reference test/2:1668-1749 'MHE set model')."""
+    z = np.zeros((1, 0))
+    m1 = mpc.LinModel(np.array([[0.5]]), np.array([[1.0]]), np.array([[1.0]]),
+                      z, z, 1.0)
+    m2 = mpc.LinModel(np.array([[0.8]]), np.array([[0.6]]), np.array([[1.0]]),
+                      z, z, 1.0)
+    mhe = mpc.MovingHorizonEstimator(m1, He=3, nint_ym=[1])
+    kf = mpc.KalmanFilter(m2, nint_ym=[1])
+    # run a bit on the old model, then swap
+    for k in range(3):
+        mhe.preparestate([0.3])
+        mhe.updatestate([0.5], [0.3])
+    mhe.setmodel(m2)
+    kf.setstate(mhe.x0_hat + mhe.xop_hat, mhe.P_arr)
+    plant = mpc.LinModel(np.array([[0.8]]), np.array([[0.6]]),
+                         np.array([[1.0]]), z, z, 1.0)
+    plant.setstate([0.7])
+    # both estimators must converge to the same trajectory on the new plant
+    for k in range(50):
+        y = plant.evaloutput()
+        x_m = mhe.preparestate(y)
+        x_k = kf.preparestate(y)
+        mhe.updatestate([0.4], y)
+        kf.updatestate([0.4], y)
+        plant.updatestate([0.4])
+    assert np.allclose(mhe.evaloutput(), plant.evaloutput(), atol=5e-5)
+    assert np.allclose(x_m, x_k, atol=5e-4)
