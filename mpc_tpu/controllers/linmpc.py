@@ -425,6 +425,17 @@ class LinMPC(PredictiveController):
         info["Rhaty"] = info["R̂y"] = self.R_hat_y
         info["Rhatu"] = info["R̂u"] = self.R_hat_u
         info["lastu"] = lastu0 + model.uop
+        # current output estimate ŷ and stochastic predictions Ŷs
+        # (execute.jl:179-182)
+        d_now = self._last.get("d")
+        info["yhat"] = info["ŷ"] = np.asarray(
+            estim.evaloutput(d_now if model.nd else None), float)
+        if isinstance(estim, InternalModel):
+            info["Yhats"] = info["Ŷs"] = np.asarray(
+                self.params["Ks"] @ estim.xs_hat
+                + self.params["Ps"] @ estim.ys_hat)
+        else:
+            info["Yhats"] = info["Ŷs"] = np.zeros(ny * self.Hp)
         # terminal state x̂(k+Hp) = ẽx̂ Z̃ + fx̂ (linconstraint!, :806-821)
         x0s = self._last.get("x0_hat")
         if x0s is not None:
