@@ -757,6 +757,14 @@ class NonLinMPC(PredictiveController):
         info["Rhaty"] = info["R̂y"] = getattr(self, "R_hat_y", None)
         info["Rhatu"] = info["R̂u"] = getattr(self, "R_hat_u", None)
         info["xhat"] = info["x̂"] = self.estim.x0_hat + self.estim.xop_hat
+        estim = self.estim
+        d_now = self._last.get("d")
+        info["yhat"] = info["ŷ"] = np.asarray(
+            estim.evaloutput(d_now if model.nd else None), float)
+        if isinstance(estim, InternalModel):
+            info["Yhats"] = info["Ŷs"] = np.asarray(self.params["Ys_now"])
+        else:
+            info["Yhats"] = info["Ŷs"] = np.zeros(model.ny * self.Hp)
         return info
 
     def __repr__(self):
