@@ -82,6 +82,11 @@ class SimResult:
             if plotry and self.Ry_data is not None:
                 ax.plot(self.T_data, self.Ry_data[:, i], "--",
                         label=f"$r_{{{i+1}}}$")
+            if (self.Y_est_data is not None
+                    and not isinstance(self.obj, PredictiveController)):
+                # estimator run: overlay the output estimate ŷ
+                ax.plot(self.T_data, self.Y_est_data[:, i], ":",
+                        label=f"$\\hat{{y}}_{{{i+1}}}$")
             if plotymax and ymax is not None and np.isfinite(ymax[i]):
                 ax.axhline(ymax[i], color="r", ls=":")
             if plotymin and ymin is not None and np.isfinite(ymin[i]):
