@@ -138,3 +138,27 @@ def test_resampling():
     sys_d = lti.c2d_zoh(lti.StateSpace(-0.1, 1.0, 1.0, 0.0), 1.0)
     m = mpc.LinModel(sys_d, 2.0)
     assert np.isclose(m.A[0, 0], np.exp(-0.2), atol=1e-9)
+
+
+def test_savetime_periodsleep():
+    """Soft real-time pacing (sim_model.jl:287-338): periodsleep waits out
+    the remainder of the sample period from the last savetime mark."""
+    import time
+    z = np.zeros((1, 0))
+    m = mpc.LinModel(np.array([[0.5]]), np.array([[1.0]]), np.array([[1.0]]),
+                     z, z, 0.05)
+    t0 = m.savetime()
+    m.periodsleep()
+    el1 = time.time() - t0
+    assert 0.04 <= el1 < 0.5          # waited ≈ Ts (load tolerant)
+    # a period that is already exceeded must not sleep
+    m.savetime()
+    time.sleep(0.06)
+    t1 = time.time()
+    m.periodsleep()
+    assert time.time() - t1 < 0.02
+    # busy-wait flavor
+    m.savetime()
+    t2 = time.time()
+    m.periodsleep(busywait=True)
+    assert 0.04 <= time.time() - t2 < 0.5
