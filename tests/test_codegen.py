@@ -93,3 +93,41 @@ def test_c_export_guards():
     ctrl = mpc.LinMPC(m, Hp=5, Hc=2, transcription=mpc.MultipleShooting())
     with pytest.raises(ValueError):
         export_c(ctrl)
+
+
+@pytest.mark.skipif(gcc is None, reason="no C compiler")
+def test_c_export_luenberger():
+    """Luenberger shares the constant-gain observer form: the generated C
+    tracks the JAX pipeline exactly."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    lo = mpc.Luenberger(m, nint_ym=[1], poles=[0.4, 0.45])
+    ctrl = mpc.LinMPC(lo, Hp=10, Hc=2)
+    ctrl.setconstraint(umax=[2.0])
+    src = export_c(ctrl, name="luen")
+    lib = compile_and_load(src, name="luen")
+
+    class State(ctypes.Structure):
+        nx, nu = ctrl.estim.nx_hat, 1
+        nz, mr = ctrl.nZt, ctrl.A_stack.shape[0]
+        _fields_ = [("xhat", ctypes.c_double * nx),
+                    ("lastu0", ctypes.c_double * nu),
+                    ("z", ctypes.c_double * nz),
+                    ("zd", ctypes.c_double * mr),
+                    ("yd", ctypes.c_double * mr)]
+
+    st = State()
+    lib.luen_init(ctypes.byref(st))
+    u_c = (ctypes.c_double * 1)()
+    d_dummy = (ctypes.c_double * 1)()
+    plant = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    for k in range(20):
+        y = float(plant.evaloutput()[0])
+        ctrl.preparestate([y])
+        u_py = ctrl.moveinput([2.5])
+        ctrl.updatestate(u_py, [y])
+        ym = (ctypes.c_double * 1)(y)
+        ryv = (ctypes.c_double * 1)(2.5)
+        lib.luen_step(ctypes.byref(st), ym, ryv, d_dummy, u_c)
+        assert abs(u_c[0] - u_py[0]) < 2e-4, (k, u_c[0], u_py[0])
+        assert u_py[0] <= 2.0 + 1e-8
+        plant.updatestate(u_py)
