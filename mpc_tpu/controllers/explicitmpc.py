@@ -122,6 +122,17 @@ class ExplicitMPC(PredictiveController):
         Y0 = self.params["E"] @ Z + self._last["F"]
         info["Yhat"] = info["Ŷ"] = Y0 + self.Yop
         info["xhat"] = info["x̂"] = self.estim.x0_hat + self.estim.xop_hat
+        info["yhat"] = info["ŷ"] = np.asarray(
+            self.estim.evaloutput(self._last.get("d")
+                                  if self.estim.model.nd else None), float)
+        # objective value from the tracking terms (execute.jl:172)
+        w = self.weights
+        ey = Y0 + self.Yop - self._last["R_hat_y"]
+        eu = U0 + self.Uop - self._last["R_hat_u"]
+        DU = info["DeltaU"]
+        info["J"] = float(ey @ w.M_Hp @ ey + DU @ w.N_Hc @ DU
+                          + eu @ w.L_Hp @ eu)
+        info["lastu"] = self.lastu0_at_solve + self.estim.model.uop
         return info
 
     def __repr__(self):
