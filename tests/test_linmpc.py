@@ -360,3 +360,17 @@ def test_measured_disturbance_feedforward():
     e_ff, e_fb = run(True), run(False)
     assert e_ff < 0.5 * e_fb
     assert e_ff < 1.0
+
+
+def test_bumpless_transfer():
+    """initstate from the manual-mode (u, ym) steady pair gives a first
+    automatic move equal to the manual input (reference README 'Bumpless
+    Transfer'; execute.jl:208-259)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2)
+    u_man = np.array([0.7])
+    y_ss = 3.0 * 0.7                      # DC gain 3
+    ctrl.initstate(u_man, [y_ss])
+    ctrl.preparestate([y_ss])
+    u = ctrl.moveinput([y_ss], lastu=u_man)
+    assert np.allclose(u, u_man, atol=1e-6), u
