@@ -160,7 +160,7 @@ def test_setpoint_preview(model):
     assert ctrl.getinfo()["Yhat"][-1] > 4.0
 
 
-def test_measured_disturbance_feedforward():
+def test_constant_measured_disturbance_tracking():
     G = np.array([[mpc.tf(3, [30, 1]), mpc.tf(-2, [5, 1])]], dtype=object)
     m = mpc.LinModel(G, 1.0, i_d=[1])
     ctrl = mpc.LinMPC(m, Hp=20, Hc=2)
@@ -374,3 +374,49 @@ def test_bumpless_transfer():
     ctrl.preparestate([y_ss])
     u = ctrl.moveinput([y_ss], lastu=u_man)
     assert np.allclose(u, u_man, atol=1e-6), u
+
+
+def test_time_varying_output_bound():
+    """Capital-form Ymax: a bound tight only over the first prediction steps
+    forces the predicted trajectory to respect each step's own value
+    (ref construct.jl:324-559 time-varying setconstraint!)."""
+    m = mpc.LinModel(mpc.tf(2, [5, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=5, Cwt=np.inf, Nwt=[0.05])
+    Ymax = np.full(10, np.inf)
+    Ymax[:4] = 0.6  # tight early, free later
+    ctrl.setconstraint(Ymax=Ymax)
+    ctrl.preparestate([0.0])
+    ctrl.moveinput([2.0])
+    Yhat = ctrl.getinfo()["Yhat"]
+    assert np.all(Yhat[:4] <= 0.6 + 1e-5)
+    # the bound actually binds early and is exceeded later (so the per-step
+    # form is really in effect, not a scalar min over the horizon)
+    assert Yhat[3] > 0.6 - 1e-3
+    assert Yhat[-1] > 0.6 + 1e-3
+
+
+def test_time_varying_input_bound_ramp():
+    """Capital-form Umax ramp: the planned input saturates each step's own
+    bound when the setpoint calls for more."""
+    m = mpc.LinModel(mpc.tf(1, [2, 1]), 1.0)
+    Hp, Hc = 8, 8
+    ctrl = mpc.LinMPC(m, Hp=Hp, Hc=Hc, Cwt=np.inf, Nwt=[0.0])
+    Umax = 0.1 + 0.1 * np.arange(Hp)  # 0.1, 0.2, ... 0.8
+    ctrl.setconstraint(Umax=Umax, umin=[-10.0])
+    ctrl.preparestate([0.0])
+    ctrl.moveinput([50.0])  # far setpoint: wants max input everywhere
+    U = ctrl.getinfo()["U"]
+    assert np.allclose(U, Umax, atol=1e-4)
+
+
+def test_time_varying_dumax():
+    """Capital-form DUmax over Hc: per-move rate limits are honoured."""
+    m = mpc.LinModel(mpc.tf(1, [2, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=3, Cwt=np.inf, Nwt=[0.0])
+    DUmax = np.array([0.2, 0.1, 0.05])
+    ctrl.setconstraint(DUmax=DUmax, DUmin=-DUmax, umax=[10.0], umin=[-10.0])
+    ctrl.preparestate([0.0])
+    ctrl.moveinput([50.0])
+    DU = ctrl.getinfo()["DeltaU"]
+    assert np.all(DU <= DUmax + 1e-6)
+    assert np.allclose(DU, DUmax, atol=1e-4)  # all moves saturate their own cap
