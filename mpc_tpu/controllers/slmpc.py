@@ -84,6 +84,7 @@ class SLMPC(PredictiveController):
                           ydual=jnp.zeros(2 * nu * self.Hp + 2 * nu * self.Hc
                                           + 2 * ny * self.Hp + self.n_eps))
         self._step = jax.jit(self._make_step())
+        self._bounds_cache = None
 
     def setconstraint(self, umin=None, umax=None, dumin=None, dumax=None,
                       ymin=None, ymax=None):
@@ -94,6 +95,7 @@ class SLMPC(PredictiveController):
                 arr[:] = np.clip(np.nan_to_num(np.asarray(v, float),
                                                posinf=BIG, neginf=-BIG),
                                  -BIG, BIG)
+        self._bounds_cache = None  # re-upload on next step
         return self
 
     # ------------------------------------------------------------------
@@ -273,9 +275,15 @@ class SLMPC(PredictiveController):
 
     # ------------------------------------------------------------------
     def bounds(self):
-        return dict(umin=jnp.array(self.umin), umax=jnp.array(self.umax),
-                    dumin=jnp.array(self.dumin), dumax=jnp.array(self.dumax),
-                    ymin=jnp.array(self.ymin), ymax=jnp.array(self.ymax))
+        # device-resident cache: rebuilding six arrays per control period is
+        # pure host↔device overhead (0.4 ms/step on CPU); setconstraint
+        # invalidates it
+        if getattr(self, "_bounds_cache", None) is None:
+            self._bounds_cache = dict(
+                umin=jnp.array(self.umin), umax=jnp.array(self.umax),
+                dumin=jnp.array(self.dumin), dumax=jnp.array(self.dumax),
+                ymin=jnp.array(self.ymin), ymax=jnp.array(self.ymax))
+        return self._bounds_cache
 
     def moveinput_closed(self, ym, ry, d=None):
         """One full control period: EKF correct → linearize → QP → predict.

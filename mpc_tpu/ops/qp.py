@@ -82,7 +82,8 @@ def _ruiz_equilibrate(P, q, A, iters=10):
 def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
              sigma=1e-6, rho=0.1, alpha=1.6,
              max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
-             scaling=10, polish=True, polish_iters=3, polish_delta=1e-9):
+             scaling=10, polish=True, polish_iters=3, polish_delta=1e-11,
+             polish_rounds=2):
     """Solve one dense QP.  jit- and vmap-compatible (static shapes only).
 
     Matmuls run at full float32 precision: the TPU MXU's default reduced
@@ -94,13 +95,15 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
                               tol_final=tol_final, check_every=check_every,
                               scaling=scaling, polish=polish,
                               polish_iters=polish_iters,
-                              polish_delta=polish_delta)
+                              polish_delta=polish_delta,
+                              polish_rounds=polish_rounds)
 
 
 def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                    sigma=1e-6, rho=0.1, alpha=1.6,
                    max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
-                   scaling=10, polish=True, polish_iters=3, polish_delta=1e-9):
+                   scaling=10, polish=True, polish_iters=3, polish_delta=1e-11,
+                   polish_rounds=2):
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
@@ -128,9 +131,14 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         Esc = jnp.ones(m, dt)
         c = jnp.asarray(1.0, dt)
 
-    rhov = _rho_vec(l, u, jnp.asarray(rho, dt))
-    M = P + sigma * jnp.eye(n, dtype=dt) + (A.T * rhov) @ A
-    L = jax.scipy.linalg.cho_factor(M, lower=True)
+    def factorize(rho_s):
+        rhov = _rho_vec(l, u, rho_s)
+        M = P + sigma * jnp.eye(n, dtype=dt) + (A.T * rhov) @ A
+        Lm, _ = jax.scipy.linalg.cho_factor(M, lower=True)
+        return rhov, Lm
+
+    rho_s = jnp.asarray(rho, dt)
+    rhov, Lm = factorize(rho_s)
 
     z = jnp.clip(A @ x, l, u)
 
@@ -138,15 +146,15 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     qnorm = jnp.maximum(jnp.linalg.norm(q, jnp.inf), 1.0)
 
     def admm_step(carry):
-        x, z, y, it, _ = carry
+        x, z, y, it, _, rhov, Lm = carry
         rhs = sigma * x - q + A.T @ (rhov * z - y)
-        xt = jax.scipy.linalg.cho_solve(L, rhs)
+        xt = jax.scipy.linalg.cho_solve((Lm, True), rhs)
         zt = A @ xt
         xn = alpha * xt + (1 - alpha) * x
         z_pre = alpha * zt + (1 - alpha) * z
         zn = jnp.clip(z_pre + y / rhov, l, u)
         yn = y + rhov * (z_pre - zn)
-        return xn, zn, yn, it + 1, jnp.array(False)
+        return xn, zn, yn, it + 1, jnp.array(False), rhov, Lm
 
     def residuals(x, z, y):
         Ax = A @ x
@@ -159,16 +167,15 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         return r_prim / s_prim, r_dual / s_dual
 
     def cond(carry):
-        x, z, y, it, done, infeas = carry
-        return (~done) & (it < max_iter)
+        return (~carry[4]) & (carry[3] < max_iter)
 
     def body(carry):
         # run `check_every` ADMM steps then test residuals + infeasibility
-        x0_, z0_, y0_, it0, done0, infeas0 = carry
+        x0_, z0_, y0_, it0, done0, infeas0, rho0_, rhov0, Lm0 = carry
         def inner(i, c):
             return admm_step(c)
-        x, z, y, it, _ = jax.lax.fori_loop(
-            0, check_every, inner, (x0_, z0_, y0_, it0, done0))
+        x, z, y, it, _, _, _ = jax.lax.fori_loop(
+            0, check_every, inner, (x0_, z0_, y0_, it0, done0, rhov0, Lm0))
         rp, rd = residuals(x, z, y)
         done = (rp < tol) & (rd < tol)
         # OSQP §3.4 primal-infeasibility certificate from the dual direction
@@ -179,14 +186,26 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                       + jnp.where(dy < 0, jnp.maximum(l, -1e17) * dy, 0.0))
         crit2 = sup < -1e-5 * ndy
         infeas = infeas0 | ((ndy > 1e-12) & crit1 & crit2)
-        return (x, z, y, it, done | infeas, infeas)
+        # OSQP §5.2 adaptive ρ: rebalance primal/dual residuals; the Cholesky
+        # refactorization runs only when the ratio drifts past 5× (lax.cond —
+        # vmapped callers pay it every check, unbatched callers only on adapt)
+        ratio = jnp.sqrt((rp + 1e-18) / (rd + 1e-18))
+        rho_new = jnp.clip(rho0_ * ratio, 1e-6, 1e6)
+        adapt = (~done) & ~infeas & ((rho_new > 5.0 * rho0_) |
+                                     (rho_new < rho0_ / 5.0))
+        rho_next = jnp.where(adapt, rho_new, rho0_)
+        rhov, Lm = jax.lax.cond(adapt, factorize, lambda _: (rhov0, Lm0),
+                                rho_next)
+        return (x, z, y, it, done | infeas, infeas, rho_next, rhov, Lm)
 
-    x, z, y, iters, done, infeasible = jax.lax.while_loop(
-        cond, body, (x, z, y, jnp.array(0), jnp.array(False), jnp.array(False)))
+    x, z, y, iters, done, infeasible, rho_s, rhov, Lm = jax.lax.while_loop(
+        cond, body, (x, z, y, jnp.array(0), jnp.array(False), jnp.array(False),
+                     rho_s, rhov, Lm))
 
     if polish:
         x, y, z = _polish(P, q, A, l, u, x, y, rhov,
-                          iters=polish_iters, delta=polish_delta)
+                          iters=polish_iters, delta=polish_delta,
+                          rounds=polish_rounds)
 
     # convergence assessed on the final (post-polish) KKT residuals: the ADMM
     # loop only needs to identify the active set; polish supplies accuracy.
@@ -200,8 +219,16 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     return QPSolution(x, y, z, converged, iters, obj)
 
 
-def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-9):
-    """Active-set polish with masked static-shape KKT + iterative refinement.
+def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-11, rounds=2):
+    """Iterated active-set polish with masked static-shape KKT + refinement.
+
+    The active set is detected from BOTH the dual signs and primal proximity
+    (|Ax − bound| below a row-scaled tolerance): on nearly-flat QPs (condensed
+    MPC of an unstable plant, cond(H) ≳ 1e6) the ADMM duals alone misidentify
+    the set and the objective gap, though relatively tiny, moves the first
+    control input by O(1).  A second round re-detects the set from the first
+    polished point, which empirically recovers the exact optimum (OSQP §5.2
+    polish, generalized to multiple rounds).
 
     For float32 inputs the refinement residual is accumulated in float64
     (classic mixed-precision IR): the hot factorization stays f32/TPU-native,
@@ -209,38 +236,53 @@ def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-9):
     """
     n, m = q.shape[0], l.shape[0]
     dt = q.dtype
-    act_low = (y < -delta) & (l > -_BIG)
-    act_up = (y > delta) & (u < _BIG)
-    act = act_low | act_up
-    b = jnp.where(act_low, l, u)
-    actf = act.astype(dt)
-    Am = A * actf[:, None]
-    # K = [[P+δI, Amᵀ], [Am, -δI - diag(1-act)]]
-    K = jnp.block([
-        [P + delta * jnp.eye(n, dtype=dt), Am.T],
-        [Am, -delta * jnp.eye(m, dtype=dt) - jnp.diag(1.0 - actf)],
-    ])
-    lu = jax.scipy.linalg.lu_factor(K)
-    rhs = jnp.concatenate([-q, actf * b])
-
     hi = jnp.float64 if (dt == jnp.float32 and
                          jax.config.jax_enable_x64) else dt
-    P_h, Am_h, q_h = P.astype(hi), Am.astype(hi), q.astype(hi)
-    actf_h, b_h = actf.astype(hi), b.astype(hi)
+    P_h, q_h = P.astype(hi), q.astype(hi)
+    prox = 1e-5 if dt == jnp.float32 else 1e-7
+    absA = jnp.abs(A)
 
-    def refine(i, sol):
-        # residual of the UNregularized system, accumulated in high precision
-        xs, nu = sol[:n].astype(hi), sol[n:].astype(hi)
-        res_top = P_h @ xs + Am_h.T @ nu + q_h
-        res_bot = Am_h @ xs - (1.0 - actf_h) * nu - actf_h * b_h
-        res = -jnp.concatenate([res_top, res_bot]).astype(dt)
-        dsol = jax.scipy.linalg.lu_solve(lu, res)
-        return sol + dsol
+    def one_round(x, y):
+        z = A @ x
+        row_scale = jnp.maximum(absA @ jnp.abs(x) + 1e-12, 1.0)
+        tol_p = prox * row_scale
+        act_low = (((z - l) < tol_p) | (y < -delta)) & (l > -_BIG)
+        act_up = (((u - z) < tol_p) | (y > delta)) & (u < _BIG)
+        act_low = act_low & ~act_up
+        act = act_low | act_up
+        b = jnp.where(act_low, l, u)
+        actf = act.astype(dt)
+        Am = A * actf[:, None]
+        # K = [[P+δI, Amᵀ], [Am, -δI - diag(1-act)]]
+        K = jnp.block([
+            [P + delta * jnp.eye(n, dtype=dt), Am.T],
+            [Am, -delta * jnp.eye(m, dtype=dt) - jnp.diag(1.0 - actf)],
+        ])
+        lu = jax.scipy.linalg.lu_factor(K)
+        rhs = jnp.concatenate([-q, actf * b])
+        Am_h, actf_h, b_h = Am.astype(hi), actf.astype(hi), b.astype(hi)
 
-    sol0 = jax.scipy.linalg.lu_solve(lu, rhs)
-    sol = jax.lax.fori_loop(0, iters, refine, sol0)
-    x_pol, nu = sol[:n], sol[n:]
-    y_pol = jnp.where(act, nu, 0.0)
+        def refine(i, sol):
+            # residual of the UNregularized system, in high precision
+            xs, nu = sol[:n].astype(hi), sol[n:].astype(hi)
+            res_top = P_h @ xs + Am_h.T @ nu + q_h
+            res_bot = Am_h @ xs - (1.0 - actf_h) * nu - actf_h * b_h
+            res = -jnp.concatenate([res_top, res_bot]).astype(dt)
+            dsol = jax.scipy.linalg.lu_solve(lu, res)
+            return sol + dsol
+
+        sol0 = jax.scipy.linalg.lu_solve(lu, rhs)
+        sol = jax.lax.fori_loop(0, iters, refine, sol0)
+        x_r, nu = sol[:n], sol[n:]
+        y_r = jnp.where(act, nu, 0.0)
+        ok = jnp.all(jnp.isfinite(x_r)) & jnp.all(jnp.isfinite(y_r))
+        x_r = jnp.where(ok, x_r, x)
+        y_r = jnp.where(ok, y_r, y)
+        return x_r, y_r
+
+    x_pol, y_pol = x, y
+    for _ in range(rounds):
+        x_pol, y_pol = one_round(x_pol, y_pol)
     z_pol = jnp.clip(A @ x_pol, l, u)
 
     # accept polish only if it does not violate feasibility/optimality more
