@@ -232,3 +232,75 @@ def test_estimator_setmodel_public_api():
                       np.zeros((1, 0)), np.zeros((1, 0)), 1.0)
     with pytest.raises(ValueError):
         kf.setmodel(m3)
+
+
+def test_partial_measurement_i_ym():
+    """Only output 0 measured (i_ym=[0]): estimator reconstructs the full
+    output vector and the MPC still tracks consistent setpoints
+    (ref estimator/construct.jl i_ym handling)."""
+    G = np.array([[mpc.tf(2, [8, 1])], [mpc.tf(4, [3, 1])]], dtype=object)
+    m = mpc.LinModel(G, 1.0)
+    kf = mpc.KalmanFilter(m, i_ym=[0])
+    assert kf.nym == 1 and kf.nyu == 1
+    # default_nint adds one integrator for the single measured output
+    assert kf.nx_hat == m.nx + 1
+    ctrl = mpc.LinMPC(mpc.KalmanFilter(mpc.LinModel(G, 1.0), i_ym=[0]),
+                      Hp=15, Hc=2)
+    res = mpc.sim(ctrl, 50, [1.0, 2.0])  # consistent: u=0.5 gives [1, 2]
+    assert np.allclose(res.Y_data[-1], [1.0, 2.0], atol=1e-3)
+
+
+def test_partial_measurement_estimator_equivalences():
+    """EKF == KF and UKF ~= KF also hold with a measured-output subset."""
+    G = np.array([[mpc.tf(2, [8, 1])], [mpc.tf(4, [3, 1])]], dtype=object)
+    m = mpc.LinModel(G, 1.0)
+
+    def wrap(model):
+        import jax.numpy as jnp
+        A, Bu, C = map(jnp.asarray, (model.A, model.Bu, model.C))
+        f = lambda x, u, d, p: A @ x + Bu @ u
+        h = lambda x, d, p: C @ x
+        return mpc.NonLinModel(f, h, model.Ts, model.nu, model.nx, model.ny,
+                                solver=None)
+
+    kf = mpc.KalmanFilter(m, i_ym=[1], sigmaQ=[0.5] * m.nx, sigmaR=[0.3])
+    ekf = mpc.ExtendedKalmanFilter(wrap(m), i_ym=[1], sigmaQ=[0.5] * m.nx,
+                                   sigmaR=[0.3])
+    ukf = mpc.UnscentedKalmanFilter(wrap(m), i_ym=[1], sigmaQ=[0.5] * m.nx,
+                                    sigmaR=[0.3])
+    rng = np.random.default_rng(3)
+    for k in range(25):
+        ym = [float(rng.normal())]
+        u = [float(rng.normal())]
+        kf.preparestate(ym)
+        ekf.preparestate(ym)
+        ukf.preparestate(ym)
+        xk = kf.updatestate(u, ym)
+        xe = ekf.updatestate(u, ym)
+        xu = ukf.updatestate(u, ym)
+        assert np.allclose(xk, xe, atol=1e-9), k
+        assert np.allclose(xk, xu, atol=1e-6), k
+
+
+def test_partial_measurement_mhe_matches_kf():
+    """MHE == KF equivalence holds with i_ym=[1] as well (seeded arrival
+    covariance, filter form — same recipe as test_mhe_vs_kf_direct_true)."""
+    G = np.array([[mpc.tf(2, [8, 1])], [mpc.tf(4, [3, 1])]], dtype=object)
+    m = mpc.LinModel(G, 1.0)
+    rng = np.random.default_rng(5)
+    kf = mpc.KalmanFilter(m, i_ym=[1], nint_ym=0, direct=True,
+                          sigmaQ=[0.5] * m.nx, sigmaR=[0.3])
+    kf.preparestate([0.0])  # zero deviation: information-free correction
+    P_corr = kf.P_hat.copy()
+    mhe = mpc.MovingHorizonEstimator(
+        mpc.LinModel(G, 1.0), He=3, i_ym=[1], nint_ym=0, direct=True,
+        sigmaQ=[0.5] * m.nx, sigmaR=[0.3], P0_hat=P_corr)
+    kf.updatestate([0.0], [0.0])  # zero deviation: no-op in deviation space
+    for i in range(8):
+        ym = [0.5 + float(rng.normal())]
+        u = [float(rng.normal())]
+        x1 = mhe.preparestate(ym)
+        x2 = kf.preparestate(ym)
+        assert np.allclose(x1, x2, atol=1e-6, rtol=1e-6), i
+        mhe.updatestate(u, ym)
+        kf.updatestate(u, ym)
