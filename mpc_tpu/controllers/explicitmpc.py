@@ -68,6 +68,13 @@ class ExplicitMPC(PredictiveController):
         self.Yop = np.tile(model.yop, Hp)
         self.Dop = np.tile(model.dop, Hp)
 
+    def setconstraint(self, **kw):
+        """ExplicitMPC solves the unconstrained QP analytically — constraints
+        are not supported (reference explicitmpc.jl: no setconstraint!
+        method; use LinMPC for constrained problems)."""
+        raise NotImplementedError(
+            "ExplicitMPC does not support constraints; use LinMPC instead")
+
     def setmodel(self, model=None, Mwt=None, Nwt=None, Lwt=None, **cov):
         """Hot-swap the plant model (explicitmpc.jl setmodel! support)."""
         from .linmpc import _setmodel_estimator

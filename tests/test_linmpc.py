@@ -420,3 +420,21 @@ def test_time_varying_dumax():
     DU = ctrl.getinfo()["DeltaU"]
     assert np.all(DU <= DUmax + 1e-6)
     assert np.allclose(DU, DUmax, atol=1e-4)  # all moves saturate their own cap
+
+
+def test_explicitmpc_rejects_constraints():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.ExplicitMPC(m, Hp=10, Hc=2)
+    with pytest.raises(NotImplementedError):
+        ctrl.setconstraint(umax=[1.0])
+
+
+def test_input_integrator_offset_free():
+    """nint_u input integrators reject an unmeasured INPUT disturbance
+    (ref estimator/construct.jl init_integrators nint_u path)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    kf = mpc.KalmanFilter(m, nint_u=[1], nint_ym=[0])
+    assert kf.nint_u == [1] and kf.nx_hat == m.nx + 1
+    ctrl = mpc.LinMPC(kf, Hp=20, Hc=2)
+    res = mpc.sim(ctrl, 80, [2.0], u_step=[0.4])  # load on the plant input
+    assert np.allclose(res.Y_data[-1], [2.0], atol=1e-3)
