@@ -32,15 +32,8 @@ def main():
 
     t0 = time.time()
     ctrls = random_cstr_controllers(n_distinct, Hp=10, Hc=2, seed=0)
-    bat = BatchedLinMPC(ctrls, dtype=jnp.float32)
-    # tile distinct scenarios to the full batch
-    if reps_tile > 1:
-        tile = lambda t: jax.tree.map(
-            lambda a: jnp.tile(a, (reps_tile,) + (1,) * (a.ndim - 1)), t)
-        bat.params = tile(bat.params)
-        bat.eparams = tile(bat.eparams)
-        bat.state = tile(bat.state)
-        bat.B = B_total
+    # tile distinct scenarios to the full batch host-side, single upload
+    bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=reps_tile)
     construct_s = time.time() - t0
 
     rng = np.random.default_rng(1)

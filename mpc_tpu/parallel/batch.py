@@ -22,25 +22,28 @@ from ..controllers.linmpc import LinMPC
 
 
 def stack_params(controllers):
-    """Stack the params pytrees of several same-shaped controllers."""
+    """Stack the params pytrees of several same-shaped controllers (host
+    NumPy — upload happens once, in ``BatchedLinMPC.__init__``: on a
+    tunneled TPU every eager device op costs a network round trip)."""
     keys = controllers[0].params.keys()
-    return {k: jnp.asarray(np.stack([np.asarray(c.params[k]) for c in controllers]))
+    return {k: np.stack([np.asarray(c.params[k]) for c in controllers])
             for k in keys}
 
 
 def estimator_params(controllers):
-    """Stacked SteadyKalmanFilter matrices for the batched feedback path."""
+    """Stacked SteadyKalmanFilter matrices for the batched feedback path
+    (host NumPy, see stack_params)."""
     def g(attr):
-        return jnp.asarray(np.stack([np.asarray(getattr(c.estim, attr))
-                                     for c in controllers]))
+        return np.stack([np.asarray(getattr(c.estim, attr))
+                         for c in controllers])
     return dict(K_hat=g("K_hat"), A_hat=g("A_hat"), Bu_hat=g("Bu_hat"),
                 Cm_hat=g("Cm_hat"), Ddm_hat=g("Ddm_hat"), Bd_hat=g("Bd_hat"),
-                fop_m_xop=jnp.asarray(np.stack(
-                    [c.estim.fop_hat - c.estim.xop_hat for c in controllers])),
-                yop_m=jnp.asarray(np.stack(
-                    [c.estim.model.yop[c.estim.i_ym] for c in controllers])),
-                uop=jnp.asarray(np.stack([c.estim.model.uop for c in controllers])),
-                dop=jnp.asarray(np.stack([c.estim.model.dop for c in controllers])))
+                fop_m_xop=np.stack(
+                    [c.estim.fop_hat - c.estim.xop_hat for c in controllers]),
+                yop_m=np.stack(
+                    [c.estim.model.yop[c.estim.i_ym] for c in controllers]),
+                uop=np.stack([c.estim.model.uop for c in controllers]),
+                dop=np.stack([c.estim.model.dop for c in controllers]))
 
 
 class BatchedLinMPC:
@@ -53,35 +56,45 @@ class BatchedLinMPC:
     """
 
     def __init__(self, controllers: list[LinMPC], mesh: Mesh | None = None,
-                 dtype=None):
+                 dtype=None, reps: int = 1):
+        """``reps`` tiles every scenario ``reps`` times along the batch axis
+        (host-side, before the single device upload) — the cheap way to build
+        a large lockstep fleet from few distinct scenarios."""
         c0 = controllers[0]
-        self.B = len(controllers)
+        self.B = len(controllers) * reps
         self.nu = c0.estim.model.nu
         self.nym = c0.estim.nym
         self.nd = c0.estim.model.nd
         self.Hp = c0.Hp
-        self.params = stack_params(controllers)
-        self.eparams = estimator_params(controllers)
-        if dtype is not None:
-            cast = lambda t: jax.tree.map(
-                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
-            self.params = cast(self.params)
-            self.eparams = cast(self.eparams)
-        dt = self.params["H"].dtype
-        self.state = dict(
-            x0_hat=jnp.zeros((self.B, c0.estim.nx_hat), dt),
-            lastu0=jnp.zeros((self.B, self.nu), dt),
-            Z_tilde=jnp.zeros((self.B, c0.nZt), dt),
-            y_dual=jnp.zeros((self.B, c0.A_stack.shape[0]), dt),
+        params = stack_params(controllers)
+        eparams = estimator_params(controllers)
+        # cast + tile on host: every eager device op on a tunneled TPU costs
+        # a network round trip, so all shaping happens in NumPy and the trees
+        # ship in ONE device_put below
+        np_dt = np.dtype(dtype) if dtype is not None else None
+        def prep(a):
+            if np_dt is not None and np.issubdtype(a.dtype, np.floating):
+                a = a.astype(np_dt)
+            if reps > 1:
+                a = np.tile(a, (reps,) + (1,) * (a.ndim - 1))
+            return a
+        params = {k: prep(v) for k, v in params.items()}
+        eparams = {k: prep(v) for k, v in eparams.items()}
+        dt = params["H"].dtype
+        state = dict(
+            x0_hat=np.zeros((self.B, c0.estim.nx_hat), dt),
+            lastu0=np.zeros((self.B, self.nu), dt),
+            Z_tilde=np.zeros((self.B, c0.nZt), dt),
+            y_dual=np.zeros((self.B, c0.A_stack.shape[0]), dt),
         )
         self.mesh = mesh
         if mesh is not None:
             shard = NamedSharding(mesh, P("batch"))
-            repl = NamedSharding(mesh, P())
-            put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard), t)
-            self.params = put(self.params)
-            self.eparams = put(self.eparams)
-            self.state = put(self.state)
+            self.params, self.eparams, self.state = jax.device_put(
+                (params, eparams, state), shard)
+        else:
+            self.params, self.eparams, self.state = jax.device_put(
+                (params, eparams, state))
         self._step = jax.jit(self._make_step(c0))
 
     def _make_step(self, c0: LinMPC):
