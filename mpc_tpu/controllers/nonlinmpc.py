@@ -164,6 +164,9 @@ class NonLinMPC(PredictiveController):
         else:
             Ks_l = np.zeros((ny * Hp, getattr(estim, "nxs", 0)))
             Ps_l = np.zeros((ny * Hp, ny))
+        # bumped on every params mutation (and on rebuild); fleet wrappers
+        # use it to cache the device-resident copy of this tree
+        self._params_version = getattr(self, "_params_version", 0) + 1
         self.params = dict(
             Ks=Ks_l, Ps=Ps_l, Ys_now=np.zeros(ny * Hp),
             Pu=Pu, PDu=PDu, Tu=Tu,
@@ -237,6 +240,7 @@ class NonLinMPC(PredictiveController):
         for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
                      "x0min", "x0max", "Wmin_b", "Wmax_b"):
             self.params[name] = getattr(self, name)
+        self._params_version += 1
         # softness parameters
         soft = {k: v for k, v in kw.items() if k.startswith("c_") or k.startswith("C_")}
         if soft:
@@ -260,6 +264,7 @@ class NonLinMPC(PredictiveController):
                     raise ValueError(f"{k} size must be ({n},) or ({n * rep},)")
                 getattr(self, attr)[:] = vv
                 self.params[attr] = getattr(self, attr)
+                self._params_version += 1
         return self
 
     # ------------------------------------------------------------------
@@ -714,6 +719,7 @@ class NonLinMPC(PredictiveController):
         if isinstance(estim, InternalModel):
             self.params["Ys_now"] = (self.params["Ks"] @ estim.xs_hat
                                      + self.params["Ps"] @ estim.ys_hat)
+            self._params_version += 1
         p = {k: jnp.asarray(v) for k, v in self.params.items()}
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),

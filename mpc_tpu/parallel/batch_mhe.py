@@ -90,20 +90,22 @@ class BatchedMHE:
             self.invP_arr = np.linalg.inv(self.P_arr)
         mask_w = (np.arange(He) < self.Nk).astype(float)
         mask_v = (mask_w[None, :, None] > 0) & np.isfinite(self.Y0m)
-        p = dict(U=jnp.asarray(self.U0), D=jnp.asarray(self.D0),
-                 Y0m=jnp.asarray(np.nan_to_num(self.Y0m)),
-                 mask_w=jnp.asarray(mask_w), mask_v=jnp.asarray(mask_v),
-                 invP=jnp.asarray(self.invP_arr), invQ=jnp.asarray(t.invQ),
-                 invR=jnp.asarray(t.invR),
-                 x_arr_prior=jnp.asarray(self.x_arr_prior),
-                 fop_m_xop=jnp.asarray(t.fop_hat - t.xop_hat),
-                 Xmin=jnp.asarray(t.X_min), Xmax=jnp.asarray(t.X_max),
-                 Wmin=jnp.asarray(t.W_min), Wmax=jnp.asarray(t.W_max),
-                 Vmin=jnp.asarray(t.V_min), Vmax=jnp.asarray(t.V_max),
-                 C_xmin=jnp.asarray(t.C_xmin), C_xmax=jnp.asarray(t.C_xmax),
-                 C_wmin=jnp.asarray(t.C_wmin), C_wmax=jnp.asarray(t.C_wmax),
-                 C_vmin=jnp.asarray(t.C_vmin), C_vmax=jnp.asarray(t.C_vmax),
-                 Nk=jnp.int32(self.Nk))
+        # one device_put for the whole tree: per-leaf eager uploads cost a
+        # full network round trip each on a tunneled TPU
+        p = jax.device_put(dict(
+            U=self.U0, D=self.D0, Y0m=np.nan_to_num(self.Y0m),
+            mask_w=mask_w, mask_v=mask_v,
+            invP=self.invP_arr, invQ=np.asarray(t.invQ),
+            invR=np.asarray(t.invR),
+            x_arr_prior=self.x_arr_prior,
+            fop_m_xop=t.fop_hat - t.xop_hat,
+            Xmin=np.asarray(t.X_min), Xmax=np.asarray(t.X_max),
+            Wmin=np.asarray(t.W_min), Wmax=np.asarray(t.W_max),
+            Vmin=np.asarray(t.V_min), Vmax=np.asarray(t.V_max),
+            C_xmin=np.asarray(t.C_xmin), C_xmax=np.asarray(t.C_xmax),
+            C_wmin=np.asarray(t.C_wmin), C_wmax=np.asarray(t.C_wmax),
+            C_vmin=np.asarray(t.C_vmin), C_vmax=np.asarray(t.C_vmax),
+            Nk=np.int32(self.Nk)))
         Zt, x_new, X, Ym, J, ok = self._solve(p, jnp.asarray(self.Z))
         self.Z = np.array(Zt)
         self.x0_hat = np.array(x_new)

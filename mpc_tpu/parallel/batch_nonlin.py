@@ -85,7 +85,14 @@ class BatchedNonLinMPC:
     def step(self, ym, ry, d=None):
         if d is None:
             d = jnp.zeros((self.B, self.t.estim.model.nd))
-        p = {k: jnp.asarray(v) for k, v in self.t.params.items()}
-        u, J, self.state = self._solve(p, self.state, jnp.asarray(ym),
-                                       jnp.asarray(ry), jnp.asarray(d))
+        # upload the template's ~40 numpy params once per version, not per
+        # step (on a tunneled TPU each eager transfer costs a full RTT)
+        ver = getattr(self.t, "_params_version", None)
+        if getattr(self, "_p_ver", object()) != ver or ver is None:
+            self._p_cache = jax.device_put(
+                {k: np.asarray(v) for k, v in self.t.params.items()})
+            self._p_ver = ver
+        u, J, self.state = self._solve(self._p_cache, self.state,
+                                       jnp.asarray(ym), jnp.asarray(ry),
+                                       jnp.asarray(d))
         return u, J
