@@ -180,6 +180,8 @@ class LinMPC(PredictiveController):
         else:
             Ks_l = np.zeros((ny * Hp, getattr(estim, "nxs", 0)))
             Ps_l = np.zeros((ny * Hp, ny))
+        # bumped on every params mutation; moveinput caches the uploaded tree
+        self._params_version = getattr(self, "_params_version", 0) + 1
         self.params = dict(
             H=H, E_t=E_t, G=G, J=J, K=K, V=V, B=B,
             gx=gx, jx=jx, kx=kx, vx=vx, bx=bx,
@@ -309,6 +311,7 @@ class LinMPC(PredictiveController):
             for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
                          "x0min", "x0max", "Wmin_b", "Wmax_b"):
                 self.params[name] = getattr(self, name)
+            self._params_version += 1
         return self
 
     # ------------------------------------------------------------------
@@ -378,7 +381,12 @@ class LinMPC(PredictiveController):
             y_now = np.asarray(estim.evaloutput(d if model.nd else None), float)
         else:
             y_now = np.zeros(model.ny)
-        p = {k: jnp.asarray(v) for k, v in self.params.items()}
+        if getattr(self, "_p_ver", None) != self._params_version:
+            # one device_put per params version, not ~40 eager uploads/step
+            self._p_cache = jax.device_put(
+                {k: np.asarray(v) for k, v in self.params.items()})
+            self._p_ver = self._params_version
+        p = self._p_cache
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(self.d0), jnp.asarray(self.D_hat_0),
                          jnp.asarray(R_hat_y), jnp.asarray(R_hat_u),
