@@ -59,6 +59,7 @@ class ExplicitMPC(PredictiveController):
         Pu, Tu = init_ZtoU(self.transcription, nu, nx_hat, Hp, Hc, nb)
         H = init_quadprog(E, PDu, Pu, self.weights)
         self.nZ = self.nZt = E.shape[1]
+        self._p_cache = None  # invalidate uploaded copy
         self.params = dict(H_chol=sla.cho_factor(H)[0], E=E, G=G, J=J, K=K,
                            V=V, B=B, Pu=Pu, Tu=Tu,
                            M_Hp=self.weights.M_Hp, L_Hp=self.weights.L_Hp,
@@ -105,7 +106,10 @@ class ExplicitMPC(PredictiveController):
         self.lastu0 = lastu - model.uop
         d0 = d - model.dop
         D0 = D_hat - self.Dop
-        p = {k: jnp.asarray(v) for k, v in self.params.items()}
+        if getattr(self, "_p_cache", None) is None:
+            self._p_cache = jax.device_put(
+                {k: np.asarray(v) for k, v in self.params.items()})
+        p = self._p_cache
         u, Z, F = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                              jnp.asarray(d0), jnp.asarray(D0),
                              jnp.asarray(R_hat_y), jnp.asarray(R_hat_u))

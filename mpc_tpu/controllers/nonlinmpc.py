@@ -720,7 +720,12 @@ class NonLinMPC(PredictiveController):
             self.params["Ys_now"] = (self.params["Ks"] @ estim.xs_hat
                                      + self.params["Ps"] @ estim.ys_hat)
             self._params_version += 1
-        p = {k: jnp.asarray(v) for k, v in self.params.items()}
+        if getattr(self, "_p_ver", None) != self._params_version:
+            # one device_put per params version, not ~40 eager uploads/step
+            self._p_cache = jax.device_put(
+                {k: np.asarray(v) for k, v in self.params.items()})
+            self._p_ver = self._params_version
+        p = self._p_cache
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
                          jnp.asarray(R_hat_u), jnp.asarray(yk),

@@ -445,7 +445,7 @@ class MovingHorizonEstimator(StateEstimator):
         )
 
     def _solve_window(self):
-        p = {k: jnp.asarray(v) for k, v in self._windows_params().items()}
+        p = jax.device_put(self._windows_params())  # one upload per solve
         Zt0 = jnp.asarray(self.Z_tilde)
         Zt, x_new, X, Ym, J, ok = self._solve_jit(p, Zt0)
         self.Z_tilde = np.array(Zt)   # writable copy (warm-start shifts mutate)
@@ -606,7 +606,7 @@ class MovingHorizonEstimator(StateEstimator):
         try:
             import jax
             import jax.numpy as jnp
-            p = {k: jnp.asarray(v) for k, v in self._windows_params().items()}
+            p = jax.device_put(self._windows_params())  # one upload per solve
             g = jax.grad(lambda Zt: self._obj_fn(p, Zt))(jnp.asarray(self.Z_tilde))
             info["nablaJ"] = info["∇J"] = np.asarray(g)
         except Exception:
