@@ -33,6 +33,25 @@ class NonLinModel(SimModel):
         import jax
         self._fd_jit = jax.jit(self._fd)
         self._h_jit = jax.jit(h)
+        # validate the user functions' output shapes abstractly (no FLOPs):
+        # a silent nx/ny mismatch otherwise surfaces much later as an opaque
+        # XLA shape error inside an estimator or controller trace
+        import jax.numpy as jnp
+        xs = jax.ShapeDtypeStruct((nx,), jnp.float64 if
+                                  jax.config.jax_enable_x64 else jnp.float32)
+        us = jax.ShapeDtypeStruct((nu,), xs.dtype)
+        ds = jax.ShapeDtypeStruct((nd,), xs.dtype)
+        try:
+            f_shape = jax.eval_shape(self._fd, xs, us, ds, p).shape
+            h_shape = jax.eval_shape(h, xs, ds, p).shape
+        except Exception as e:
+            raise ValueError(
+                f"f/h are not traceable with x({nx},), u({nu},), d({nd},): {e}"
+            ) from e
+        if f_shape != (nx,):
+            raise ValueError(f"f must return shape ({nx},), got {f_shape}")
+        if h_shape != (ny,):
+            raise ValueError(f"h must return shape ({ny},), got {h_shape}")
 
     def f(self, x0, u0, d0, p):
         # inside a trace, stay traceable; from the host API, use the jitted step
