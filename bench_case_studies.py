@@ -68,7 +68,8 @@ G = mpc.tf_matrix([
 ])
 model = mpc.LinModel(G, 2.0, i_d=[2])
 model.setop(uop=[20, 20], yop=[50, 30], dop=[20])
-ctrl = mpc.LinMPC(model, Hp=10, Hc=2, Mwt=[1, 1], Nwt=[0.1, 0.1])
+ctrl = mpc.LinMPC(model, Hp=10, Hc=2, Mwt=[1, 1], Nwt=[0.1, 0.1],
+                  dtype=jnp.float32 if args.tpu else None)
 ctrl.setconstraint(umin=[5, 5], umax=[35, 35], ymin=[45, 25], ymax=[55, 35])
 plant = mpc.LinModel(G, 2.0, i_d=[2])
 plant.setop(uop=[20, 20], yop=[50, 30], dop=[20])
@@ -91,6 +92,16 @@ def cstr_step(k):
 
 
 report("CSTR LinMPC (Hp=10,Hc=2, soft y + hard u)", *timed_loop(cstr_step, N))
+
+
+if args.tpu:
+    # Per-step latency through the tunneled chip is round-trip-bound
+    # (~150 ms/step vs 2-10 ms of compute); the nonlinear single-controller
+    # cases measure nothing useful there. Fleet throughput on TPU is the
+    # meaningful metric — see bench.py (11-13M solves/s/chip).
+    print(json.dumps({"note": "tpu per-step latency is tunnel-RTT-bound; "
+                              "nonlinear cases skipped (see bench.py)"}))
+    raise SystemExit(0)
 
 
 # ------------------------------------------------------- pendulum NonLinMPC

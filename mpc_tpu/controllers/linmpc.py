@@ -37,7 +37,13 @@ class LinMPC(PredictiveController):
                  Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
                  Cwt=1e5, transcription: TranscriptionMethod | None = None,
                  Wy=None, Wu=None, Wd=None, Wr=None,
-                 optim=None, **estim_kwargs):
+                 optim=None, dtype=None, **estim_kwargs):
+        # dtype=jnp.float32 runs the jitted step in TPU-native f32 (construct
+        # math stays f64 on host); None inherits the jax default (x64-aware).
+        # f32 matches f64 traces ~1e-5 on well-conditioned weights; weakly
+        # weighted directions (e.g. Mwt entries of 0) may drift O(1) along
+        # the QP's flat valley while still tracking and respecting bounds
+        self._dt = dtype
         if isinstance(model_or_estim, StateEstimator):
             estim = model_or_estim
             model = estim.model
@@ -383,16 +389,21 @@ class LinMPC(PredictiveController):
             y_now = np.zeros(model.ny)
         if getattr(self, "_p_ver", None) != self._params_version:
             # one device_put per params version, not ~40 eager uploads/step
+            dtc = self._dt
+            cast = (lambda a: a.astype(dtc) if dtc is not None and
+                    np.issubdtype(a.dtype, np.floating) else a)
             self._p_cache = jax.device_put(
-                {k: np.asarray(v) for k, v in self.params.items()})
+                {k: cast(np.asarray(v)) for k, v in self.params.items()})
             self._p_ver = self._params_version
         p = self._p_cache
-        out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
-                         jnp.asarray(self.d0), jnp.asarray(self.D_hat_0),
-                         jnp.asarray(R_hat_y), jnp.asarray(R_hat_u),
-                         jnp.asarray(xs_hat), jnp.asarray(ys_full),
-                         jnp.asarray(self.Z_tilde), jnp.asarray(self.y_dual),
-                         jnp.asarray(ry), jnp.asarray(y_now))
+        ja = (lambda a: jnp.asarray(a, self._dt)) if self._dt is not None \
+            else jnp.asarray
+        out = self._step(p, ja(estim.x0_hat), ja(self.lastu0),
+                         ja(self.d0), ja(self.D_hat_0),
+                         ja(R_hat_y), ja(R_hat_u),
+                         ja(xs_hat), ja(ys_full),
+                         ja(self.Z_tilde), ja(self.y_dual),
+                         ja(ry), ja(y_now))
         u, Z_t, y_dual, converged, F, obj = out
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Z_t)
