@@ -7,6 +7,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import mpc_tpu as mpc  # noqa: E402
 
 # G(s) = [2e^{-20s}/(10s+1); 10/(4s+1)], Ts = 1 s

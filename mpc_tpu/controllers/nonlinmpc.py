@@ -737,6 +737,13 @@ class NonLinMPC(PredictiveController):
         self._last = dict(J=float(J), viol=float(viol), iters=int(iters),
                           d=d, D_hat=D_hat, Y0=np.asarray(Y0f),
                           xend=np.asarray(xendf), U0=np.asarray(U0f))
+        if not np.isfinite(float(J)) or float(viol) > 1e-2:
+            # graceful degradation (reference execute.jl:499-504): warn, keep
+            # the plan — the warm start already encodes the previous solution
+            import warnings
+            warnings.warn(f"NonLinMPC SQP solution is poor (J={float(J):.3g}, "
+                          f"max violation={float(viol):.3g}); applying it "
+                          f"anyway — inspect getinfo()")
         u = np.asarray(u)
         self.lastu0 = u - model.uop
         return u

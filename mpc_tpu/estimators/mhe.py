@@ -405,10 +405,25 @@ class MovingHorizonEstimator(StateEstimator):
                 if is_lin:
                     Zn = Zt + sol.x
                 else:
-                    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1])
-                    merits = jax.vmap(lambda a: obj(Zt + a * sol.x))(alphas)
+                    # l1 exact-penalty merit: with MultipleShooting the QP
+                    # imposes LINEARIZED defect equalities — an objective-only
+                    # merit accepts damped steps that lower J while leaving
+                    # the true nonlinear defects violated (the optimizer then
+                    # "cheats" the dynamics and never tightens them)
+                    if is_ms:
+                        merit = lambda Zt_: (obj(Zt_) + 1e4 * jnp.sum(
+                            jnp.abs(defects_z(p, Zt_))))
+                    else:
+                        merit = obj
+                    # deep backtracking: a grid that bottoms out at 0.1 can
+                    # deterministically lock at α=0 from a bad warm start (the
+                    # GN step is a descent direction, but only for small α) —
+                    # the loop then never moves regardless of sqp_iters
+                    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
+                                          0.003, 0.001])
+                    merits = jax.vmap(lambda a: merit(Zt + a * sol.x))(alphas)
                     best = jnp.argmin(merits)
-                    a = jnp.where(merits[best] < obj(Zt), alphas[best], 0.0)
+                    a = jnp.where(merits[best] < merit(Zt), alphas[best], 0.0)
                     Zn = Zt + a * sol.x
                 return Zn, sol.converged
 

@@ -241,3 +241,30 @@ def test_mhe_setmodel_tracks_new_model():
         plant.updatestate([0.4])
     assert np.allclose(mhe.evaloutput(), plant.evaloutput(), atol=5e-5)
     assert np.allclose(x_m, x_k, atol=5e-4)
+
+
+def test_mhe_nonlinear_multiple_shooting_vs_single_shooting():
+    """NonLinModel MHE: MultipleShooting == SingleShooting estimates (the MS
+    decision layout Z=[x̂arr;X̂0;Ŵ] with defect equalities reaches the same
+    optimum; ref mhe/transcription.jl:406-545)."""
+    def f(x, u, d, p):
+        return jnp.array([0.6 * x[0] + 0.3 * jnp.tanh(x[1]) + 0.4 * u[0],
+                          0.8 * x[1] + 0.2 * x[0]])
+
+    h = lambda x, d, p: jnp.array([x[0] + 0.1 * jnp.sin(x[1])])
+    mk = lambda: mpc.NonLinModel(f, h, 1.0, 1, 2, 1, solver=None)
+    kw = dict(He=4, nint_ym=0, direct=False, sigmaQ=[0.4, 0.4], sigmaR=[0.2],
+              sigmaP_0=[1.0, 1.0])
+    ss = mpc.MovingHorizonEstimator(mk(), transcription=mpc.SingleShooting(),
+                                    **kw)
+    ms = mpc.MovingHorizonEstimator(mk(), transcription=mpc.MultipleShooting(),
+                                    **kw)
+    rng = np.random.default_rng(11)
+    for k in range(10):
+        ym = [float(rng.normal() * 0.5)]
+        u = [float(rng.normal() * 0.5)]
+        ss.preparestate(ym)
+        ms.preparestate(ym)
+        x1 = ss.updatestate(u, ym)
+        x2 = ms.updatestate(u, ym)
+        assert np.allclose(x1, x2, atol=2e-5), (k, x1, x2)
