@@ -1,7 +1,8 @@
 from .batch import BatchedLinMPC, stack_params, estimator_params
 from .batch_nonlin import BatchedNonLinMPC
 from .batch_mhe import BatchedMHE
+from .batch_kf import BatchedKalman
 from .scenarios import random_cstr_controllers
 
-__all__ = ["BatchedLinMPC", "BatchedNonLinMPC", "BatchedMHE", "stack_params",
+__all__ = ["BatchedLinMPC", "BatchedNonLinMPC", "BatchedMHE", "BatchedKalman", "stack_params",
            "estimator_params", "random_cstr_controllers"]

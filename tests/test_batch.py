@@ -83,3 +83,35 @@ def test_batched_nonlinmpc_fleet():
         X = fv(X, u)
     deg = np.asarray(X[:, 0]) * 180 / np.pi
     assert np.all(np.abs(deg - 30.0) < 15.0)   # heading to the setpoint
+
+
+def test_batched_kalman_matches_single():
+    """BatchedKalman (SKF and KF fleets) reproduces the single-estimator
+    protocol exactly across heterogeneous streams."""
+    import jax.numpy as jnp
+    from mpc_tpu.parallel import BatchedKalman
+
+    G = np.array([[mpc.tf(3, [10, 1])], [mpc.tf(-1, [4, 1])]], dtype=object)
+    rng = np.random.default_rng(7)
+
+    def mk(kind, i):
+        m = mpc.LinModel(G, 1.0)
+        m.setop(uop=[float(i)], yop=[0.0, 0.0])
+        return kind(m, sigmaQ=[0.4 + 0.1 * i] * m.nx, sigmaR=[0.2, 0.3])
+
+    for kind in (mpc.SteadyKalmanFilter, mpc.KalmanFilter):
+        singles = [mk(kind, i) for i in range(3)]
+        fleet = BatchedKalman([mk(kind, i) for i in range(3)], reps=2)
+        assert fleet.B == 6
+        for k in range(8):
+            ym = rng.normal(size=(3, 2))
+            u = rng.normal(size=(3, 1))
+            xs = []
+            for i, e in enumerate(singles):
+                xc = e.preparestate(ym[i])
+                e.updatestate(u[i], ym[i])
+                xs.append(xc)
+            xf = np.asarray(fleet.step(np.tile(ym, (2, 1)),
+                                       np.tile(u, (2, 1))))
+            assert np.allclose(xf[:3], np.stack(xs), atol=1e-9), (kind, k)
+            assert np.allclose(xf[3:], np.stack(xs), atol=1e-9)
