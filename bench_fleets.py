@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Fleet throughput benchmarks beyond the headline LinMPC bench (bench.py):
+
+* BatchedKalman   — SKF and KF sensor-stream filtering fleets
+* BatchedNonLinMPC — pendulum swing-up fleet (SQP + UKF per lane)
+
+Each prints one JSON line. Runs on whatever backend jax selects (the real
+TPU chip under axon; CPU elsewhere).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+    from mpc_tpu.parallel import BatchedKalman, BatchedNonLinMPC
+
+    platform = jax.default_backend()
+    rng = np.random.default_rng(0)
+
+    # ---------------- Kalman fleets ----------------
+    G = np.array([[mpc.tf(3, [10, 1])], [mpc.tf(-1, [4, 1])]], dtype=object)
+
+    for kind, B_total in ((mpc.SteadyKalmanFilter, 65536),
+                          (mpc.KalmanFilter, 16384)):
+        n_distinct = 64
+        m0 = mpc.LinModel(G, 1.0)
+        ests = [kind(mpc.LinModel(G, 1.0), sigmaQ=[0.3 + 0.01 * i] * m0.nx,
+                     sigmaR=[0.2, 0.2])
+                for i in range(n_distinct)]
+        fleet = BatchedKalman(ests, dtype=jnp.float32,
+                              reps=B_total // n_distinct)
+        ym = jnp.asarray(rng.normal(size=(B_total, 2)), jnp.float32)
+        u = jnp.asarray(rng.normal(size=(B_total, 1)), jnp.float32)
+        x = fleet.step(ym, u)
+        jax.block_until_ready(x)
+        iters = 30
+        t0 = time.time()
+        for _ in range(iters):
+            x = fleet.step(ym, u)
+        jax.block_until_ready(x)
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": f"Batched{kind.__name__} updates/s/chip "
+                      f"(B={B_total}, nx̂={ests[0].nx_hat}, {platform})",
+            "value": round(B_total / dt, 1), "unit": "updates/s",
+            "step_ms": round(dt * 1e3, 3)}))
+
+    # ---------------- NonLinMPC fleet ----------------
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+    estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
+                                      nint_ym=[1], sigmaQint_ym=[0.1])
+    t = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
+                      sqp_iters=15)
+    t.setconstraint(umin=[-1.5], umax=[1.5])
+    B = 256
+    fleet = BatchedNonLinMPC(t, batch=B, dtype=jnp.float32)
+    ym = jnp.asarray(rng.normal(size=(B, 1)) * 5.0, jnp.float32)
+    ry = jnp.full((B, 1), 180.0, jnp.float32)
+    u, J = fleet.step(ym, ry)
+    jax.block_until_ready(u)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        u, J = fleet.step(ym, ry)
+    jax.block_until_ready(u)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": f"BatchedNonLinMPC solves/s/chip (pendulum, Hp=15, "
+                  f"SQP15+UKF, B={B}, {platform})",
+        "value": round(B / dt, 1), "unit": "solves/s",
+        "step_ms": round(dt * 1e3, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -395,10 +395,10 @@ class NonLinMPC(PredictiveController):
         rollout = self._rollout_fns()
         sqp_iters, sqp_tol = self.sqp_iters, self.sqp_tol
         is_ms = self.is_ms
-        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01])
+        alphas_f = [1.0, 0.5, 0.25, 0.1, 0.03, 0.01]
 
         def split(Zt):
-            return Zt[:nZ], (Zt[-1] if n_eps else jnp.asarray(0.0))
+            return Zt[:nZ], (Zt[-1] if n_eps else jnp.asarray(0.0, Zt.dtype))
 
         def extended(p, U0, Y0, d, D_hat, yk):
             Ue = jnp.concatenate([U0 + p["Uop"], U0[-nu:] + p["Uop"][-nu:]])
@@ -616,7 +616,9 @@ class NonLinMPC(PredictiveController):
                 u_b = jnp.concatenate(up)
                 sol = solve_qp(H, g, A, l, u_b, max_iter=500)
                 dz = sol.x
-                # parallel ℓ1-merit line search
+                # parallel ℓ1-merit line search (dtype follows the iterate —
+                # a float64 alphas constant silently upcasts the whole loop)
+                alphas = jnp.asarray(alphas_f, Zt.dtype)
                 merits = jax.vmap(lambda a: merit(Zt + a * dz))(alphas)
                 best = jnp.argmin(merits)
                 improve = merits[best] <= merit(Zt)

@@ -60,31 +60,44 @@ class StateEstimator:
     # pure augmented dynamics (jax-traceable; works on np or jnp arrays)
     def f_hat(self, x0_hat, u0, d0):
         """Augmented state update WITHOUT the +f̂op−x̂op term
-        (estimator/execute.jl:64-109)."""
+        (estimator/execute.jl:64-109).
+
+        The stored numpy matrices are cast to the input's dtype so a float32
+        trace stays float32 (a float64 constant silently upcasts whole
+        lax.scan carries otherwise).
+        """
         model = self.model
+        dt = getattr(x0_hat, "dtype", None)
+        cast = ((lambda a: jnp.asarray(a, dt))
+                if dt is not None and not isinstance(x0_hat, np.ndarray)
+                else (lambda a: a))
         if isinstance(model, LinModel):
-            r = self.A_hat @ x0_hat + self.Bu_hat @ u0
+            r = cast(self.A_hat) @ x0_hat + cast(self.Bu_hat) @ u0
             if model.nd:
-                r = r + self.Bd_hat @ d0
+                r = r + cast(self.Bd_hat) @ d0
             return r
         nx = model.nx
         xd, xs = x0_hat[:nx], x0_hat[nx:]
-        u_hat = u0 + self.Cs_u @ xs
+        u_hat = u0 + cast(self.Cs_u) @ xs
         xdn = model.f(xd, u_hat, d0, model.p)
-        xsn = self.As @ xs
+        xsn = cast(self.As) @ xs
         return jnp.concatenate([jnp.atleast_1d(xdn), xsn]) if not isinstance(
             xdn, np.ndarray) else np.concatenate([np.atleast_1d(xdn), xsn])
 
     def h_hat(self, x0_hat, d0):
         model = self.model
+        dt = getattr(x0_hat, "dtype", None)
+        cast = ((lambda a: jnp.asarray(a, dt))
+                if dt is not None and not isinstance(x0_hat, np.ndarray)
+                else (lambda a: a))
         if isinstance(model, LinModel):
-            r = self.C_hat @ x0_hat
+            r = cast(self.C_hat) @ x0_hat
             if model.nd:
-                r = r + self.Dd_hat @ d0
+                r = r + cast(self.Dd_hat) @ d0
             return r
         nx = model.nx
         xd, xs = x0_hat[:nx], x0_hat[nx:]
-        return model.h(xd, d0, model.p) + self.Cs_y @ xs
+        return model.h(xd, d0, model.p) + cast(self.Cs_y) @ xs
 
     def h_hat_m(self, x0_hat, d0):
         y = self.h_hat(x0_hat, d0)

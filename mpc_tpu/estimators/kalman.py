@@ -106,7 +106,7 @@ def kf_correct(x0, P, y0m_pred, y0m, Cm, R):
     skip = jnp.any(jnp.isnan(v))
     v = jnp.nan_to_num(v)
     x0c = x0 + K @ v
-    Pc = (jnp.eye(P.shape[0]) - K @ Cm) @ P
+    Pc = (jnp.eye(P.shape[0], dtype=P.dtype) - K @ Cm) @ P
     x0c = jnp.where(skip, x0, x0c)
     Pc = jnp.where(skip, P, Pc)
     return x0c, 0.5 * (Pc + Pc.T)
@@ -202,7 +202,7 @@ class UnscentedKalmanFilter(StateEstimator):
         gamma = alpha * np.sqrt(nx_hat + kappa)
         m0 = 1 - nx_hat / gamma ** 2
         w = 1 / (2 * gamma ** 2)
-        self.gamma = gamma
+        self.gamma = float(gamma)  # python float: weak-typed under jax promotion
         self.m_hat = np.concatenate([[m0], np.full(2 * nx_hat, w)])
         self.S_hat = np.concatenate([[m0 + 1 - alpha ** 2 + beta], np.full(2 * nx_hat, w)])
 

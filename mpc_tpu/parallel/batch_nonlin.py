@@ -24,18 +24,24 @@ class BatchedNonLinMPC:
     UKF feedback is vmapped alongside.
     """
 
-    def __init__(self, template: NonLinMPC, batch: int):
+    def __init__(self, template: NonLinMPC, batch: int, dtype=None):
+        """``dtype=jnp.float32`` runs the fleet in TPU-native f32 (f64
+        LuDecomposition is unimplemented on TPU)."""
         self.t = template
         self.B = int(batch)
+        self._dt = dtype
         estim = template.estim
         self.nu = template.estim.model.nu
+        dt = dtype if dtype is not None else (
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         self.state = dict(
-            x0_hat=jnp.zeros((batch, estim.nx_hat)),
+            x0_hat=jnp.zeros((batch, estim.nx_hat), dt),
             P_hat=jnp.tile(jnp.asarray(getattr(estim, "P0_hat",
-                                               np.eye(estim.nx_hat)))[None],
+                                               np.eye(estim.nx_hat)),
+                                       dt)[None],
                            (batch, 1, 1)),
-            lastu0=jnp.zeros((batch, self.nu)),
-            Z_tilde=jnp.zeros((batch, template.nZt)),
+            lastu0=jnp.zeros((batch, self.nu), dt),
+            Z_tilde=jnp.zeros((batch, template.nZt), dt),
         )
         self._solve = jax.jit(self._make())
 
@@ -46,15 +52,17 @@ class BatchedNonLinMPC:
         nd, Hp = model.nd, t.Hp
         step_fn = t._step  # jitted; vmap of jit is fine
         corr, pred = estim._kernels() if hasattr(estim, "_kernels") else (None, None)
-        m_hat = jnp.asarray(getattr(estim, "m_hat", 0.0))
-        S_hat = jnp.asarray(getattr(estim, "S_hat", 0.0))
-        R_hat = jnp.asarray(getattr(estim, "R_hat", 0.0))
-        Q_hat = jnp.asarray(getattr(estim, "Q_hat", 0.0))
-        fop_m_xop = jnp.asarray(estim.fop_hat - estim.xop_hat)
-        yopm = jnp.asarray(model.yop[np.asarray(estim.i_ym, int)])
-        uop = jnp.asarray(model.uop)
-        dop = jnp.asarray(model.dop)
-        yop = jnp.asarray(model.yop)
+        dt = self._dt
+        ja = (lambda a: jnp.asarray(a, dt)) if dt is not None else jnp.asarray
+        m_hat = ja(getattr(estim, "m_hat", 0.0))
+        S_hat = ja(getattr(estim, "S_hat", 0.0))
+        R_hat = ja(getattr(estim, "R_hat", 0.0))
+        Q_hat = ja(getattr(estim, "Q_hat", 0.0))
+        fop_m_xop = ja(estim.fop_hat - estim.xop_hat)
+        yopm = ja(model.yop[np.asarray(estim.i_ym, int)])
+        uop = ja(model.uop)
+        dop = ja(model.dop)
+        yop = ja(model.yop)
 
         def one(p, st, ym, ry, d):
             d0 = d - dop if nd else d
@@ -89,10 +97,14 @@ class BatchedNonLinMPC:
         # step (on a tunneled TPU each eager transfer costs a full RTT)
         ver = getattr(self.t, "_params_version", None)
         if getattr(self, "_p_ver", object()) != ver or ver is None:
+            np_dt = np.dtype(self._dt) if self._dt is not None else None
+            cast = (lambda a: a.astype(np_dt) if np_dt is not None and
+                    np.issubdtype(a.dtype, np.floating) else a)
             self._p_cache = jax.device_put(
-                {k: np.asarray(v) for k, v in self.t.params.items()})
+                {k: cast(np.asarray(v)) for k, v in self.t.params.items()})
             self._p_ver = ver
+        ja = ((lambda a: jnp.asarray(a, self._dt)) if self._dt is not None
+              else jnp.asarray)
         u, J, self.state = self._solve(self._p_cache, self.state,
-                                       jnp.asarray(ym), jnp.asarray(ry),
-                                       jnp.asarray(d))
+                                       ja(ym), ja(ry), ja(d))
         return u, J
