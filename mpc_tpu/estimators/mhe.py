@@ -95,9 +95,25 @@ class MovingHorizonEstimator(StateEstimator):
         # [ϵ; x̂arr; X̂0; Ŵ] with defect equalities (MultipleShooting,
         # mhe/transcription.jl:2-3)
         from ..controllers.transcription import (MultipleShooting,
-                                                 SingleShooting)
+                                                 OrthogonalCollocation,
+                                                 SingleShooting,
+                                                 TrapezoidalCollocation)
         self.transcription = transcription or SingleShooting()
-        self.is_ms = isinstance(self.transcription, MultipleShooting)
+        if isinstance(self.transcription, OrthogonalCollocation):
+            # mirrors the reference's restriction (mhe/construct.jl:174-175)
+            raise ValueError("OrthogonalCollocation is not supported for the "
+                             "MHE for now.")
+        self.is_trap = isinstance(self.transcription, TrapezoidalCollocation)
+        if self.is_trap:
+            from ..models import NonLinModel, RungeKutta
+            if not isinstance(model, NonLinModel) or not isinstance(
+                    model.solver, RungeKutta):
+                raise ValueError("TrapezoidalCollocation requires a "
+                                 "continuous-time NonLinModel (with a "
+                                 "RungeKutta solver).")
+        # trapezoidal shares the MultipleShooting decision layout
+        # (mhe/transcription.jl:3 — get_nZ_mhe for ::TranscriptionMethod)
+        self.is_ms = isinstance(self.transcription, MultipleShooting) or self.is_trap
         self.nZ = nx_hat + He_ * nx_hat + (He_ * nx_hat if self.is_ms else 0)
         self.nZt = self.nZ + self.n_eps
         self._w_off = self.n_eps + nx_hat + (He_ * nx_hat if self.is_ms else 0)
@@ -225,17 +241,55 @@ class MovingHorizonEstimator(StateEstimator):
                 Xmeas, p["D"][1:])
             return X, Ym
 
+        is_trap = self.is_trap
+        if is_trap:
+            nx_d = model.nx
+            f_cont = model._f_user
+            p_model = model.p
+            Ts_m = model.Ts
+            As_s = self.As
+            Cs_u_s = self.Cs_u
+            hold = self.transcription.h
+
         def defects_z(p, Zt):
-            """MS defect equalities ŵ(j) = x̂(j+1) − f̂(x̂(j)) per stage;
-            masked stages copy the state forward so they stay anchored."""
+            """Defect equalities per stage (MS: ŵ(j) = x̂(j+1) − f̂(x̂(j));
+            trapezoidal: implicit-trapezoid rule on the deterministic
+            substates, discrete MS on the stochastic ones,
+            mhe/transcription.jl:1390-1470); masked stages copy the state
+            forward so they stay anchored."""
             eps, x_arr, W = pack_problem(p, Zt)
             X = Zt[n_eps + nx_hat:w_off].reshape(He, nx_hat)
             Wm = W.reshape(He, nx_hat)
             X_prev = jnp.vstack([x_arr[None, :], X[:-1]])
             Df = p["D"][:-1] if p_form == 0 else p["D"][1:]
-            F = jax.vmap(lambda x, u, d: jnp.asarray(f_hat(x, u, d)))(
-                X_prev, p["U"], Df) + p["fop_m_xop"]
-            S_valid = F + Wm - X
+            if is_trap:
+                # disturbed inputs û(j) = u(j) + Cs_u·x̂s(j), x̂s from the
+                # interval's START state (disturbedinput!, execute.jl:162-173)
+                Uh = p["U"] + X_prev[:, nx_d:] @ jnp.asarray(Cs_u_s).T
+                # d at the END of interval j: slot j+1 of the He+1-slot window
+                # (d0next, mhe/transcription.jl:1447); clamp for p=1
+                Dn = (p["D"][1:] if p_form == 0
+                      else jnp.vstack([Df[1:], Df[-1:]]))
+                if hold >= 1:
+                    # û(end of newest valid interval) is unavailable at k —
+                    # reference clamps to û(j) at j ≥ Nk (transcription.jl:1460)
+                    j = jnp.arange(He)
+                    Un = Uh[jnp.where(j + 1 < p["Nk"], j + 1, j)]
+                else:
+                    Un = Uh
+                k1 = jax.vmap(lambda x, u, d: jnp.asarray(
+                    f_cont(x, u, d, p_model)))(X_prev[:, :nx_d], Uh, Df)
+                k2 = jax.vmap(lambda x, u, d: jnp.asarray(
+                    f_cont(x, u, d, p_model)))(X[:, :nx_d], Un, Dn)
+                S_det = (X_prev[:, :nx_d] - X[:, :nx_d]
+                         + 0.5 * Ts_m * (k1 + k2) + Wm[:, :nx_d])
+                S_sto = (X_prev[:, nx_d:] @ jnp.asarray(As_s).T
+                         - X[:, nx_d:] + Wm[:, nx_d:])
+                S_valid = jnp.concatenate([S_det, S_sto], axis=1)
+            else:
+                F = jax.vmap(lambda x, u, d: jnp.asarray(f_hat(x, u, d)))(
+                    X_prev, p["U"], Df) + p["fop_m_xop"]
+                S_valid = F + Wm - X
             S_anchor = X_prev + Wm - X
             mask = p["mask_w"][:, None] > 0
             return jnp.where(mask, S_valid, S_anchor).reshape(-1)

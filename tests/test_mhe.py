@@ -268,3 +268,114 @@ def test_mhe_nonlinear_multiple_shooting_vs_single_shooting():
         x1 = ss.updatestate(u, ym)
         x2 = ms.updatestate(u, ym)
         assert np.allclose(x1, x2, atol=2e-5), (k, x1, x2)
+
+
+def _cont_model():
+    def f(x, u, d, p):
+        return jnp.array([-0.5 * x[0] + 0.3 * jnp.tanh(x[1]) + 0.4 * u[0],
+                          -0.8 * x[1] + 0.2 * x[0]])
+
+    h = lambda x, d, p: jnp.array([x[0] + 0.1 * jnp.sin(x[1])])
+    return mpc.NonLinModel(f, h, 0.05, 1, 2, 1, solver="rk4")
+
+
+def test_mhe_trapezoidal_vs_single_shooting():
+    """TrapezoidalCollocation MHE ≈ SingleShooting MHE on a smooth
+    continuous model (ref mhe/transcription.jl:1390-1470): the implicit
+    trapezoid rule and RK4 discretization agree to O(Ts³), and the
+    stochastic integrator states keep the discrete MS defects."""
+    kw = dict(He=4, direct=True, sigmaQ=[0.4, 0.4], sigmaR=[0.2],
+              sigmaP_0=[1.0, 1.0])  # default nint_ym=1 → stochastic defects
+    ss = mpc.MovingHorizonEstimator(
+        _cont_model(), transcription=mpc.SingleShooting(), **kw)
+    tc = mpc.MovingHorizonEstimator(
+        _cont_model(), transcription=mpc.TrapezoidalCollocation(), **kw)
+    rng = np.random.default_rng(7)
+    for k in range(10):
+        ym = [float(rng.normal() * 0.5)]
+        u = [float(rng.normal() * 0.5)]
+        ss.preparestate(ym)
+        tc.preparestate(ym)
+        x1 = ss.updatestate(u, ym)
+        x2 = tc.updatestate(u, ym)
+        # RK4 and trapezoid are different discretizations: the optimum can
+        # legitimately differ by the O(Ts³) defect gap amplified through Q/R
+        assert np.allclose(x1, x2, atol=5e-3), (k, x1, x2)
+
+
+def test_mhe_trapezoidal_exact_tustin_equivalence():
+    """For a LINEAR continuous plant the implicit trapezoid rule is exactly
+    the Tustin discretization with the noise entering through
+    M=(I−Ts/2·A)⁻¹: a SingleShooting MHE on the discrete twin
+    x⁺=A_d x+B_d u+M·w with Q_d=M·Q·Mᵀ reaches the same optimum to
+    machine precision."""
+    Ac = np.array([[-0.6, 0.25], [0.1, -0.9]])
+    Bc = np.array([[0.5], [0.2]])
+    Ts = 0.2
+    f_c = lambda x, u, d, p: jnp.asarray(Ac) @ x + jnp.asarray(Bc) @ u
+    h_f = lambda x, d, p: jnp.array([x[0] + 0.5 * x[1]])
+    mc = mpc.NonLinModel(f_c, h_f, Ts, 1, 2, 1, solver="rk4")
+    M = np.linalg.inv(np.eye(2) - 0.5 * Ts * Ac)
+    Ad, Bd = M @ (np.eye(2) + 0.5 * Ts * Ac), M @ (Ts * Bc)
+    f_d = lambda x, u, d, p: jnp.asarray(Ad) @ x + jnp.asarray(Bd) @ u
+    md = mpc.NonLinModel(f_d, h_f, Ts, 1, 2, 1, solver=None)
+    Q = np.diag([0.09, 0.09])
+    R = np.diag([0.0225])
+    P0 = np.eye(2)
+    He = 6
+    tc = mpc.MovingHorizonEstimator(
+        mc, He=He, nint_ym=0, direct=True, Q_hat=Q, R_hat=R, P0_hat=P0,
+        transcription=mpc.TrapezoidalCollocation(0))
+    ss = mpc.MovingHorizonEstimator(
+        md, He=He, nint_ym=0, direct=True, Q_hat=M @ Q @ M.T, R_hat=R,
+        P0_hat=P0, transcription=mpc.SingleShooting())
+    rng = np.random.default_rng(5)
+    # stop before the window moves so both arrival covariances stay at P0
+    # (the nested covestims use different discretizations)
+    for k in range(He):
+        ym = [float(rng.normal() * 0.3)]
+        u = [float(rng.normal() * 0.3)]
+        tc.preparestate(ym)
+        ss.preparestate(ym)
+        x1 = tc.updatestate(u, ym)
+        x2 = ss.updatestate(u, ym)
+        assert np.allclose(x1, x2, atol=2e-6), (k, x1, x2)
+
+
+def test_mhe_trapezoidal_hold_order_one():
+    """h=1 (linear input hold) runs and stays near the h=0 estimates."""
+    kw = dict(He=3, nint_ym=0, direct=False, sigmaQ=[0.4, 0.4], sigmaR=[0.2],
+              sigmaP_0=[1.0, 1.0])
+    t0 = mpc.MovingHorizonEstimator(
+        _cont_model(), transcription=mpc.TrapezoidalCollocation(0), **kw)
+    t1 = mpc.MovingHorizonEstimator(
+        _cont_model(), transcription=mpc.TrapezoidalCollocation(1), **kw)
+    rng = np.random.default_rng(3)
+    for k in range(6):
+        ym = [float(rng.normal() * 0.4)]
+        u = [float(rng.normal() * 0.4)]
+        t0.preparestate(ym)
+        t1.preparestate(ym)
+        x0 = t0.updatestate(u, ym)
+        x1 = t1.updatestate(u, ym)
+        assert np.allclose(x0, x1, atol=5e-3), (k, x0, x1)
+
+
+def test_mhe_transcription_validation():
+    """OrthogonalCollocation is rejected (mhe/construct.jl:174-175);
+    trapezoidal needs a continuous-time NonLinModel."""
+    with pytest.raises(ValueError, match="OrthogonalCollocation"):
+        mpc.MovingHorizonEstimator(
+            _cont_model(), He=3, transcription=mpc.OrthogonalCollocation())
+    def fd(x, u, d, p):
+        return jnp.array([0.5 * x[0] + u[0]])
+    disc = mpc.NonLinModel(fd, lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    with pytest.raises(ValueError, match="continuous-time"):
+        mpc.MovingHorizonEstimator(
+            disc, He=3, transcription=mpc.TrapezoidalCollocation())
+    lin = mpc.LinModel(np.array([[0.5]]), np.array([[1.0]]),
+                       np.array([[1.0]]), np.zeros((1, 0)), np.zeros((1, 0)),
+                       1.0)
+    with pytest.raises(ValueError, match="continuous-time"):
+        mpc.MovingHorizonEstimator(
+            lin, He=3, transcription=mpc.TrapezoidalCollocation())
