@@ -785,6 +785,19 @@ class NonLinMPC(PredictiveController):
             info["Yhats"] = info["Ŷs"] = np.asarray(self.params["Ys_now"])
         else:
             info["Yhats"] = info["Ŷs"] = np.zeros(model.ny * self.Hp)
+        # economic cost and custom constraints at the optimum
+        # (addinfo!, nonlinmpc.jl:565-580)
+        if info.get("Ŷ") is not None and info.get("d") is not None:
+            Ue = np.concatenate([info["U"], info["U"][-nu:]])
+            Ye = np.concatenate([info["ŷ"], info["Ŷ"]])
+            De = np.concatenate([np.asarray(info["d"], float),
+                                 np.asarray(info["D̂"], float)])
+            eps = info["ϵ"]
+            info["JE"] = float(np.asarray(self.JE(Ue, Ye, De, self.p, eps)))
+            if self.gc is not None and self.nc:
+                info["gc"] = np.asarray(self.gc(Ue, Ye, De, self.p, eps))
+            else:
+                info["gc"] = np.zeros(0)
         return info
 
     def __repr__(self):

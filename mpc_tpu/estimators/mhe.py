@@ -655,14 +655,29 @@ class MovingHorizonEstimator(StateEstimator):
     def getinfo(self):
         info = {}
         ne, nx = self.n_eps, self.nx_hat
-        info["What"] = info["Ŵ"] = self.Z_tilde[self._w_off:]
-        info["xarr"] = info["x̄"] = self.x_arr_prior - self._last.get(
-            "x_arr", self.x_arr_prior)
+        Nk = self.Nk
+        info["What"] = info["Ŵ"] = self.Z_tilde[self._w_off:][:nx * Nk]
+        x_arr = self._last.get("x_arr", self.x_arr_prior)
+        info["xbar"] = info["x̄"] = self.x_arr_prior - x_arr
+        info["xhatarr"] = info["x̂arr"] = x_arr + self.xop_hat
         info["epsilon"] = info["ϵ"] = float(self.Z_tilde[0]) if ne else 0.0
         info["J"] = self._last.get("J")
         info["Xhat"] = info["X̂"] = self._last.get("X")
+        info["xhat"] = info["x̂"] = self.x0_hat + self.xop_hat
+        info["Pbar"] = info["P̄"] = self.P_arr
         info["Ym"] = self._last.get("Ym")
-        info["Nk"] = self.Nk
+        info["U"] = self.U0_win[:Nk] + self.model.uop
+        info["D"] = self.D0_win + self.model.dop
+        info["Nk"] = Nk
+        # full output predictions over the valid window slots
+        X = self._last.get("X")
+        if X is not None and Nk > 0:
+            d_slots = self.D0_win[1:Nk + 1]
+            Yh = np.stack([np.asarray(self.h_hat(X[j], d_slots[j]), float)
+                           for j in range(Nk)]) + self.model.yop
+            info["Yhat"] = info["Ŷ"] = Yh.reshape(-1)
+            info["Yhatm"] = info["Ŷm"] = Yh[:, np.asarray(self.i_ym, int)
+                                            ].reshape(-1)
         # sensor-noise estimates V̂ = ym − ŷm over the valid window slots
         # (reference getinfo :V̂, mhe/execute.jl:86-203)
         Ym_pred = self._last.get("Ym")
