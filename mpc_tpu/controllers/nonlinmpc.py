@@ -614,7 +614,11 @@ class NonLinMPC(PredictiveController):
                 A = jnp.vstack(rows)
                 l = jnp.concatenate(lo)
                 u_b = jnp.concatenate(up)
-                sol = solve_qp(H, g, A, l, u_b, max_iter=500)
+                # dual warm start: the QP multipliers stabilize across SQP
+                # iterations, and ADMM converges in far fewer sweeps from the
+                # previous iteration's y (the primal step dz → 0 near the
+                # optimum, so x0=0 is already the right primal start)
+                sol = solve_qp(H, g, A, l, u_b, y0=y_d, max_iter=500)
                 dz = sol.x
                 # parallel ℓ1-merit line search (dtype follows the iterate —
                 # a float64 alphas constant silently upcasts the whole loop)
