@@ -450,11 +450,13 @@ class MovingHorizonEstimator(StateEstimator):
             n_iters = 1 if (is_lin and nc == 0) else sqp_iters
 
             def body(i, carry):
-                Zt, _ = carry
+                Zt, y_d, _ = carry
                 g = grad_f(Zt)
                 H = gn_hessian(Zt)
                 A, l, u, Xv, Vv = constraint_rows(Zt)
-                sol = solve_qp(H, g, A, l, u, max_iter=1500, tol=1e-8)
+                # dual warm start across SQP iterations (multipliers
+                # stabilize; ADMM converges in far fewer sweeps)
+                sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=1500, tol=1e-8)
                 # line search only needed for nonlinear models
                 if is_lin:
                     Zn = Zt + sol.x
@@ -479,9 +481,13 @@ class MovingHorizonEstimator(StateEstimator):
                     best = jnp.argmin(merits)
                     a = jnp.where(merits[best] < merit(Zt), alphas[best], 0.0)
                     Zn = Zt + a * sol.x
-                return Zn, sol.converged
+                return Zn, sol.y, sol.converged
 
-            Zt, ok = jax.lax.fori_loop(0, n_iters, body, (Zt0, jnp.array(True)))
+            n_rows = (2 * nx_hat + 4 * He * nx_hat + 2 * He * nym + n_eps
+                      + (He * nx_hat if is_ms else 0) + nc)
+            y0_init = jnp.zeros(n_rows, dt)
+            Zt, _, ok = jax.lax.fori_loop(0, n_iters, body,
+                                          (Zt0, y0_init, jnp.array(True)))
             # final rollout for the state estimate
             eps, x_arr, W = pack_problem(p, Zt)
             X, Ym = rollout_z(p, Zt)
