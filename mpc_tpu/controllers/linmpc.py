@@ -20,7 +20,7 @@ from ..estimators import InternalModel, StateEstimator, SteadyKalmanFilter
 from ..models import LinModel
 from ..ops.qp import solve_qp
 from ..utils.config import BIG
-from .base import PredictiveController, default_Hp
+from .base import PredictiveController, default_Hp, estimate_delays
 from .construct import (ControllerWeights, init_quadprog, relax_DU,
                         relax_terminal, relax_U, relax_Y)
 from .transcription import (MultipleShooting, SingleShooting,
@@ -57,6 +57,12 @@ class LinMPC(PredictiveController):
         self.estim = estim
         self.transcription = transcription or SingleShooting()
         Hp = default_Hp(model) if Hp is None else int(Hp)
+        nk_delays = estimate_delays(model)
+        if Hp <= nk_delays:
+            import warnings
+            warnings.warn(f"prediction horizon Hp ({Hp}) <= estimated number "
+                          f"of delays in model ({nk_delays}), the closed-loop "
+                          "system may be unstable or zero-gain (unresponsive)")
         nb = move_blocking(Hp, Hc)
         Hc = len(nb)
         self.Hp, self.Hc, self.nb = Hp, Hc, nb

@@ -438,3 +438,17 @@ def test_input_integrator_offset_free():
     ctrl = mpc.LinMPC(kf, Hp=20, Hc=2)
     res = mpc.sim(ctrl, 80, [2.0], u_step=[0.4])  # load on the plant input
     assert np.allclose(res.Y_data[-1], [2.0], atol=1e-3)
+
+
+def test_hp_delay_warning():
+    """Hp ≤ estimated delays warns about an unresponsive closed loop
+    (linmpc.jl:307-311); the delay-aware default Hp = 10 + nk does not."""
+    import warnings as _w
+    G = mpc.tf_matrix([[mpc.tf([2], [10, 1]) * mpc.delay(8)]])
+    model = mpc.LinModel(G, 1.0)
+    with pytest.warns(UserWarning, match="delays"):
+        mpc.LinMPC(model, Hp=4, Mwt=[1], Nwt=[0.1])
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        ctrl = mpc.LinMPC(model, Mwt=[1], Nwt=[0.1])
+    assert ctrl.Hp >= 18
