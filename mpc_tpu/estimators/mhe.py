@@ -561,9 +561,26 @@ class MovingHorizonEstimator(StateEstimator):
             self.Z_tilde[self.n_eps:self.n_eps + self.nx_hat] = self.x_arr_prior
         return moving
 
+    def _P_arr_valid(self):
+        """The stored P̄ must be finite and PD before it can be advanced
+        (the reference's cholesky! throws on a corrupted P̄ and the previous
+        covariance is retained, mhe/execute.jl:781-797)."""
+        P = self.P_arr
+        if not np.all(np.isfinite(P)):
+            warnings.warn("Arrival covariance P̄ is not finite: keeping the "
+                          "old one")
+            return False
+        if not np.all(np.linalg.eigvalsh(0.5 * (P + P.T)) > 0):
+            warnings.warn("Arrival covariance P̄ is not positive definite: "
+                          "keeping the old one")
+            return False
+        return True
+
     def _correct_cov(self):
         """correct_cov! (mhe/execute.jl:729-752): correct P̄ at the arrival
         with the oldest window data; the state is only a linearization point."""
+        if not self._P_arr_valid():
+            return
         ce = self.covestim
         ce.x0_hat = self.x_arr_prior.copy()
         ce.P_hat = self.P_arr.copy()
@@ -579,6 +596,8 @@ class MovingHorizonEstimator(StateEstimator):
     def _update_cov(self):
         """update_cov! (mhe/execute.jl:755-779): advance P̄ one step (predict
         only when direct — the correction was already done in _correct_cov)."""
+        if not self._P_arr_valid():
+            return
         ce = self.covestim
         ce.x0_hat = self.x_arr_prior.copy()
         ce.P_hat = self.P_arr.copy()

@@ -379,3 +379,57 @@ def test_mhe_transcription_validation():
     with pytest.raises(ValueError, match="continuous-time"):
         mpc.MovingHorizonEstimator(
             lin, He=3, transcription=mpc.TrapezoidalCollocation())
+
+
+def test_mhe_linmodel_vs_wrapped_nonlinmodel():
+    """LinModel MHE (one-shot QP path) ≡ the same plant wrapped as a
+    NonLinModel (GN-SQP path), with active ŵ bounds (reference
+    2_test_state_estim.jl:1839)."""
+    A = np.array([[0.85, 0.1], [0.0, 0.7]])
+    Bu = np.array([[0.5], [0.25]])
+    C = np.array([[1.0, 0.4]])
+    lin = mpc.LinModel(A, Bu, C, np.zeros((1, 0)), np.zeros((1, 0)), 1.0)
+    fnl = lambda x, u, d, p: jnp.asarray(A) @ x + jnp.asarray(Bu) @ u
+    hnl = lambda x, d, p: jnp.asarray(C) @ x
+    nl = mpc.NonLinModel(fnl, hnl, 1.0, 1, 2, 1, solver=None)
+    kw = dict(He=4, nint_ym=0, sigmaQ=[0.5, 0.5], sigmaR=[0.3],
+              sigmaP_0=[1.0, 1.0], direct=True)
+    e1 = mpc.MovingHorizonEstimator(lin, **kw)
+    e2 = mpc.MovingHorizonEstimator(nl, **kw)
+    wb = dict(whatmin=[-0.02, -0.02], whatmax=[0.02, 0.02])
+    e1.setconstraint(**wb)
+    e2.setconstraint(**wb)
+    rng = np.random.default_rng(21)
+    for k in range(9):
+        ym = [float(0.5 * np.sin(0.4 * k) + rng.normal() * 0.1)]
+        u = [float(np.cos(0.3 * k))]
+        e1.preparestate(ym)
+        e2.preparestate(ym)
+        x1 = e1.updatestate(u, ym)
+        x2 = e2.updatestate(u, ym)
+        assert np.allclose(x1, x2, atol=5e-5), (k, x1, x2)
+
+
+def test_mhe_arrival_cov_fallback():
+    """Non-PD / non-finite arrival covariance P̄ is rejected with a warning
+    and the previous inverse is kept (reference
+    2_test_state_estim.jl:1339-1384, mhe/execute.jl:781-797)."""
+    A = np.array([[0.8]])
+    lin = mpc.LinModel(A, np.array([[1.0]]), np.array([[1.0]]),
+                       np.zeros((1, 0)), np.zeros((1, 0)), 1.0)
+    e = mpc.MovingHorizonEstimator(lin, He=1, nint_ym=0)
+    for _ in range(2):
+        e.preparestate([0.5])
+        e.updatestate([0.1], [0.5])
+    e.P_arr[0, 0] = -1e-3
+    invP_copy = e.invP_arr.copy()
+    with pytest.warns(UserWarning, match="keeping"):
+        e.preparestate([0.5])
+        e.updatestate([0.1], [0.5])
+    assert np.allclose(e.invP_arr, invP_copy)
+    e.P_arr[0, 0] = np.inf
+    invP_copy = e.invP_arr.copy()
+    with pytest.warns(UserWarning, match="keeping"):
+        e.preparestate([0.5])
+        e.updatestate([0.1], [0.5])
+    assert np.allclose(e.invP_arr, invP_copy)
