@@ -189,6 +189,7 @@ class NonLinMPC(PredictiveController):
             yop=model.yop, uop=model.uop, dop=model.dop,
         )
         self._step = self._make_step()
+        self._coldstart_fn = None
         self._solved_once = False
 
     # ------------------------------------------------------------------
@@ -375,6 +376,57 @@ class NonLinMPC(PredictiveController):
             return outputs_trap
         return outputs_ms if self.is_ms else outputs_ss
 
+    def _make_coldstart(self):
+        """Feasibility cold start for MS/collocation decision states: fill the
+        X̂ block with the held-input (ΔU=0) rollout from x̂0 and the
+        orthogonal-collocation K block with the linear interpolation of the
+        deterministic substate across each interval, so the first SQP solve
+        starts with near-zero defects instead of the ~O(1) violations of an
+        all-zero (operating-point) initialization.  Returned in *pre-shifted*
+        form: step() shifts Z_prev one slot before use, so block j+1 here
+        lands in slot j there (last slot duplicates slot Hp−2 — harmless)."""
+        estim, model = self.estim, self.estim.model
+        nu, nx_hat, nx, nd = model.nu, estim.nx_hat, model.nx, model.nd
+        Hp = self.Hp
+        nDU = nu * self.Hc
+        f_hat = estim.f_hat
+        tr = self.transcription
+        is_oc = isinstance(tr, OrthogonalCollocation)
+        no = tr.no if is_oc else 0
+        tau_np = np.asarray(tr.tau) if is_oc else None
+        nZt = self.nZt
+
+        @jax.jit
+        def coldstart(p, x0_hat, lastu0, d0, D_hat_0):
+            dt = x0_hat.dtype
+            if nd:
+                Dall = jnp.concatenate([d0, D_hat_0]).reshape(Hp + 1, nd)
+                Df = Dall[:-1]
+            else:
+                Df = jnp.zeros((Hp, 0), dt)
+            U0m = (p["Tu"] @ lastu0).reshape(Hp, nu)
+
+            def scan_f(x, inp):
+                u0, d0f = inp
+                xn = jnp.asarray(f_hat(x, u0, d0f)) + p["fop_m_xop"]
+                return xn, xn
+
+            _, X = jax.lax.scan(scan_f, x0_hat, (U0m, Df))
+            Zp = jnp.zeros(nZt, dt)
+            # slot 0 of every block is discarded by step()'s shift
+            Zp = Zp.at[nDU + nx_hat:nDU + nx_hat * Hp].set(X[:-1].reshape(-1))
+            if no:
+                X_prev = jnp.vstack([x0_hat[None, :], X[:-1]])
+                tau = jnp.asarray(tau_np, dt)
+                Kd = (X_prev[:, None, :nx] * (1 - tau)[None, :, None]
+                      + X[:, None, :nx] * tau[None, :, None])
+                o = nDU + nx_hat * Hp
+                nk_st = no * nx
+                Zp = Zp.at[o + nk_st:o + Hp * nk_st].set(Kd[:-1].reshape(-1))
+            return Zp
+
+        return coldstart
+
     def _make_step(self):
         estim, model = self.estim, self.estim.model
         nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
@@ -493,39 +545,47 @@ class NonLinMPC(PredictiveController):
                         + p["Wu_fold"] @ (U0_ + p["Uop"])
                         + p["Wd_bar"] @ De_t + p["Wr_bar"] @ Re_t)
 
-            def viol(Zt):
+            def viol_terms(Zt):
+                """Concatenated per-row constraint violations (≥ 0)."""
                 Z_, eps_ = split(Zt)
                 Y0, xend, S, U0 = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
                 DU = Z_[:nDU]
-                v = 0.0
-                v += jnp.sum(jnp.maximum(p["U0min"] - p["C_umin"] * eps_ - U0, 0)
+                parts = []
+                parts.append(jnp.maximum(p["U0min"] - p["C_umin"] * eps_ - U0, 0)
                              + jnp.maximum(U0 - p["U0max"] - p["C_umax"] * eps_, 0))
-                v += jnp.sum(jnp.maximum(p["DUmin"] - p["C_dumin"] * eps_ - DU, 0)
+                parts.append(jnp.maximum(p["DUmin"] - p["C_dumin"] * eps_ - DU, 0)
                              + jnp.maximum(DU - p["DUmax"] - p["C_dumax"] * eps_, 0))
-                v += jnp.sum(jnp.maximum(p["Y0min"] - p["C_ymin"] * eps_ - Y0, 0)
+                parts.append(jnp.maximum(p["Y0min"] - p["C_ymin"] * eps_ - Y0, 0)
                              + jnp.maximum(Y0 - p["Y0max"] - p["C_ymax"] * eps_, 0))
-                v += jnp.sum(jnp.maximum(p["x0min"] - p["c_xmin"] * eps_ - xend, 0)
+                parts.append(jnp.maximum(p["x0min"] - p["c_xmin"] * eps_ - xend, 0)
                              + jnp.maximum(xend - p["x0max"] - p["c_xmax"] * eps_, 0))
                 if nw:
                     Wv = W_of(U0, Y0)
-                    v += jnp.sum(
+                    parts.append(
                         jnp.maximum(p["Wmin_b"] - p["C_wmin"] * eps_ - Wv, 0)
                         + jnp.maximum(Wv - p["Wmax_b"] - p["C_wmax"] * eps_, 0))
-                v += jnp.sum(jnp.abs(S))
+                parts.append(jnp.abs(S))
                 if nc:
                     Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
-                    v += jnp.sum(jnp.maximum(jnp.asarray(gc(Ue, Ye, De, p_user, eps_)), 0))
+                    parts.append(jnp.maximum(
+                        jnp.asarray(gc(Ue, Ye, De, p_user, eps_)), 0))
                 if n_eps:
-                    v += jnp.maximum(-eps_, 0)
-                return v
+                    parts.append(jnp.maximum(-eps_, 0)[None])
+                return jnp.concatenate(parts)
 
-            mu = 1e4
+            def viol(Zt):
+                """ℓ1 total violation — the exact-penalty merit term."""
+                return jnp.sum(viol_terms(Zt))
 
-            def merit(Zt):
+            def viol_inf(Zt):
+                """Worst single-row violation — the user-facing diagnostic."""
+                return jnp.max(viol_terms(Zt))
+
+            def merit(Zt, mu):
                 return obj(Zt) + mu * viol(Zt)
 
             def sqp_body(carry):
-                Zt, y_d, it, step_norm = carry
+                Zt, y_d, it, step_norm, mu, tr, _ = carry
                 Z, eps = split(Zt)
                 (Y0, xend, S, Jy, Jx, Js, gcv, Jgc) = constraint_data(
                     p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk)
@@ -608,9 +668,6 @@ class NonLinMPC(PredictiveController):
                 if n_eps:
                     e_row = jnp.zeros((1, nZt), dt).at[0, -1].set(1.0)
                     add(e_row, jnp.atleast_1d(-eps), jnp.full(1, 2e18, dt))
-                # equality defects (MS)
-                if neq:
-                    add(Js, -S, -S)
                 A = jnp.vstack(rows)
                 l = jnp.concatenate(lo)
                 u_b = jnp.concatenate(up)
@@ -618,30 +675,110 @@ class NonLinMPC(PredictiveController):
                 # iterations, and ADMM converges in far fewer sweeps from the
                 # previous iteration's y (the primal step dz → 0 near the
                 # optimum, so x0=0 is already the right primal start)
-                sol = solve_qp(H, g, A, l, u_b, y0=y_d, max_iter=500)
-                dz = sol.x
+                if neq:
+                    # Linearized defect equalities Js·dz = −S handled EXACTLY
+                    # by nullspace elimination (dz = dp + N v): ADMM left with
+                    # a tiny inequality-only reduced QP it solves accurately.
+                    # (Stacking the neq≈nx̂·Hp equality rows into ADMM gave
+                    # inexact steps that stalled the OC swing-up at |S|≈6.)
+                    Qf, Rf = jnp.linalg.qr(Js.T, mode="complete")
+                    Q1, Nn = Qf[:, :neq], Qf[:, neq:]
+                    Rsq = Rf[:neq, :]
+                    dp = Q1 @ jax.scipy.linalg.solve_triangular(
+                        Rsq.T, -S, lower=True)
+                    Hr = Nn.T @ H @ Nn
+                    gr = Nn.T @ (g + H @ dp)
+                    # trust-region box on the tangential step ‖v‖∞ ≤ Δ: a
+                    # bounded step re-optimized inside the box beats damping an
+                    # over-long Newton direction (the swing-up crawled at
+                    # α=0.01 along |dz|≈4 steps far outside the linearization's
+                    # validity; the normal step dp stays full — restoration)
+                    nv = nZt - neq
+                    A_r = jnp.vstack([A @ Nn, jnp.eye(nv, dtype=dt)])
+                    l_r = jnp.concatenate([l - A @ dp, jnp.full(nv, -1.0, dt) * tr])
+                    u_r = jnp.concatenate([u_b - A @ dp, jnp.full(nv, 1.0, dt) * tr])
+                    sol = solve_qp(Hr, gr, A_r, l_r, u_r,
+                                   y0=y_d, max_iter=500)
+                    dz = dp + Nn @ sol.x
+                    # equality multipliers from stationarity (for the μ rule);
+                    # the trust rows act on v = Nnᵀdz, so their duals enter
+                    # through Nn
+                    m_in = A.shape[0]
+                    resid = (H @ dz + g + A.T @ sol.y[:m_in]
+                             + Nn @ sol.y[m_in:])
+                    lam = jax.scipy.linalg.solve_triangular(
+                        Rsq, -(Q1.T @ resid), lower=False)
+                    dual_inf = jnp.maximum(jnp.linalg.norm(sol.y[:m_in], jnp.inf),
+                                           jnp.linalg.norm(lam, jnp.inf))
+                    # Second-order correction: the ℓ1 merit rejects the full
+                    # step when defect curvature reintroduces |S| at Zt+dz
+                    # (Maratos-type crawl: swing-up steps accepted only at
+                    # α=0.01).  Re-evaluate the defects at the trial point and
+                    # take the minimal-norm restoration c = −Js⁺S(Zt+dz)
+                    # (Nocedal & Wright §15.6, reusing the QR above); the line
+                    # search tries Zt + α·dz + α²·c so SOC vanishes as α→0.
+                    def S_of(Zt_):
+                        Z_, _ = split(Zt_)
+                        _, _, S_, _ = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
+                        return S_
+
+                    c_soc = Q1 @ jax.scipy.linalg.solve_triangular(
+                        Rsq.T, -S_of(Zt + dz), lower=True)
+                else:
+                    A_r = jnp.vstack([A, jnp.eye(nZt, dtype=dt)])
+                    l_r = jnp.concatenate([l, jnp.full(nZt, -1.0, dt) * tr])
+                    u_r = jnp.concatenate([u_b, jnp.full(nZt, 1.0, dt) * tr])
+                    sol = solve_qp(H, g, A_r, l_r, u_r, y0=y_d, max_iter=500)
+                    dz = sol.x
+                    dual_inf = jnp.linalg.norm(sol.y[:A.shape[0]], jnp.inf)
+                    c_soc = jnp.zeros_like(dz)
+                # ℓ1 exact-penalty parameter: must dominate the constraint
+                # multipliers (Nocedal & Wright Thm 17.3) or the line search
+                # accepts objective-reducing steps that never restore
+                # feasibility (observed: OC swing-up stuck at |S|≈6 while J
+                # kept falling with a fixed μ=1e4 ≪ J-scale duals)
+                # (bounded decrease allowed — a μ ratcheted up by early large
+                # duals makes the merit reject good late steps whose tiny viol
+                # increase it overweights)
+                mu = jnp.clip(mu, 2.0 * dual_inf, 20.0 * dual_inf + 1e3)
                 # parallel ℓ1-merit line search (dtype follows the iterate —
                 # a float64 alphas constant silently upcasts the whole loop)
                 alphas = jnp.asarray(alphas_f, Zt.dtype)
-                merits = jax.vmap(lambda a: merit(Zt + a * dz))(alphas)
+                merits = jax.vmap(
+                    lambda a: merit(Zt + a * dz + (a * a) * c_soc, mu))(alphas)
                 best = jnp.argmin(merits)
-                improve = merits[best] <= merit(Zt)
+                improve = merits[best] <= merit(Zt, mu)
                 a = jnp.where(improve, alphas[best], 0.0)
-                Zt_new = Zt + a * dz
-                sn = jnp.linalg.norm(a * dz, jnp.inf)
-                return Zt_new, sol.y, it + 1, sn
+                dz_soc = a * dz + (a * a) * c_soc
+                Zt_new = Zt + dz_soc
+                sn = jnp.linalg.norm(dz_soc, jnp.inf)
+                # radius update from the accepted step fraction: a full step
+                # means the model is trusted (grow); a damped/rejected step
+                # means the box is still too large (shrink — the NEXT direction
+                # is then re-optimized at the shorter length)
+                tr = jnp.where(a >= 0.99, jnp.minimum(tr * 2.0, 1e5),
+                     jnp.where(a == 0.0, tr * 0.25,
+                     jnp.where(a <= 0.11, tr * 0.5, tr)))
+                tr = jnp.maximum(tr, 1e-3)
+                return Zt_new, sol.y, it + 1, sn, mu, tr, a
 
             def sqp_cond(carry):
-                _, _, it, step_norm = carry
-                return (it < sqp_iters) & ((it < 2) | (step_norm > sqp_tol))
+                _, _, it, step_norm, _, tr, a = carry
+                retry = (a == 0.0) & (tr > 1.1e-3)  # rejected, can still shrink
+                return (it < sqp_iters) & ((it < 2) | (step_norm > sqp_tol)
+                                           | retry)
 
             Zt0 = Zs
-            y0 = jnp.zeros(2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nW
-                           + 2 * nx_hat + nc + n_eps + neq, dt)
-            Zt, y_d, iters, sn = jax.lax.while_loop(
-                sqp_cond, sqp_body, (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt)))
+            n_in = (2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nW
+                    + 2 * nx_hat + nc + n_eps)
+            y0 = jnp.zeros(n_in + (nZt - neq if neq else nZt), dt)
+            Zt, y_d, iters, sn, _, _, _ = jax.lax.while_loop(
+                sqp_cond, sqp_body,
+                (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt),
+                 jnp.asarray(1e4, dt), jnp.asarray(16.0, dt),
+                 jnp.asarray(1.0, dt)))
             J_final = obj(Zt)
-            viol_final = viol(Zt)
+            viol_final = viol_inf(Zt)
             # final rollout for getinfo diagnostics
             Zf, eps_f = split(Zt)
             Y0f, xendf, _, U0f = rollout(p, Zf, x0_hat, lastu0, Df, Dh)
@@ -732,11 +869,18 @@ class NonLinMPC(PredictiveController):
                 {k: np.asarray(v) for k, v in self.params.items()})
             self._p_ver = self._params_version
         p = self._p_cache
+        if self.is_ms and not self._solved_once:
+            if self._coldstart_fn is None:
+                self._coldstart_fn = self._make_coldstart()
+            self.Z_tilde = np.asarray(self._coldstart_fn(
+                p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
+                jnp.asarray(d0), jnp.asarray(D0)))
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
                          jnp.asarray(R_hat_u), jnp.asarray(yk),
                          jnp.asarray(ry), jnp.asarray(self.Z_tilde), None)
         u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = out
+        self._solved_once = True
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Zt)
         self.R_hat_y, self.R_hat_u = R_hat_y, R_hat_u
