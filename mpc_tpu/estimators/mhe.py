@@ -387,11 +387,8 @@ class MovingHorizonEstimator(StateEstimator):
                 if n_eps:
                     er = jnp.zeros((1, nZt), dt).at[0, 0].set(1.0)
                     add(er, jnp.atleast_1d(-eps), jnp.full(1, big, dt))
-                # MS defect equalities ŵ = x̂⁺ − f̂(x̂) (linearized rows)
-                if is_ms:
-                    Sv = defects_z(p, Zt)
-                    Js = jax.jacfwd(lambda Zt_: defects_z(p, Zt_))(Zt)
-                    add(Js, -Sv, -Sv)
+                # (MS defect equalities are handled by nullspace elimination
+                # in the solve body, not as ADMM rows — see below)
                 # custom nonlinear constraints gc ≤ 0, linearized at the
                 # iterate (NaN-padded aligned windows, mhe/construct.jl:437-448)
                 if nc:
@@ -449,45 +446,83 @@ class MovingHorizonEstimator(StateEstimator):
 
             n_iters = 1 if (is_lin and nc == 0) else sqp_iters
 
+            neq = He * nx_hat if is_ms else 0
+
             def body(i, carry):
-                Zt, y_d, _ = carry
+                Zt, y_d, _, mu = carry
                 g = grad_f(Zt)
                 H = gn_hessian(Zt)
                 A, l, u, Xv, Vv = constraint_rows(Zt)
                 # dual warm start across SQP iterations (multipliers
                 # stabilize; ADMM converges in far fewer sweeps)
-                sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=1500, tol=1e-8)
+                if is_ms:
+                    # Linearized defect equalities Js·dz = −S eliminated
+                    # EXACTLY via QR nullspace (dz = dp + N v): ADMM only sees
+                    # the inequality-reduced QP it solves accurately.  Stacked
+                    # equality rows in ADMM were inexact — nonlinear MS≡SS
+                    # drifted ~2e-5 and linear MS-MHE≡KF sat at 1e-8.
+                    Sv = defects_z(p, Zt)
+                    Js = jax.jacfwd(lambda Zt_: defects_z(p, Zt_))(Zt)
+                    Qf, Rf = jnp.linalg.qr(Js.T, mode="complete")
+                    Q1, Nn = Qf[:, :neq], Qf[:, neq:]
+                    Rsq = Rf[:neq, :]
+                    dp = Q1 @ jax.scipy.linalg.solve_triangular(
+                        Rsq.T, -Sv, lower=True)
+                    Hr = Nn.T @ H @ Nn
+                    gr = Nn.T @ (g + H @ dp)
+                    sol = solve_qp(Hr, gr, A @ Nn, l - A @ dp, u - A @ dp,
+                                   y0=y_d, max_iter=500, tol=1e-8)
+                    dz = dp + Nn @ sol.x
+                    # equality multipliers from stationarity → adaptive ℓ1
+                    # penalty (must dominate the duals, N&W Thm 17.3)
+                    resid = H @ dz + g + A.T @ sol.y
+                    lam = jax.scipy.linalg.solve_triangular(
+                        Rsq, -(Q1.T @ resid), lower=False)
+                    dual_inf = jnp.maximum(jnp.linalg.norm(sol.y, jnp.inf),
+                                           jnp.linalg.norm(lam, jnp.inf))
+                    mu = jnp.clip(mu, 2.0 * dual_inf, 20.0 * dual_inf + 1e3)
+                else:
+                    sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=1500,
+                                   tol=1e-8)
+                    dz = sol.x
                 # line search only needed for nonlinear models
                 if is_lin:
-                    Zn = Zt + sol.x
+                    Zn = Zt + dz
                 else:
-                    # l1 exact-penalty merit: with MultipleShooting the QP
-                    # imposes LINEARIZED defect equalities — an objective-only
-                    # merit accepts damped steps that lower J while leaving
-                    # the true nonlinear defects violated (the optimizer then
-                    # "cheats" the dynamics and never tightens them)
+                    # l1 exact-penalty merit: an objective-only merit accepts
+                    # damped steps that lower J while leaving the true
+                    # nonlinear defects violated (the optimizer then "cheats"
+                    # the dynamics and never tightens them)
                     if is_ms:
-                        merit = lambda Zt_: (obj(Zt_) + 1e4 * jnp.sum(
+                        merit = lambda Zt_: (obj(Zt_) + mu * jnp.sum(
                             jnp.abs(defects_z(p, Zt_))))
+                        # second-order correction: restore the defects at the
+                        # trial point through the same QR so the merit accepts
+                        # full steps despite defect curvature (N&W §15.6)
+                        c_soc = Q1 @ jax.scipy.linalg.solve_triangular(
+                            Rsq.T, -defects_z(p, Zt + dz), lower=True)
                     else:
                         merit = obj
+                        c_soc = jnp.zeros_like(dz)
                     # deep backtracking: a grid that bottoms out at 0.1 can
                     # deterministically lock at α=0 from a bad warm start (the
                     # GN step is a descent direction, but only for small α) —
                     # the loop then never moves regardless of sqp_iters
                     alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
-                                          0.003, 0.001])
-                    merits = jax.vmap(lambda a: merit(Zt + a * sol.x))(alphas)
+                                          0.003, 0.001], dt)
+                    merits = jax.vmap(
+                        lambda a: merit(Zt + a * dz + (a * a) * c_soc))(alphas)
                     best = jnp.argmin(merits)
                     a = jnp.where(merits[best] < merit(Zt), alphas[best], 0.0)
-                    Zn = Zt + a * sol.x
-                return Zn, sol.y, sol.converged
+                    Zn = Zt + a * dz + (a * a) * c_soc
+                return Zn, sol.y, sol.converged, mu
 
             n_rows = (2 * nx_hat + 4 * He * nx_hat + 2 * He * nym + n_eps
-                      + (He * nx_hat if is_ms else 0) + nc)
+                      + nc)
             y0_init = jnp.zeros(n_rows, dt)
-            Zt, _, ok = jax.lax.fori_loop(0, n_iters, body,
-                                          (Zt0, y0_init, jnp.array(True)))
+            Zt, _, ok, _ = jax.lax.fori_loop(
+                0, n_iters, body,
+                (Zt0, y0_init, jnp.array(True), jnp.asarray(1e4, dt)))
             # final rollout for the state estimate
             eps, x_arr, W = pack_problem(p, Zt)
             X, Ym = rollout_z(p, Zt)

@@ -267,7 +267,9 @@ def test_mhe_nonlinear_multiple_shooting_vs_single_shooting():
         ms.preparestate(ym)
         x1 = ss.updatestate(u, ym)
         x2 = ms.updatestate(u, ym)
-        assert np.allclose(x1, x2, atol=2e-5), (k, x1, x2)
+        # nullspace-eliminated defect equalities reach the SS optimum to
+        # ~7e-8 (stacked ADMM equality rows drifted ~2e-5)
+        assert np.allclose(x1, x2, atol=1e-6), (k, x1, x2)
 
 
 def _cont_model():
