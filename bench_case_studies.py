@@ -93,6 +93,27 @@ def cstr_step(k):
 
 report("CSTR LinMPC (Hp=10,Hc=2, soft y + hard u)", *timed_loop(cstr_step, N))
 
+# same case on the GI dual active-set QP (the reference benches OSQP *and*
+# DAQP on this plant, 3_bench_predictive_control.jl:166-215)
+ctrl_as = mpc.LinMPC(model, Hp=10, Hc=2, Mwt=[1, 1], Nwt=[0.1, 0.1],
+                     qp_solver="active_set",
+                     dtype=jnp.float32 if args.tpu else None)
+ctrl_as.setconstraint(umin=[5, 5], umax=[35, 35], ymin=[45, 25], ymax=[55, 35])
+plant_as = mpc.LinModel(G, 2.0, i_d=[2])
+plant_as.setop(uop=[20, 20], yop=[50, 30], dop=[20])
+
+
+def cstr_step_as(k):
+    y = plant_as.evaloutput(d)
+    ctrl_as.preparestate(y, d)
+    u = ctrl_as.moveinput(ry, d)
+    ctrl_as.updatestate(u, y, d)
+    plant_as.updatestate(u, d)
+
+
+cstr_step_as(0)  # warm-up
+report("CSTR LinMPC (active-set QP, DAQP role)", *timed_loop(cstr_step_as, N))
+
 
 if args.tpu:
     # Per-step latency through the tunneled chip is round-trip-bound
@@ -155,7 +176,7 @@ report("pendulum NonLinMPC (UKF, Hp=20, Hc=2, SQP)", tot_nmpc, med_nmpc,
 pend3 = make_pendulum()
 sl = mpc.SLMPC(pend3, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
                sigmaQ=[0.1, 1.0], sigmaR=[5.0], nint_ym=[1],
-               sigmaQint_ym=[0.1])
+               sigmaQint_ym=[0.1], qp_solver="active_set")
 sl.setconstraint(umin=[-1.5], umax=[1.5])
 plant3 = make_pendulum()
 ry = np.array([180.0])

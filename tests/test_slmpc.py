@@ -89,3 +89,28 @@ def test_slmpc_fleet_chunked():
     assert np.array_equal(np.asarray(conv_c), np.asarray(conv_v))
     with pytest.raises(ValueError):
         ctrl.make_fleet_step(10, chunk=4)
+
+
+def test_slmpc_active_set_solver():
+    """SLMPC with the GI active-set QP matches the ADMM path and swings up."""
+
+    def run(qp):
+        sl = mpc.SLMPC(make_pendulum(), Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                       sigmaQ=[0.1, 1.0], sigmaR=[5.0], sigmaQint_ym=[0.1],
+                       qp_solver=qp)
+        sl.setconstraint(umin=[-1.5], umax=[1.5])
+        plant = make_pendulum()
+        plant.setstate([0.0, 0.0])
+        ry = jnp.asarray([180.0])
+        us = []
+        for k in range(40):
+            y = plant.evaloutput()
+            u, _ = sl.moveinput_closed(jnp.asarray(y), ry)
+            us.append(float(u[0]))
+            plant.updatestate(u)
+        return np.array(us), float(y[0])
+
+    ua, ya = run("admm")
+    ub, yb = run("active_set")
+    assert abs(ya - 180) < 2 and abs(yb - 180) < 2
+    assert np.allclose(ua, ub, atol=1e-6)
