@@ -619,10 +619,11 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
             Zs = Zs.at[-1].set(Z_prev[-1])
         # --- solve QP ---
         if use_as:
-            # Goldfarb–Idnani exact dual active set: ~5× lower latency than
-            # warm ADMM on small condensed QPs (the DAQP role; no warm start
-            # needed — it terminates in a handful of pivots)
-            sol = solve_qp_active(p["H"], q, p["A_stack"], l, u_vec)
+            # Goldfarb–Idnani exact dual active set, warm-started from the
+            # previous period's duals (the DAQP role; the active set is
+            # nearly stationary → typically one KKT solve + one scan)
+            sol = solve_qp_active(p["H"], q, p["A_stack"], l, u_vec,
+                                  y0=y_prev)
         else:
             sol = solve_qp(p["H"], q, p["A_stack"], l, u_vec, x0=Zs,
                            y0=y_prev)

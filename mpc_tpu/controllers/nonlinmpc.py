@@ -704,8 +704,9 @@ class NonLinMPC(PredictiveController):
                     l_r = jnp.concatenate([l - A @ dp, jnp.full(nv, -1.0, dt) * tr])
                     u_r = jnp.concatenate([u_b - A @ dp, jnp.full(nv, 1.0, dt) * tr])
                     if use_as:
-                        # exact GI pivots on the tiny reduced QP (nv ≈ nu·Hc)
-                        sol = solve_qp_active(Hr, gr, A_r, l_r, u_r)
+                        # exact GI pivots on the tiny reduced QP (nv ≈ nu·Hc),
+                        # active set warm-started across SQP iterations
+                        sol = solve_qp_active(Hr, gr, A_r, l_r, u_r, y0=y_d)
                     else:
                         sol = solve_qp(Hr, gr, A_r, l_r, u_r,
                                        y0=y_d, max_iter=500)
@@ -739,7 +740,7 @@ class NonLinMPC(PredictiveController):
                     l_r = jnp.concatenate([l, jnp.full(nZt, -1.0, dt) * tr])
                     u_r = jnp.concatenate([u_b, jnp.full(nZt, 1.0, dt) * tr])
                     if use_as:
-                        sol = solve_qp_active(H, g, A_r, l_r, u_r)
+                        sol = solve_qp_active(H, g, A_r, l_r, u_r, y0=y_d)
                     else:
                         sol = solve_qp(H, g, A_r, l_r, u_r, y0=y_d,
                                        max_iter=500)

@@ -206,9 +206,10 @@ class SLMPC(PredictiveController):
             # --- constraint rows (U, ΔU, Ŷ) ---
             A_rows, l, u = rows(E, F, Yop, lastu, bounds)
             if use_as:
-                # exact GI dual active set: no warm start needed, ~5× lower
-                # single-stream latency than warm ADMM at condensed sizes
-                sol = solve_qp_active(H, q, A_rows, l, u)
+                # exact GI dual active set, warm-started from the previous
+                # period's duals (the active set is nearly stationary in
+                # receding horizon → typically one KKT solve + one scan)
+                sol = solve_qp_active(H, q, A_rows, l, u, y0=st["ydual"])
             else:
                 sol = solve_qp(H, q, A_rows, l, u, x0=shift(st["Z"]),
                                y0=st["ydual"], max_iter=1000)

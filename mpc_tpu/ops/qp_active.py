@@ -37,19 +37,26 @@ import jax.numpy as jnp
 from .qp import QPSolution, _BIG
 
 
-def solve_qp_active(P, q, A, l, u, *, max_pivots=150, tol=1e-9):
+def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9):
     """Solve one dense QP by dual active set.  jit- and vmap-compatible.
 
     Exact at termination (up to the small gathered-KKT solves' accuracy) —
     intended for float64 single-stream latency paths; works in float32 with
     the usual caveats.  ``max_pivots`` bounds add/drop steps; `converged`
     is False if the bound is hit or the duals detect primal infeasibility.
+
+    ``y0`` warm-starts the ACTIVE SET from a previous solve's duals (their
+    signs give the active sides): the warm phase solves the gathered KKT for
+    that set and drops wrong-sign multipliers one at a time, after which the
+    usual GI pivoting continues.  In receding-horizon use the active set is
+    nearly stationary, so a warm solve is typically one KKT solve + one
+    optimality scan (~2 "pivots").
     """
     with jax.default_matmul_precision("float32"):
-        return _gi_impl(P, q, A, l, u, max_pivots=max_pivots, tol=tol)
+        return _gi_impl(P, q, A, l, u, y0, max_pivots=max_pivots, tol=tol)
 
 
-def _gi_impl(P, q, A, l, u, *, max_pivots, tol):
+def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
     dt = q.dtype
     n = q.shape[0]
     m = A.shape[0]
@@ -66,12 +73,48 @@ def _gi_impl(P, q, A, l, u, *, max_pivots, tol):
     slot_id = jnp.arange(n)
 
     # state: x; slot buffer idx/side/lam (capacity n) with fill count;
-    # row being added p (−1 = selection mode), its side sp, its multiplier
-    # lam_p; pivot counter; done/feasible flags
+    # row being added p (−1 = selection mode, −2 = warm-start KKT phase),
+    # its side sp, its multiplier lam_p; pivot counter; done/feasible flags
     def cond(st):
         return (~st["done"]) & (st["it"] < max_pivots)
 
     def body(st):
+        def warm(st):
+            """Solve the gathered KKT for the warm active set; drop the most
+            wrong-signed multiplier, or adopt the point and start selecting."""
+            idx, side, cnt = st["idx"], st["side"], st["cnt"]
+            valid = slot_id < cnt
+            vf = valid.astype(dt)
+            Arows = A[idx] * vf[:, None]
+            bnd = jnp.where(side > 0, u[idx], l[idx]) * vf
+            K = jnp.block([[P, Arows.T],
+                           [Arows, jnp.diag(1.0 - vf)]])
+            sol = jnp.linalg.solve(K, jnp.concatenate([-q, bnd]))
+            xw, w = sol[:n], sol[n:]
+            lamw = side.astype(dt) * w          # λ = s·w must be ≥ 0
+            lam_chk = jnp.where(valid, lamw, inf)
+            k = jnp.argmin(lam_chk)
+            neg = lam_chk[k] < -eps
+            ok = jnp.all(jnp.isfinite(xw)) & jnp.all(jnp.isfinite(w))
+            # dependent warm normals → singular KKT → cold reset
+            last = jnp.maximum(cnt - 1, 0)
+            idx_d = idx.at[k].set(idx[last])
+            side_d = side.at[k].set(side[last])
+            drop = ok & neg
+            adopt = ok & ~neg
+            return dict(
+                x=jnp.where(adopt, xw, st["x"]),
+                idx=jnp.where(drop, idx_d, idx),
+                side=jnp.where(drop, side_d,
+                               jnp.where(ok, side, jnp.zeros_like(side))),
+                lam=jnp.where(adopt, jnp.where(valid, lamw, 0.0), st["lam"]),
+                cnt=jnp.where(drop, cnt - 1,
+                              jnp.where(ok, cnt, 0)),
+                p=jnp.where(drop, -2, -1).astype(jnp.int32),
+                sp=jnp.asarray(0, jnp.int32),
+                lam_p=jnp.asarray(0.0, dt), it=st["it"] + 1,
+                done=st["done"], feas=st["feas"])
+
         def select(st):
             Ax = A @ st["x"]
             vl = jnp.where(has_lo, l - Ax, -inf)
@@ -141,12 +184,32 @@ def _gi_impl(P, q, A, l, u, *, max_pivots, tol):
                 done=st["done"] | infeasible,
                 feas=st["feas"] & ~infeasible)
 
-        return jax.lax.cond(st["p"] < 0, select, step, st)
+        phase = jnp.where(st["p"] == -2, 0, jnp.where(st["p"] == -1, 1, 2))
+        return jax.lax.switch(phase, [warm, select, step], st)
 
-    st0 = dict(x=x0, idx=jnp.zeros(n, jnp.int32),
-               side=jnp.zeros(n, jnp.int32), lam=jnp.zeros(n, dt),
-               cnt=jnp.asarray(0, jnp.int32),
-               p=jnp.asarray(-1, jnp.int32), sp=jnp.asarray(0, jnp.int32),
+    if y0 is None:
+        idx0 = jnp.zeros(n, jnp.int32)
+        side0 = jnp.zeros(n, jnp.int32)
+        cnt0 = jnp.asarray(0, jnp.int32)
+        p0 = jnp.asarray(-1, jnp.int32)
+    else:
+        # seed the active set from the previous duals: sign gives the side,
+        # magnitude ranks the candidates (≤ n can be active)
+        usable = jnp.where(y0 > 0, has_up, has_lo)
+        mag = jnp.where(usable, jnp.abs(y0), 0.0)
+        topv, topi = jax.lax.top_k(mag, min(n, m))
+        hot = topv > 1e-12
+        cnt0 = jnp.sum(hot).astype(jnp.int32)
+        idx0 = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
+            topi.astype(jnp.int32))
+        side0 = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
+            jnp.where(hot, jnp.where(y0[topi] > 0, 1, -1), 0)
+            .astype(jnp.int32))
+        p0 = jnp.asarray(-2, jnp.int32)
+
+    st0 = dict(x=x0, idx=idx0, side=side0, lam=jnp.zeros(n, dt),
+               cnt=cnt0,
+               p=p0, sp=jnp.asarray(0, jnp.int32),
                lam_p=jnp.asarray(0.0, dt), it=jnp.asarray(0, jnp.int32),
                done=jnp.asarray(False), feas=jnp.asarray(True))
     st = jax.lax.while_loop(cond, body, st0)

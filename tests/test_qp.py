@@ -173,3 +173,19 @@ def test_active_set_unconstrained_and_vmap():
     for i in range(B):
         assert np.allclose(np.asarray(xs[i]),
                            scipy_qp(P, np.asarray(qs[i]), A, l, u), atol=1e-6)
+
+
+def test_active_set_warm_start():
+    """Warm-starting GI from a previous solve's duals reproduces the optimum
+    in ~2 iterations; a garbage warm start still converges exactly."""
+    from mpc_tpu.ops.qp_active import solve_qp_active
+    rng = np.random.default_rng(31)
+    P, q, A, l, u = random_qp(rng, 5, 20)
+    args = tuple(map(jnp.asarray, (P, q, A, l, u)))
+    cold = solve_qp_active(*args)
+    warm = solve_qp_active(*args, y0=cold.y)
+    junk = solve_qp_active(*args, y0=jnp.asarray(rng.normal(size=20)))
+    assert int(warm.iters) <= 3 < int(cold.iters)
+    assert np.allclose(np.asarray(warm.x), np.asarray(cold.x), atol=1e-9)
+    assert np.allclose(np.asarray(junk.x), np.asarray(cold.x), atol=1e-8)
+    assert bool(warm.converged) and bool(junk.converged)
