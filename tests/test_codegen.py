@@ -131,3 +131,40 @@ def test_c_export_luenberger():
         assert abs(u_c[0] - u_py[0]) < 2e-4, (k, u_c[0], u_py[0])
         assert u_py[0] <= 2.0 + 1e-8
         plant.updatestate(u_py)
+
+
+@pytest.mark.skipif(gcc is None, reason="no C compiler")
+def test_c_export_active_set_exact():
+    """solver='active_set' emits the GI dual active set (the DAQP role of
+    LinearMPC.jl's codegen): the C step matches the Python pipeline to
+    machine precision because both are exact."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    m.setop(uop=[2.0], yop=[5.0])
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2, Cwt=1e5)
+    ctrl.setconstraint(umin=[-10], umax=[10], dumax=[3], dumin=[-3],
+                       ymax=[9.0], ymin=[0.0])
+    src = export_c(ctrl, name="gimpc", solver="active_set")
+    lib = compile_and_load(src, name="gimpc")
+
+    class State(ctypes.Structure):
+        _fields_ = [("xhat", ctypes.c_double * ctrl.estim.nx_hat),
+                    ("lastu0", ctypes.c_double * 1),
+                    ("z", ctypes.c_double * ctrl.nZt),
+                    ("zd", ctypes.c_double * ctrl.A_stack.shape[0]),
+                    ("yd", ctypes.c_double * ctrl.A_stack.shape[0])]
+
+    st = State()
+    lib.gimpc_init(ctypes.byref(st))
+    u_c = (ctypes.c_double * 1)()
+    d_dummy = (ctypes.c_double * 1)()
+    rng = np.random.default_rng(3)
+    for k in range(15):
+        y = 5.0 + rng.normal() * 0.3
+        ry = 7.0  # drives y toward ymax=9 → output rows go active
+        ctrl.preparestate([y])
+        u_py = ctrl.moveinput([ry])
+        ctrl.updatestate(u_py, [y])
+        ym = (ctypes.c_double * 1)(y)
+        ryv = (ctypes.c_double * 1)(ry)
+        lib.gimpc_step(ctypes.byref(st), ym, ryv, d_dummy, u_c)
+        assert abs(u_c[0] - u_py[0]) < 1e-9, (k, u_c[0], u_py[0])
