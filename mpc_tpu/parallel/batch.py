@@ -139,7 +139,13 @@ class BatchedLinMPC:
 
     def step(self, ym, ry, d=None):
         if d is None:
-            d = jnp.zeros((self.B, self.nd), self.params["H"].dtype)
+            # cached: per-step jnp.zeros would ship a scalar each call
+            # (one tunnel RTT per step on the remote TPU)
+            if getattr(self, "_dzero", None) is None:
+                self._dzero = jnp.zeros((self.B, self.nd),
+                                        self.params["H"].dtype)
+                jax.block_until_ready(self._dzero)
+            d = self._dzero
         u, n_conv, self.state = self._step(self.params, self.eparams, self.state,
                                            jnp.asarray(ym), jnp.asarray(ry),
                                            jnp.asarray(d))

@@ -102,7 +102,10 @@ class BatchedKalman:
 
     def step(self, ym, u, d=None):
         if d is None:
-            d = jnp.zeros((self.B, self.nd))
+            if getattr(self, "_dzero", None) is None:
+                self._dzero = jnp.zeros((self.B, self.nd))
+                jax.block_until_ready(self._dzero)
+            d = self._dzero
         x_hat, self.state = self._step(self.params, self.state,
                                        jnp.asarray(ym), jnp.asarray(u),
                                        jnp.asarray(d))

@@ -92,7 +92,11 @@ class BatchedNonLinMPC:
 
     def step(self, ym, ry, d=None):
         if d is None:
-            d = jnp.zeros((self.B, self.t.estim.model.nd))
+            if getattr(self, "_dzero", None) is None:
+                self._dzero = jnp.zeros((self.B, self.t.estim.model.nd),
+                                        self._dt)
+                jax.block_until_ready(self._dzero)
+            d = self._dzero
         # upload the template's ~40 numpy params once per version, not per
         # step (on a tunneled TPU each eager transfer costs a full RTT)
         ver = getattr(self.t, "_params_version", None)
