@@ -1,0 +1,49 @@
+"""CompiledClosedLoop: one-lax.scan closed loop ≡ host-loop sim()."""
+import numpy as np
+import pytest
+
+import mpc_tpu as mpc
+from mpc_tpu.sim_compiled import CompiledClosedLoop
+
+
+def _cstr_G():
+    return mpc.tf_matrix([[mpc.tf(1.90, [18, 1]), mpc.tf(1.90, [18, 1])],
+                          [mpc.tf(-0.74, [8, 1]), mpc.tf(0.74, [8, 1])]])
+
+
+def _mk(**kw):
+    c = mpc.LinMPC(mpc.LinModel(_cstr_G(), 2.0), Hp=10, Hc=2,
+                   Mwt=[1, 1], Nwt=[0.1, 0.1], **kw)
+    c.setconstraint(umin=[-20, -20], umax=[20, 20])
+    return c
+
+
+def test_compiled_loop_matches_host_sim():
+    res_h = mpc.sim(_mk(), 30, [5, 1])
+    res_c = CompiledClosedLoop(_mk()).run(30, ry=[5, 1])
+    assert np.allclose(res_h.u_data, res_c.u_data, atol=1e-9)
+    assert np.allclose(res_h.y_data, res_c.y_data, atol=1e-9)
+    assert np.allclose(res_h.X_est_data, res_c.X_est_data, atol=1e-9)
+
+
+def test_compiled_loop_matches_host_sim_with_noise():
+    """Identical RNG draw order ⇒ identical noisy traces."""
+    kw = dict(y_noise=[0.1, 0.2], u_noise=[0.05, 0.05], u_step=[0.5, 0.0],
+              y_step=[0.0, 0.3], seed=7)
+    res_h = mpc.sim(_mk(), 25, [5, 1], **kw)
+    res_c = CompiledClosedLoop(_mk()).run(25, ry=[5, 1], **kw)
+    assert np.allclose(res_h.u_data, res_c.u_data, atol=1e-9)
+    assert np.allclose(res_h.y_data, res_c.y_data, atol=1e-9)
+
+
+def test_compiled_loop_active_set_backend():
+    res_h = mpc.sim(_mk(), 20, [5, 1])
+    res_c = CompiledClosedLoop(_mk(qp_solver="active_set")).run(20, ry=[5, 1])
+    assert np.allclose(res_h.u_data, res_c.u_data, atol=1e-7)
+
+
+def test_compiled_loop_rejects_unsupported():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    c = mpc.LinMPC(mpc.KalmanFilter(m), Hp=10, Hc=2)
+    with pytest.raises(TypeError, match="constant-gain"):
+        CompiledClosedLoop(c)
