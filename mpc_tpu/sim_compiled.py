@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from .controllers.linmpc import LinMPC
+from .controllers.slmpc import SLMPC
 from .estimators.kalman import SteadyKalmanFilter
 from .estimators.luenberger import Luenberger
-from .models import LinModel
+from .models import LinModel, NonLinModel
 from .sim import SimResult, _copy_model
 
 
@@ -194,3 +195,106 @@ class CompiledClosedLoop:
         return SimResult(T, outs["y"], outs["u"], Ry_data=Ry, D_data=D,
                          X_data=outs["x_p"], Y_est_data=outs["y_est"],
                          X_est_data=outs["x_hat"], obj=self.ctrl)
+
+
+class CompiledSLLoop:
+    """One-`lax.scan` closed loop for successive-linearization MPC.
+
+    The per-period SLMPC step (jacfwd linearization → condensed matrices →
+    QP → EKF) is already one fused pure function; this embeds it with a
+    nonlinear plant rollout so an N-step adaptive-MPC simulation is a single
+    XLA call — the compiled form of the reference's fastest nonlinear
+    pattern (docs/src/manual/nonlinmpc.md successive linearization).
+    """
+
+    def __init__(self, ctrl: SLMPC, plant: NonLinModel | None = None):
+        if not isinstance(ctrl, SLMPC):
+            raise TypeError("CompiledSLLoop drives an SLMPC controller")
+        if plant is None:
+            plant = _copy_model(ctrl.model)
+        if not isinstance(plant, NonLinModel):
+            raise TypeError("plant must be a NonLinModel")
+        self.ctrl, self.plant = ctrl, plant
+        self.nu, self.ny, self.nd = plant.nu, plant.ny, plant.nd
+        self.i_ym = np.asarray(ctrl.i_ym, int)
+        self._scan = jax.jit(self._make_scan(), static_argnames=("N",))
+
+    def _make_scan(self):
+        ctrl, plant = self.ctrl, self.plant
+        step = ctrl._make_step()          # pure (st, ym, ry, d, bounds) fn
+        fd, hh, p_pl = plant._fd, plant._h_user, plant.p
+        nd = self.nd
+        i_ym = self.i_ym
+        pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
+                   yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
+                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+
+        def body(carry, xs):
+            st, x0p, bounds, po = carry
+            ry, dk, u_step, eps_y, eps_u, eps_x = xs
+            d0p = dk - po["dop"] if nd else dk
+            y = jnp.asarray(hh(x0p, d0p, p_pl)) + po["yop"] + eps_y
+            ym = y[i_ym]
+            u, conv, st = step(st, ym, ry, dk, bounds)
+            u0p = (u + u_step + eps_u) - po["uop"]
+            x0p_n = jnp.asarray(fd(x0p, u0p, d0p, p_pl)) + po["fop_m_xop"] \
+                + eps_x
+            out = dict(y=y, u=u, conv=conv, x_p=x0p + po["xop"],
+                       x_hat=st["x_hat"])
+            return (st, x0p_n, bounds, po), out
+
+        def scan(st0, x0p, bounds, po, ry, dks, u_steps, eps, N):
+            eps_y, eps_u, eps_x = eps
+            (stN, x0pN, _, _), outs = jax.lax.scan(
+                body, (st0, x0p, bounds, po),
+                (ry, dks, u_steps, eps_y, eps_u, eps_x), length=N)
+            return stN, x0pN, outs
+
+        return scan
+
+    def run(self, N, ry=None, d=None, *, u_step=None, u_noise=None,
+            y_noise=None, d_step=None, d_noise=None, x_noise=None,
+            x_0=None, seed=0):
+        """Run the compiled SL-MPC loop; controller state carries over (the
+        controller's ``state`` is updated in place, like stepping it)."""
+        ctrl, plant = self.ctrl, self.plant
+        nu, ny, nd, nx = self.nu, self.ny, self.nd, plant.nx
+        N = int(N)
+        rng = np.random.default_rng(seed)
+        ry = np.asarray(ry, float).ravel() if ry is not None else \
+            plant.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        d = np.asarray(d, float).ravel() if d is not None else \
+            plant.dop.copy()
+        z = lambda v, n: np.zeros(n) if v is None else \
+            np.asarray(v, float).ravel()
+        u_step, u_noise = z(u_step, nu), z(u_noise, nu)
+        y_noise = z(y_noise, ny)
+        d_step, d_noise = z(d_step, nd), z(d_noise, nd)
+        x_noise = z(x_noise, nx)
+        eps_d = np.zeros((N, nd)); eps_y = np.zeros((N, ny))
+        eps_u = np.zeros((N, nu)); eps_x = np.zeros((N, nx))
+        for k in range(N):
+            if nd:
+                eps_d[k] = d_noise * rng.normal(size=nd)
+            eps_y[k] = y_noise * rng.normal(size=ny)
+            eps_u[k] = u_noise * rng.normal(size=nu)
+            eps_x[k] = x_noise * rng.normal(size=nx)
+        dks = np.tile(d + d_step, (N, 1)) + eps_d if nd else np.zeros((N, 0))
+        if x_0 is not None:
+            plant.setstate(np.asarray(x_0, float))
+        x0p = np.asarray(plant.x0, float)
+        pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
+                   yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
+                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+        tree = jax.device_put((ctrl.state, x0p, ctrl.bounds(), pop, Ry, dks,
+                               np.tile(u_step, (N, 1)),
+                               (eps_y, eps_u, eps_x)))
+        stN, x0pN, outs = self._scan(*tree, N=N)
+        ctrl.state = stN                      # controller stepped N times
+        plant.x0 = np.array(x0pN)
+        outs = jax.tree.map(np.asarray, outs)
+        T = np.arange(N) * plant.Ts
+        D = dks if nd else np.zeros((N, 1))
+        return SimResult(T, outs["y"], outs["u"], Ry_data=Ry, D_data=D,
+                         X_data=outs["x_p"], X_est_data=outs["x_hat"])

@@ -47,3 +47,40 @@ def test_compiled_loop_rejects_unsupported():
     c = mpc.LinMPC(mpc.KalmanFilter(m), Hp=10, Hc=2)
     with pytest.raises(TypeError, match="constant-gain"):
         CompiledClosedLoop(c)
+
+
+def test_compiled_slmpc_loop_matches_host(slpendulum=None):
+    """Compiled SL-MPC scan ≡ stepping SLMPC + plant on the host."""
+    import jax.numpy as jnp
+    from mpc_tpu.controllers.slmpc import SLMPC
+    from mpc_tpu.sim_compiled import CompiledSLLoop
+
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+
+    def mkmodel():
+        return mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                               solver=mpc.RungeKutta(4))
+
+    def mkctrl():
+        c = SLMPC(mkmodel(), Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                  sigmaQ=[0.1, 1.0], sigmaR=[5.0], nint_ym=[1],
+                  sigmaQint_ym=[0.1], qp_solver="active_set")
+        c.setconstraint(umin=[-1.5], umax=[1.5])
+        return c
+
+    N, ry = 40, np.array([180.0])
+    c1, plant1 = mkctrl(), mkmodel()
+    Y1 = np.zeros((N, 1)); U1 = np.zeros((N, 1))
+    for k in range(N):
+        y = plant1.evaloutput(); Y1[k] = y
+        u, _ = c1.moveinput_closed(y, ry)
+        U1[k] = u
+        plant1.updatestate(u)
+    res = CompiledSLLoop(mkctrl()).run(N, ry=[180.0])
+    assert np.abs(Y1 - res.y_data).max() < 1e-7
+    assert np.abs(U1 - res.u_data).max() < 1e-7
+    assert abs(res.y_data[-1, 0] - 180.0) < 5.0  # swing-up achieved
