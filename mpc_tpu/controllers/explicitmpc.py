@@ -11,6 +11,8 @@ import scipy.linalg as sla
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..estimators import StateEstimator, SteadyKalmanFilter
 from ..models import LinModel
 from .base import PredictiveController, default_Hp
@@ -155,7 +157,7 @@ class ExplicitMPC(PredictiveController):
 
 
 def _build_step(nu, nd):
-    @jax.jit
+    @jit32
     def step(p, x0_hat, lastu0, d0, D0, R_hat_y, R_hat_u):
         F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0
         if nd:

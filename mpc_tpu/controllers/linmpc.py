@@ -16,6 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..estimators import InternalModel, StateEstimator, SteadyKalmanFilter
 from ..models import LinModel
 from ..ops.qp import solve_qp
@@ -234,7 +236,7 @@ class LinMPC(PredictiveController):
                 self.n_eq, isinstance(self.transcription, MultipleShooting),
                 self.estim.nx_hat, self.nw, Hp, model.ny,
                 qp_solver=self.qp_solver)
-            self._step = jax.jit(self._step_raw)
+            self._step = jit32(self._step_raw)
             self._step_shape_key = shape_key
         self._solved_once = False
 

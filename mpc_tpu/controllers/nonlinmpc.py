@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..estimators import (InternalModel, StateEstimator, SteadyKalmanFilter,
                           UnscentedKalmanFilter)
 # (InternalModel also needs its stochastic output predictions added to the
@@ -400,7 +402,7 @@ class NonLinMPC(PredictiveController):
         tau_np = np.asarray(tr.tau) if is_oc else None
         nZt = self.nZt
 
-        @jax.jit
+        @jit32
         def coldstart(p, x0_hat, lastu0, d0, D_hat_0):
             dt = x0_hat.dtype
             if nd:
@@ -500,7 +502,7 @@ class NonLinMPC(PredictiveController):
                 Jgc = jax.jacfwd(gfun)(Zt)
             return Y0, xend, S, Jy, Jx, Js, gcv, Jgc
 
-        @jax.jit
+        @jit32
         def step(p, x0_hat, lastu0, d0, D_hat_0, R_y, R_u, yk, ry, Z_prev,
                  y_prev):
             dt = x0_hat.dtype

@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..estimators.construct import init_estimstoch
 from ..estimators.kalman import kf_correct, kf_predict, _default_P0, _default_sigmas
 from ..models import NonLinModel
@@ -43,7 +45,10 @@ class SLMPC(PredictiveController):
                  i_ym=None, nint_u=0, nint_ym=None,
                  sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
-                 qp_solver="admm"):
+                 qp_solver="admm", dtype=None):
+        # dtype=jnp.float32 runs the fused step in TPU-native f32 (f64
+        # LuDecomposition is unimplemented on TPU); host math stays f64
+        self._dt = dtype
         if not isinstance(model, NonLinModel):
             raise TypeError("SLMPC requires a NonLinModel (use LinMPC otherwise)")
         if qp_solver not in ("admm", "active_set"):
@@ -82,13 +87,15 @@ class SLMPC(PredictiveController):
         self.ymin = np.full(ny, -BIG)
         self.ymax = np.full(ny, BIG)
         # runtime state
-        self.state = dict(x_hat=jnp.zeros(self.nx_hat),
-                          P_hat=jnp.asarray(P0_hat),
-                          lastu=jnp.asarray(model.uop),
-                          Z=jnp.zeros(self.nZt),
+        dt = self._dt
+        self.state = dict(x_hat=jnp.zeros(self.nx_hat, dt),
+                          P_hat=jnp.asarray(P0_hat, dt),
+                          lastu=jnp.asarray(model.uop, dt),
+                          Z=jnp.zeros(self.nZt, dt),
                           ydual=jnp.zeros(2 * nu * self.Hp + 2 * nu * self.Hc
-                                          + 2 * ny * self.Hp + self.n_eps))
-        self._step = jax.jit(self._make_step())
+                                          + 2 * ny * self.Hp + self.n_eps,
+                                          dt))
+        self._step = jit32(self._make_step())
         self._bounds_cache = None
 
     def setconstraint(self, umin=None, umax=None, dumin=None, dumax=None,
@@ -113,34 +120,36 @@ class SLMPC(PredictiveController):
         use_as = self.qp_solver == "active_set"
         fd, hh = model._fd, model._h_user
         p_mod = model.p
-        As = jnp.asarray(self.As)
-        Cs_u = jnp.asarray(self.Cs_u)
-        Cs_y = jnp.asarray(self.Cs_y)
+        dt = self._dt
+        ja = (lambda a: jnp.asarray(a, dt)) if dt is not None else jnp.asarray
+        As = ja(self.As)
+        Cs_u = ja(self.Cs_u)
+        Cs_y = ja(self.Cs_y)
         i_ym = np.asarray(self.i_ym, int)
-        M_Hp = jnp.asarray(self.weights.M_Hp)
-        Nt_Hc = jnp.asarray(self.weights.Nt_Hc)
-        L_Hp = jnp.asarray(self.weights.L_Hp)
-        Q_hat = jnp.asarray(self.Q_hat)
-        R_hat = jnp.asarray(self.R_hat)
+        M_Hp = ja(self.weights.M_Hp)
+        Nt_Hc = ja(self.weights.Nt_Hc)
+        L_Hp = ja(self.weights.L_Hp)
+        Q_hat = ja(self.Q_hat)
+        R_hat = ja(self.R_hat)
 
         def linearize(x, u, d):
             A = jax.jacfwd(lambda xx: fd(xx, u, d, p_mod))(x)
             Bu = jax.jacfwd(lambda uu: fd(x, uu, d, p_mod))(u)
             Bd = (jax.jacfwd(lambda dd: fd(x, u, dd, p_mod))(d)
-                  if nd else jnp.zeros((nx, 0)))
+                  if nd else jnp.zeros((nx, 0), x.dtype))
             C = jax.jacfwd(lambda xx: hh(xx, d, p_mod))(x)
             Dd = (jax.jacfwd(lambda dd: hh(x, dd, p_mod))(d)
-                  if nd else jnp.zeros((ny, 0)))
+                  if nd else jnp.zeros((ny, 0), x.dtype))
             fx = fd(x, u, d, p_mod)       # = fop (next state at the op point)
             yx = hh(x, d, p_mod)          # = yop
             return A, Bu, Bd, C, Dd, fx, yx
 
         def augment(A, Bu, Bd, C):
             Ah = jnp.block([[A, Bu @ Cs_u],
-                            [jnp.zeros((nxs, nx)), As]])
-            Buh = jnp.vstack([Bu, jnp.zeros((nxs, nu))])
+                            [jnp.zeros((nxs, nx), A.dtype), As]])
+            Buh = jnp.vstack([Bu, jnp.zeros((nxs, nu), A.dtype)])
             Ch = jnp.hstack([C, Cs_y])
-            Bdh = jnp.vstack([Bd, jnp.zeros((nxs, nd))])
+            Bdh = jnp.vstack([Bd, jnp.zeros((nxs, nd), A.dtype)])
             return Ah, Buh, Ch, Bdh
 
         def predmat(Ah, Buh, Ch):
@@ -150,8 +159,10 @@ class SLMPC(PredictiveController):
             def pow_step(Ap, _):
                 An = Ap @ Ah
                 return An, An
-            _, Apows = jax.lax.scan(pow_step, jnp.eye(nx_hat), None, length=Hp)
-            Apows = jnp.concatenate([jnp.eye(nx_hat)[None], Apows])  # Â^0..Â^Hp
+            _, Apows = jax.lax.scan(pow_step, jnp.eye(nx_hat, dtype=Ah.dtype),
+                                    None, length=Hp)
+            Apows = jnp.concatenate([jnp.eye(nx_hat, dtype=Ah.dtype)[None],
+                                     Apows])  # Â^0..Â^Hp
             S = jnp.cumsum(Apows, axis=0)                            # S(m)=ΣÂ^ℓ
             CSB = jnp.einsum("ox,kxy,yu->kou", Ch, S, Buh)           # ĈS(k)B̂u
             CA = jnp.einsum("ox,kxy->koy", Ch, Apows)                # ĈÂ^k
@@ -193,8 +204,8 @@ class SLMPC(PredictiveController):
             xcd = xc[:nx]
             # re-linearize? one linearization per step (at pre-correction xd)
             # is the reference behavior; deviations below use xc
-            x0c = xc - jnp.concatenate([xd, jnp.zeros(nxs)])
-            fop_m_xop = jnp.concatenate([fx - xd, jnp.zeros(nxs)])
+            x0c = xc - jnp.concatenate([xd, jnp.zeros(nxs, xd.dtype)])
+            fop_m_xop = jnp.concatenate([fx - xd, jnp.zeros(nxs, xd.dtype)])
             F = K @ x0c + Bc @ fop_m_xop
             Yop = jnp.tile(yx, Hp)   # stochastic part flows through K @ x0c
             # u deviation: u0 = u − lastu (op point = lastu) ⇒ lastu0 = 0
@@ -202,7 +213,7 @@ class SLMPC(PredictiveController):
             q = 2.0 * (E_t(E).T @ (M_Hp @ Cy))
             H = 2.0 * (E_t(E).T @ M_Hp @ E_t(E) + PDu_t().T @ Nt_Hc @ PDu_t()
                        + Pu_t(E).T @ L_Hp @ Pu_t(E))
-            H = 0.5 * (H + H.T) + 1e-9 * jnp.eye(nZt)
+            H = 0.5 * (H + H.T) + 1e-9 * jnp.eye(nZt, dtype=H.dtype)
             # --- constraint rows (U, ΔU, Ŷ) ---
             A_rows, l, u = rows(E, F, Yop, lastu, bounds)
             if use_as:
@@ -220,7 +231,8 @@ class SLMPC(PredictiveController):
             u_dist = u_new + Cs_u @ xc[nx:]
             xn_raw = jnp.concatenate([fd(xcd, u_dist, d, p_mod),
                                       As @ xc[nx:]])
-            xn, Pn = kf_predict(xn_raw, Pc, Ah, Q_hat, jnp.zeros(nx_hat))
+            xn, Pn = kf_predict(xn_raw, Pc, Ah, Q_hat,
+                                jnp.zeros(nx_hat, xn_raw.dtype))
             new_st = dict(x_hat=xn, P_hat=Pn, lastu=u_new, Z=Z, ydual=sol.y)
             return u_new, sol.converged, new_st
 
@@ -229,22 +241,22 @@ class SLMPC(PredictiveController):
             return jnp.tile(ry, Hp)
 
         def E_t(E):
-            return jnp.hstack([E, jnp.zeros((Hp * ny, n_eps))])
+            return jnp.hstack([E, jnp.zeros((Hp * ny, n_eps), E.dtype)])
 
         def PDu_t():
-            P = jnp.eye(Hc * nu, nZt)
+            P = jnp.eye(Hc * nu, nZt, dtype=dt)
             if n_eps:
-                P = jnp.vstack([P, jnp.zeros((1, nZt)).at[0, -1].set(1.0)])
+                P = jnp.vstack([P, jnp.zeros((1, nZt), dt).at[0, -1].set(1.0)])
             return P
 
         _Pu = np.zeros((Hp * nu, Hc * nu))
         for i in range(Hp):
             for j in range(min(i + 1, Hc)):
                 _Pu[i * nu:(i + 1) * nu, j * nu:(j + 1) * nu] = np.eye(nu)
-        _Pu_j = jnp.asarray(_Pu)
+        _Pu_j = ja(_Pu)
 
         def Pu_t(E):
-            return jnp.hstack([_Pu_j, jnp.zeros((Hp * nu, n_eps))])
+            return jnp.hstack([_Pu_j, jnp.zeros((Hp * nu, n_eps), E.dtype)])
 
         def shift(Z):
             Zs = jnp.zeros_like(Z)
@@ -259,17 +271,17 @@ class SLMPC(PredictiveController):
             ymin, ymax = bounds["ymin"], bounds["ymax"]
             dt = F.dtype
             big = jnp.asarray(2e18, dt)
-            Pu_full = jnp.hstack([_Pu_j, jnp.zeros((Hp * nu, n_eps))])
+            Pu_full = jnp.hstack([_Pu_j, jnp.zeros((Hp * nu, n_eps), dt)])
             Umin_d = jnp.tile(umin, Hp) - jnp.tile(lastu, Hp)
             Umax_d = jnp.tile(umax, Hp) - jnp.tile(lastu, Hp)
-            PDu_rows = jnp.eye(Hc * nu, nZt)
-            Et = jnp.hstack([E, -jnp.ones((Hp * ny, n_eps))]) if n_eps else E
-            Etm = jnp.hstack([E, jnp.ones((Hp * ny, n_eps))]) if n_eps else E
+            PDu_rows = jnp.eye(Hc * nu, nZt, dtype=dt)
+            Et = jnp.hstack([E, -jnp.ones((Hp * ny, n_eps), dt)]) if n_eps else E
+            Etm = jnp.hstack([E, jnp.ones((Hp * ny, n_eps), dt)]) if n_eps else E
             A_rows = jnp.vstack([
                 -Pu_full, Pu_full,
                 -PDu_rows, PDu_rows,
                 -Etm, Et,
-            ] + ([jnp.zeros((1, nZt)).at[0, -1].set(1.0)] if n_eps else []))
+            ] + ([jnp.zeros((1, nZt), dt).at[0, -1].set(1.0)] if n_eps else []))
             bU_min = jnp.clip(-Umin_d, -big, big)
             bU_max = jnp.clip(Umax_d, -big, big)
             bDU_min = jnp.clip(-jnp.tile(dumin, Hc), -big, big)
@@ -291,19 +303,22 @@ class SLMPC(PredictiveController):
         # pure host↔device overhead (0.4 ms/step on CPU); setconstraint
         # invalidates it
         if getattr(self, "_bounds_cache", None) is None:
+            dt = self._dt
             self._bounds_cache = dict(
-                umin=jnp.array(self.umin), umax=jnp.array(self.umax),
-                dumin=jnp.array(self.dumin), dumax=jnp.array(self.dumax),
-                ymin=jnp.array(self.ymin), ymax=jnp.array(self.ymax))
+                umin=jnp.array(self.umin, dt), umax=jnp.array(self.umax, dt),
+                dumin=jnp.array(self.dumin, dt),
+                dumax=jnp.array(self.dumax, dt),
+                ymin=jnp.array(self.ymin, dt), ymax=jnp.array(self.ymax, dt))
         return self._bounds_cache
 
     def moveinput_closed(self, ym, ry, d=None):
         """One full control period: EKF correct → linearize → QP → predict.
         Returns the applied u."""
+        dt = self._dt if self._dt is not None else float
         d = np.zeros(0) if d is None else np.asarray(d, float)
-        u, conv, self.state = self._step(self.state, jnp.asarray(ym, float),
-                                         jnp.asarray(ry, float),
-                                         jnp.asarray(d), self.bounds())
+        u, conv, self.state = self._step(self.state, jnp.asarray(ym, dt),
+                                         jnp.asarray(ry, dt),
+                                         jnp.asarray(d, dt), self.bounds())
         return np.asarray(u), bool(conv)
 
     # ------------------------------------------------------------------
@@ -343,4 +358,4 @@ class SLMPC(PredictiveController):
                 body, (stc, resh(ym), resh(ry), resh(d)))
             return unr(u), unr(conv), jax.tree.map(unr, stn)
 
-        return jax.jit(chunked)
+        return jit32(chunked)

@@ -11,6 +11,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..models import LinModel
 from ..utils import linalg as ula
 from .base import StateEstimator
@@ -226,7 +228,7 @@ class UnscentedKalmanFilter(StateEstimator):
             X = X.at[:, nx_hat + 1:].add(-gL)
             return X
 
-        @jax.jit
+        @jit32
         def correct(x0, P, y0m, d0, m, S, R):
             X = sigma_points(x0, P)
             Ym = jax.vmap(lambda xc: jnp.asarray(h_hat_m(xc, d0)),
@@ -241,7 +243,7 @@ class UnscentedKalmanFilter(StateEstimator):
             Pc = P - K @ M @ K.T
             return x0c, 0.5 * (Pc + Pc.T)
 
-        @jax.jit
+        @jit32
         def predict(x0, P, u0, d0, m, S, Q, fop_m_xop):
             X = sigma_points(x0, P)
             Xn = jax.vmap(lambda xc: jnp.asarray(f_hat(xc, u0, d0)) + fop_m_xop,
@@ -313,7 +315,7 @@ class ExtendedKalmanFilter(StateEstimator):
         A_hat = self.A_hat if is_lin else None
         Cm_hat = self.Cm_hat if is_lin else None
 
-        @jax.jit
+        @jit32
         def correct(x0, P, y0m, d0, R):
             if is_lin:
                 Hm = jnp.asarray(Cm_hat)
@@ -322,7 +324,7 @@ class ExtendedKalmanFilter(StateEstimator):
             y0m_pred = jnp.asarray(h_hat_m(x0, d0))
             return kf_correct(x0, P, y0m_pred, y0m, Hm, R)
 
-        @jax.jit
+        @jit32
         def predict(x0, P, u0, d0, Q, fop_m_xop):
             if is_lin:
                 F = jnp.asarray(A_hat)

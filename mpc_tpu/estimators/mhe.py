@@ -30,6 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..models import LinModel
 from ..utils.config import BIG  # noqa: F401  (used throughout)
 from .base import StateEstimator
@@ -314,7 +316,7 @@ class MovingHorizonEstimator(StateEstimator):
         # getinfo ∇J diagnostics)
         self._obj_fn = objective
 
-        @jax.jit
+        @jit32
         def solve(p, Zt0):
             dt = Zt0.dtype
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.config import jit32
 import numpy as np
 
 from .linmodel import LinModel
@@ -24,7 +26,7 @@ def get_linearization_func(model: NonLinModel):
         return fn
     fd, h = model.f, model.h
 
-    @jax.jit
+    @jit32
     def linfunc(x, u, d, p):
         A = jax.jacfwd(lambda xx: fd(xx, u, d, p))(x)
         Bu = jax.jacfwd(lambda uu: fd(x, uu, d, p))(u)

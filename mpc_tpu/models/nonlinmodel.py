@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 from .base import SimModel
+
+from ..utils.config import jit32
 from .solver import DiffSolver, EmptySolver, RungeKutta
 
 
@@ -31,8 +33,8 @@ class NonLinModel(SimModel):
         # jitted host-API step (eager lax.fori_loop dispatch is ~100ms/call);
         # the pure self.f stays unjitted for tracing inside larger graphs
         import jax
-        self._fd_jit = jax.jit(self._fd)
-        self._h_jit = jax.jit(h)
+        self._fd_jit = jit32(self._fd)
+        self._h_jit = jit32(h)
         # validate the user functions' output shapes abstractly (no FLOPs):
         # a silent nx/ny mismatch otherwise surfaces much later as an opaque
         # XLA shape error inside an estimator or controller trace

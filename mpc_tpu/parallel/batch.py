@@ -16,6 +16,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.config import jit32
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..controllers.linmpc import LinMPC
@@ -95,7 +97,7 @@ class BatchedLinMPC:
         else:
             self.params, self.eparams, self.state = jax.device_put(
                 (params, eparams, state))
-        self._step = jax.jit(self._make_step(c0))
+        self._step = jit32(self._make_step(c0))
 
     def _make_step(self, c0: LinMPC):
         step_raw = c0._step_raw

@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..estimators.kalman import SteadyKalmanFilter, KalmanFilter, kf_correct, \
     kf_predict
 
@@ -98,7 +100,7 @@ class BatchedKalman:
                 new = dict(x0_hat=x0n, P_hat=Pn)
             return x0c + p["xop_hat"], new
 
-        self._step = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
+        self._step = jit32(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
 
     def step(self, ym, u, d=None):
         if d is None:

@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..estimators.mhe import MovingHorizonEstimator
 
 
@@ -49,7 +51,7 @@ class BatchedMHE:
             _kf_P_correct(P, ce.Cm_hat, ce.R_hat))
         self._P_predict = lambda P: np.asarray(
             ce.A_hat @ P @ ce.A_hat.T + ce.Q_hat)
-        self._solve = jax.jit(jax.vmap(template._solve_jit, in_axes=(
+        self._solve = jit32(jax.vmap(template._solve_jit, in_axes=(
             dict(U=0, D=0, Y0m=0, mask_w=None, mask_v=0, invP=None, invQ=None,
                  invR=None, x_arr_prior=0, fop_m_xop=None, Xmin=None, Xmax=None,
                  Wmin=None, Wmax=None, Vmin=None, Vmax=None, C_xmin=None,

@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import jit32
+
 from ..controllers.nonlinmpc import NonLinMPC
 
 
@@ -43,7 +45,7 @@ class BatchedNonLinMPC:
             lastu0=jnp.zeros((batch, self.nu), dt),
             Z_tilde=jnp.zeros((batch, template.nZt), dt),
         )
-        self._solve = jax.jit(self._make())
+        self._solve = jit32(self._make())
 
     def _make(self):
         t = self.t

@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .utils.config import jit32
+
 from .controllers.linmpc import LinMPC
 from .controllers.slmpc import SLMPC
 from .estimators.kalman import SteadyKalmanFilter
@@ -78,7 +80,7 @@ class CompiledClosedLoop:
                         fop_m_xop=np.asarray(pl.fop - pl.xop),
                         xop=np.asarray(pl.xop), uop=np.asarray(pl.uop),
                         yop=np.asarray(pl.yop), dop=np.asarray(pl.dop))
-        self._scan = jax.jit(self._make_scan(), static_argnames=("N",))
+        self._scan = jit32(self._make_scan(), static_argnames=("N",))
 
     def _make_scan(self):
         ctrl, estim = self.ctrl, self.estim
@@ -186,8 +188,16 @@ class CompiledClosedLoop:
                    Z_tilde=np.zeros(self.ctrl.nZt),
                    y_dual=np.zeros(self.ctrl.A_stack.shape[0]))
         steps = (np.tile(u_step, (N, 1)), np.tile(y_step, (N, 1)))
-        tree = jax.device_put((self._p, self._ep, self._pp, st0, Ry, dks,
-                               steps, (eps_d, eps_y, eps_u, eps_x)))
+        tree = (self._p, self._ep, self._pp, st0, Ry, dks,
+                steps, (eps_d, eps_y, eps_u, eps_x))
+        dtc = getattr(self.ctrl, "_dt", None)
+        if dtc is not None:   # f32 on TPU: cast host-side, ship once
+            np_dt = np.dtype(dtc)
+            tree = jax.tree.map(
+                lambda a: np.asarray(a).astype(np_dt)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                tree)
+        tree = jax.device_put(tree)
         stN, outs = self._scan(*tree, N=N)
         outs = jax.tree.map(np.asarray, outs)
         T = np.arange(N) * plant.Ts
@@ -217,7 +227,7 @@ class CompiledSLLoop:
         self.ctrl, self.plant = ctrl, plant
         self.nu, self.ny, self.nd = plant.nu, plant.ny, plant.nd
         self.i_ym = np.asarray(ctrl.i_ym, int)
-        self._scan = jax.jit(self._make_scan(), static_argnames=("N",))
+        self._scan = jit32(self._make_scan(), static_argnames=("N",))
 
     def _make_scan(self):
         ctrl, plant = self.ctrl, self.plant
@@ -287,9 +297,16 @@ class CompiledSLLoop:
         pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
                    yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
                    fop_m_xop=np.asarray(plant.fop - plant.xop))
-        tree = jax.device_put((ctrl.state, x0p, ctrl.bounds(), pop, Ry, dks,
-                               np.tile(u_step, (N, 1)),
-                               (eps_y, eps_u, eps_x)))
+        tree = (ctrl.state, x0p, ctrl.bounds(), pop, Ry, dks,
+                np.tile(u_step, (N, 1)), (eps_y, eps_u, eps_x))
+        dtc = getattr(ctrl, "_dt", None)
+        if dtc is not None:   # f32 on TPU: cast host-side, ship once
+            np_dt = np.dtype(dtc)
+            tree = jax.tree.map(
+                lambda a: np.asarray(a).astype(np_dt)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                tree)
+        tree = jax.device_put(tree)
         stN, x0pN, outs = self._scan(*tree, N=N)
         ctrl.state = stN                      # controller stepped N times
         plant.x0 = np.array(x0pN)

@@ -44,3 +44,28 @@ def enable_x64() -> None:
 
     jax.config.update("jax_enable_x64", True)
     set_dtype(np.float64)
+
+
+def precision32(fn):
+    """Trace ``fn`` under float32 matmul precision.
+
+    On TPU the MXU's default matmul precision is bf16-ish passes; for f32
+    control math (Â-power stacks, KKT solves, covariance updates) that
+    silently destroys convergence (ops/qp.py learned this first).  Wrapping
+    the trace — not the call — costs nothing on CPU and pins every dot
+    inside to full f32 on TPU.
+    """
+    import functools
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+
+def jit32(fn, **jit_kwargs):
+    """``jax.jit`` with the f32-matmul-precision trace context applied."""
+    import jax
+    return jax.jit(precision32(fn), **jit_kwargs)
