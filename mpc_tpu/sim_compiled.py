@@ -142,6 +142,88 @@ class CompiledClosedLoop:
 
         return scan
 
+    # -- Monte-Carlo fleet: B independent closed loops in ONE device call --
+    def run_fleet(self, B, N, ry=None, *, x_0=None, x_hat_0=None,
+                  u_noise=None, y_noise=None, x_noise=None, d=None,
+                  seed=0):
+        """Simulate ``B`` independent N-step closed loops in one XLA call.
+
+        Per-lane variation: noise realizations (independent draws per lane,
+        lane i uses ``default_rng(seed + i)`` — identical to ``run(...,
+        seed=seed+i)``), setpoints ``ry`` of shape (ny,), (B, ny) or
+        (B, N, ny), initial plant states ``x_0`` (B, nx) and estimator
+        states ``x_hat_0`` (B, nx̂).  Stateless: controller/plant objects
+        are not advanced.  Returns a dict of stacked trajectories
+        (Y (B,N,ny), U, Y_est, X, X_hat, conv).
+        """
+        estim, plant, model = self.estim, self.plant, self.estim.model
+        nu, ny, nd, nx = self.nu, self.ny, self.nd, plant.nx
+        B, N = int(B), int(N)
+        ry = np.asarray(ry, float) if ry is not None else model.yop.copy()
+        if ry.ndim == 1:
+            Ry = np.tile(ry, (B, N, 1))
+        elif ry.ndim == 2:
+            Ry = np.tile(ry[:, None, :], (1, N, 1))
+        else:
+            Ry = ry
+        d = np.asarray(d, float).ravel() if d is not None else \
+            model.dop.copy()
+        z = lambda v, n: np.zeros(n) if v is None else \
+            np.asarray(v, float).ravel()
+        u_noise, y_noise, x_noise = z(u_noise, nu), z(y_noise, ny), \
+            z(x_noise, nx)
+        eps_y = np.zeros((B, N, ny)); eps_u = np.zeros((B, N, nu))
+        eps_x = np.zeros((B, N, nx))
+        for i in range(B):   # lane i ≡ run(..., seed=seed+i) draw order
+            rng = np.random.default_rng(seed + i)
+            for k in range(N):
+                eps_y[i, k] = y_noise * rng.normal(size=ny)
+                eps_u[i, k] = u_noise * rng.normal(size=nu)
+                eps_x[i, k] = x_noise * rng.normal(size=nx)
+        dks = np.tile(d, (B, N, 1)) if nd else np.zeros((B, N, 0))
+        if x_0 is None:
+            x0p = np.tile(np.asarray(plant.x0, float), (B, 1))
+        else:
+            x0p = np.asarray(x_0, float) - plant.xop
+        if x_hat_0 is None:
+            xh0 = np.tile(np.asarray(estim.x0_hat, float), (B, 1))
+        else:
+            xh0 = np.asarray(x_hat_0, float) - estim.xop_hat
+        st0 = dict(x0_p=x0p, x0_hat=xh0, lastu0=np.zeros((B, nu)),
+                   Z_tilde=np.zeros((B, self.ctrl.nZt)),
+                   y_dual=np.zeros((B, self.ctrl.A_stack.shape[0])))
+        steps = (np.zeros((B, N, nu)), np.zeros((B, N, ny)))
+        if getattr(self, "_vscan", None) is None:
+            scan = self._make_scan()
+            self._vscan = jit32(jax.vmap(
+                lambda p, ep, pp, st0, ry, dks, steps, eps:
+                scan(p, ep, pp, st0, ry, dks, steps, eps, N),
+                in_axes=(None, None, None, 0, 0, 0, 0, 0)),
+                static_argnums=())
+            self._vscan_N = N
+        elif self._vscan_N != N:
+            scan = self._make_scan()
+            self._vscan = jit32(jax.vmap(
+                lambda p, ep, pp, st0, ry, dks, steps, eps:
+                scan(p, ep, pp, st0, ry, dks, steps, eps, N),
+                in_axes=(None, None, None, 0, 0, 0, 0, 0)))
+            self._vscan_N = N
+        tree = (self._p, self._ep, self._pp, st0, Ry, dks, steps,
+                (np.zeros((B, N, nd)), eps_y, eps_u, eps_x))
+        dtc = getattr(self.ctrl, "_dt", None)
+        if dtc is not None:
+            np_dt = np.dtype(dtc)
+            tree = jax.tree.map(
+                lambda a: np.asarray(a).astype(np_dt)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                tree)
+        tree = jax.device_put(tree)
+        stN, outs = self._vscan(*tree)
+        return {k: np.asarray(v) for k, v in
+                dict(Y=outs["y"], U=outs["u"], Y_est=outs["y_est"],
+                     X=outs["x_p"], X_hat=outs["x_hat"],
+                     conv=outs["conv"]).items()}
+
     def run(self, N, ry=None, d=None, *, u_step=None, u_noise=None,
             y_step=None, y_noise=None, d_step=None, d_noise=None,
             x_noise=None, x_0=None, x_hat_0=None, lastu=None, seed=0):

@@ -84,3 +84,20 @@ def test_compiled_slmpc_loop_matches_host(slpendulum=None):
     assert np.abs(Y1 - res.y_data).max() < 1e-7
     assert np.abs(U1 - res.u_data).max() < 1e-7
     assert abs(res.y_data[-1, 0] - 180.0) < 5.0  # swing-up achieved
+
+
+def test_run_fleet_matches_per_lane_runs():
+    """B Monte-Carlo closed loops in one call ≡ B separate run() calls."""
+    B, N = 3, 15
+    loop = CompiledClosedLoop(_mk(qp_solver="active_set"))
+    xh_abs = np.asarray(loop.estim.xop_hat, float)
+    fleet = loop.run_fleet(B, N, ry=[5, 1], y_noise=[0.1, 0.2],
+                           u_noise=[0.05, 0.05],
+                           x_hat_0=np.tile(xh_abs, (B, 1)), seed=10)
+    assert fleet["conv"].all()
+    for i in range(B):
+        ri = CompiledClosedLoop(_mk(qp_solver="active_set")).run(
+            N, ry=[5, 1], y_noise=[0.1, 0.2], u_noise=[0.05, 0.05],
+            x_hat_0=xh_abs, seed=10 + i)
+        assert np.abs(fleet["U"][i] - ri.u_data).max() < 1e-9
+        assert np.abs(fleet["Y"][i] - ri.y_data).max() < 1e-9
