@@ -11,9 +11,9 @@ input extraction, plant update, and estimator prediction are one
 ``lax.scan`` body, so an N-step closed loop is a single XLA call whose
 per-step cost is pure device compute.
 
-Supported today: ``LinMPC`` with a constant-gain estimator
-(SteadyKalmanFilter / Luenberger, ``direct=True``) against a ``LinModel``
-plant — the reference's README/CSTR configuration.  Disturbance-injection
+Supported today: ``LinMPC`` with a SteadyKalmanFilter, Luenberger, or
+time-varying KalmanFilter (P̂ carried through the scan), ``direct=True``,
+against a ``LinModel`` plant — the reference's README/CSTR configuration.  Disturbance-injection
 kwargs mirror ``sim`` (u_step/u_noise/y_step/y_noise/d_step/d_noise/
 x_noise) with identical RNG draw order, so traces match the host loop
 exactly, noise included.
@@ -29,7 +29,7 @@ from .utils.config import jit32
 
 from .controllers.linmpc import LinMPC
 from .controllers.slmpc import SLMPC
-from .estimators.kalman import SteadyKalmanFilter
+from .estimators.kalman import KalmanFilter, SteadyKalmanFilter
 from .estimators.luenberger import Luenberger
 from .models import LinModel, NonLinModel
 from .sim import SimResult, _copy_model
@@ -44,11 +44,13 @@ class CompiledClosedLoop:
 
     def __init__(self, ctrl: LinMPC, plant: LinModel | None = None):
         estim = ctrl.estim
-        if not isinstance(estim, (SteadyKalmanFilter, Luenberger)):
+        if not isinstance(estim, (SteadyKalmanFilter, Luenberger,
+                                  KalmanFilter)):
             raise TypeError(
                 "CompiledClosedLoop needs a constant-gain estimator "
-                "(SteadyKalmanFilter or Luenberger); got "
+                "(SteadyKalmanFilter or Luenberger) or a KalmanFilter; got "
                 f"{type(estim).__name__}")
+        self._kf = isinstance(estim, KalmanFilter)
         if not estim.direct:
             raise ValueError("CompiledClosedLoop requires direct=True "
                              "(filter form) estimators")
@@ -64,7 +66,7 @@ class CompiledClosedLoop:
         self._p = {k: np.asarray(v) for k, v in ctrl.params.items()}
         e = estim
         self._ep = dict(
-            K_hat=np.asarray(e.K_hat), A_hat=np.asarray(e.A_hat),
+            A_hat=np.asarray(e.A_hat),
             Bu_hat=np.asarray(e.Bu_hat), Cm_hat=np.asarray(e.Cm_hat),
             Ddm_hat=np.asarray(e.Ddm_hat), Bd_hat=np.asarray(e.Bd_hat),
             C_hat=np.asarray(e.C_hat), Dd_hat=np.asarray(e.Dd_hat),
@@ -73,6 +75,11 @@ class CompiledClosedLoop:
             yop=np.asarray(model.yop), uop=np.asarray(model.uop),
             dop=np.asarray(model.dop),
             yop_m=np.asarray(model.yop)[self.i_ym])
+        if self._kf:
+            self._ep["Q_hat"] = np.asarray(e.Q_hat)
+            self._ep["R_hat"] = np.asarray(e.R_hat)
+        else:
+            self._ep["K_hat"] = np.asarray(e.K_hat)
         pl = plant
         self._pp = dict(A=np.asarray(pl.A), Bu=np.asarray(pl.Bu),
                         Bd=np.asarray(pl.Bd), C=np.asarray(pl.C),
@@ -88,6 +95,9 @@ class CompiledClosedLoop:
         nd, Hp = self.nd, ctrl.Hp
         i_ym = self.i_ym
         nyu = estim.nyu
+        is_kf = self._kf
+        if is_kf:
+            from .estimators.kalman import kf_correct, kf_predict
 
         def body(carry, xs):
             p, ep, pp, st = carry
@@ -100,12 +110,16 @@ class CompiledClosedLoop:
             if nd:
                 y = y + pp["Dd"] @ d0p
             ym = y[i_ym]
-            # estimator correction (constant gain, direct form)
+            # estimator correction (direct form)
             d0 = dk - ep["dop"] if nd else dk
             y0m = ym - ep["yop_m"]
             x0 = st["x0_hat"]
-            v = y0m - ep["Cm_hat"] @ x0 - (ep["Ddm_hat"] @ d0 if nd else 0.0)
-            x0c = x0 + ep["K_hat"] @ v
+            y0m_pred = ep["Cm_hat"] @ x0 + (ep["Ddm_hat"] @ d0 if nd else 0.0)
+            if is_kf:
+                x0c, Pc = kf_correct(x0, st["P_hat"], y0m_pred, y0m,
+                                     ep["Cm_hat"], ep["R_hat"])
+            else:
+                x0c = x0 + ep["K_hat"] @ (y0m - y0m_pred)
             y_est = ep["C_hat"] @ x0c + ep["yop"] + \
                 (ep["Dd_hat"] @ d0 if nd else 0.0)
             # MPC solve
@@ -126,13 +140,20 @@ class CompiledClosedLoop:
                 x0p_n = x0p_n + pp["Bd"] @ d0p
             x0p_n = x0p_n + eps_x
             # estimator prediction (with the *commanded* u, like sim)
-            x0n = ep["A_hat"] @ x0c + ep["Bu_hat"] @ lastu0 + ep["fop_m_xop"]
+            x0n = ep["A_hat"] @ x0c + ep["Bu_hat"] @ lastu0
             if nd:
                 x0n = x0n + ep["Bd_hat"] @ d0
             out = dict(y=y, u=u, y_est=y_est, x_p=st["x0_p"] + pp["xop"],
                        x_hat=x0c + ep["xop_hat"], conv=conv, obj=obj)
-            new_st = dict(x0_p=x0p_n, x0_hat=x0n, lastu0=lastu0,
+            new_st = dict(x0_p=x0p_n, lastu0=lastu0,
                           Z_tilde=Z_t, y_dual=y_dual)
+            if is_kf:
+                x0n, Pn = kf_predict(x0n, Pc, ep["A_hat"], ep["Q_hat"],
+                                     ep["fop_m_xop"])
+                new_st["P_hat"] = Pn
+            else:
+                x0n = x0n + ep["fop_m_xop"]
+            new_st["x0_hat"] = x0n
             return (p, ep, pp, new_st), out
 
         def scan(p, ep, pp, st0, ry, dks, steps, eps, N):
@@ -192,6 +213,8 @@ class CompiledClosedLoop:
         st0 = dict(x0_p=x0p, x0_hat=xh0, lastu0=np.zeros((B, nu)),
                    Z_tilde=np.zeros((B, self.ctrl.nZt)),
                    y_dual=np.zeros((B, self.ctrl.A_stack.shape[0])))
+        if self._kf:
+            st0["P_hat"] = np.tile(np.asarray(estim.P_hat, float), (B, 1, 1))
         steps = (np.zeros((B, N, nu)), np.zeros((B, N, ny)))
         if getattr(self, "_vscan", None) is None:
             scan = self._make_scan()
@@ -269,6 +292,8 @@ class CompiledClosedLoop:
                    lastu0=lastu - model.uop,
                    Z_tilde=np.zeros(self.ctrl.nZt),
                    y_dual=np.zeros(self.ctrl.A_stack.shape[0]))
+        if self._kf:
+            st0["P_hat"] = np.asarray(estim.P_hat, float)
         steps = (np.tile(u_step, (N, 1)), np.tile(y_step, (N, 1)))
         tree = (self._p, self._ep, self._pp, st0, Ry, dks,
                 steps, (eps_d, eps_y, eps_u, eps_x))

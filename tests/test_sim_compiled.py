@@ -44,9 +44,24 @@ def test_compiled_loop_active_set_backend():
 
 def test_compiled_loop_rejects_unsupported():
     m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
-    c = mpc.LinMPC(mpc.KalmanFilter(m), Hp=10, Hc=2)
+    c = mpc.LinMPC(mpc.UnscentedKalmanFilter(m), Hp=10, Hc=2)
     with pytest.raises(TypeError, match="constant-gain"):
         CompiledClosedLoop(c)
+
+
+def test_compiled_loop_kalman_filter():
+    """Time-varying KF (P̂ carried through the scan) ≡ host sim."""
+    def mk():
+        c = mpc.LinMPC(mpc.KalmanFilter(mpc.LinModel(_cstr_G(), 2.0)),
+                       Hp=10, Hc=2, Mwt=[1, 1], Nwt=[0.1, 0.1])
+        c.setconstraint(umin=[-20, -20], umax=[20, 20])
+        return c
+    res_h = mpc.sim(mk(), 25, [5, 1], y_noise=[0.1, 0.1], seed=4)
+    res_c = CompiledClosedLoop(mk()).run(25, ry=[5, 1], y_noise=[0.1, 0.1],
+                                         seed=4)
+    assert np.allclose(res_h.u_data, res_c.u_data, atol=1e-8)
+    assert np.allclose(res_h.y_data, res_c.y_data, atol=1e-8)
+    assert np.allclose(res_h.X_est_data, res_c.X_est_data, atol=1e-8)
 
 
 def test_compiled_slmpc_loop_matches_host(slpendulum=None):
