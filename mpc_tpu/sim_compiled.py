@@ -422,3 +422,70 @@ class CompiledSLLoop:
         D = dks if nd else np.zeros((N, 1))
         return SimResult(T, outs["y"], outs["u"], Ry_data=Ry, D_data=D,
                          X_data=outs["x_p"], X_est_data=outs["x_hat"])
+
+    def run_fleet(self, B, N, ry=None, *, x_0=None, u_noise=None,
+                  y_noise=None, x_noise=None, d=None, seed=0):
+        """B independent nonlinear closed loops in one XLA call.
+
+        Lane i reproduces ``run(..., seed=seed+i)`` (same RNG draw order).
+        ``ry``: (ny,), (B, ny) or (B, N, ny); ``x_0``: (B, nx) absolute
+        initial plant states.  All lanes start from the controller's current
+        state.  Stateless (does not advance ``ctrl``/``plant``).  Returns a
+        dict of stacked trajectories (Y, U, X, X_hat, conv).
+        """
+        ctrl, plant = self.ctrl, self.plant
+        nu, ny, nd, nx = self.nu, self.ny, self.nd, plant.nx
+        B, N = int(B), int(N)
+        ry = np.asarray(ry, float) if ry is not None else plant.yop.copy()
+        if ry.ndim == 1:
+            Ry = np.tile(ry, (B, N, 1))
+        elif ry.ndim == 2:
+            Ry = np.tile(ry[:, None, :], (1, N, 1))
+        else:
+            Ry = ry
+        d = np.asarray(d, float).ravel() if d is not None else \
+            plant.dop.copy()
+        z = lambda v, n: np.zeros(n) if v is None else \
+            np.asarray(v, float).ravel()
+        u_noise, y_noise, x_noise = z(u_noise, nu), z(y_noise, ny), \
+            z(x_noise, nx)
+        eps_y = np.zeros((B, N, ny)); eps_u = np.zeros((B, N, nu))
+        eps_x = np.zeros((B, N, nx))
+        for i in range(B):   # lane i ≡ run(..., seed=seed+i) draw order
+            rng = np.random.default_rng(seed + i)
+            for k in range(N):
+                eps_y[i, k] = y_noise * rng.normal(size=ny)
+                eps_u[i, k] = u_noise * rng.normal(size=nu)
+                eps_x[i, k] = x_noise * rng.normal(size=nx)
+        dks = np.tile(d, (B, N, 1)) if nd else np.zeros((B, N, 0))
+        if x_0 is None:
+            x0p = np.tile(np.asarray(plant.x0, float), (B, 1))
+        else:
+            x0p = np.asarray(x_0, float) - plant.xop
+        st0 = jax.tree.map(lambda a: np.tile(np.asarray(a, float)[None],
+                                             (B,) + (1,) * np.ndim(a)),
+                           ctrl.state)
+        pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
+                   yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
+                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+        if getattr(self, "_vscan_N", None) != N:
+            scan = self._make_scan()
+            self._vscan = jit32(jax.vmap(
+                lambda st0, x0p, bounds, po, ry, dks, u_steps, eps:
+                scan(st0, x0p, bounds, po, ry, dks, u_steps, eps, N),
+                in_axes=(0, 0, None, None, 0, 0, 0, 0)))
+            self._vscan_N = N
+        tree = (st0, x0p, ctrl.bounds(), pop, Ry, dks,
+                np.zeros((B, N, nu)), (eps_y, eps_u, eps_x))
+        dtc = getattr(ctrl, "_dt", None)
+        if dtc is not None:
+            np_dt = np.dtype(dtc)
+            tree = jax.tree.map(
+                lambda a: np.asarray(a).astype(np_dt)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                tree)
+        tree = jax.device_put(tree)
+        stN, x0pN, outs = self._vscan(*tree)
+        return {k: np.asarray(v) for k, v in
+                dict(Y=outs["y"], U=outs["u"], X=outs["x_p"],
+                     X_hat=outs["x_hat"], conv=outs["conv"]).items()}

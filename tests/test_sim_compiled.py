@@ -116,3 +116,34 @@ def test_run_fleet_matches_per_lane_runs():
             x_hat_0=xh_abs, seed=10 + i)
         assert np.abs(fleet["U"][i] - ri.u_data).max() < 1e-9
         assert np.abs(fleet["Y"][i] - ri.y_data).max() < 1e-9
+
+
+def test_sl_run_fleet_matches_per_lane():
+    """Monte-Carlo SL-MPC fleet ≡ per-lane compiled runs."""
+    import jax.numpy as jnp
+    from mpc_tpu.controllers.slmpc import SLMPC
+    from mpc_tpu.sim_compiled import CompiledSLLoop
+
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+
+    def mk():
+        c = SLMPC(mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                                  solver=mpc.RungeKutta(4)),
+                  Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5], sigmaQ=[0.1, 1.0],
+                  sigmaR=[5.0], nint_ym=[1], sigmaQint_ym=[0.1],
+                  qp_solver="active_set")
+        c.setconstraint(umin=[-1.5], umax=[1.5])
+        return c
+
+    B, N = 2, 20
+    fleet = CompiledSLLoop(mk()).run_fleet(B, N, ry=[180.0], y_noise=[2.0],
+                                           seed=5)
+    for i in range(B):
+        ri = CompiledSLLoop(mk()).run(N, ry=[180.0], y_noise=[2.0],
+                                      seed=5 + i)
+        assert np.abs(fleet["U"][i] - ri.u_data).max() < 1e-7
+        assert np.abs(fleet["Y"][i] - ri.y_data).max() < 1e-7
