@@ -166,7 +166,7 @@ class CompiledClosedLoop:
     # -- Monte-Carlo fleet: B independent closed loops in ONE device call --
     def run_fleet(self, B, N, ry=None, *, x_0=None, x_hat_0=None,
                   u_noise=None, y_noise=None, x_noise=None, d=None,
-                  seed=0):
+                  seed=0, mesh=None):
         """Simulate ``B`` independent N-step closed loops in one XLA call.
 
         Per-lane variation: noise realizations (independent draws per lane,
@@ -240,7 +240,15 @@ class CompiledClosedLoop:
                 lambda a: np.asarray(a).astype(np_dt)
                 if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
                 tree)
-        tree = jax.device_put(tree)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("batch"))
+            rep = NamedSharding(mesh, P())
+            p, ep, pp, st0, Ry, dks, steps, eps = tree
+            tree = (jax.device_put((p, ep, pp), rep)
+                    + jax.device_put((st0, Ry, dks, steps, eps), sh))
+        else:
+            tree = jax.device_put(tree)
         stN, outs = self._vscan(*tree)
         return {k: np.asarray(v) for k, v in
                 dict(Y=outs["y"], U=outs["u"], Y_est=outs["y_est"],
@@ -424,7 +432,7 @@ class CompiledSLLoop:
                          X_data=outs["x_p"], X_est_data=outs["x_hat"])
 
     def run_fleet(self, B, N, ry=None, *, x_0=None, u_noise=None,
-                  y_noise=None, x_noise=None, d=None, seed=0):
+                  y_noise=None, x_noise=None, d=None, seed=0, mesh=None):
         """B independent nonlinear closed loops in one XLA call.
 
         Lane i reproduces ``run(..., seed=seed+i)`` (same RNG draw order).
@@ -484,7 +492,16 @@ class CompiledSLLoop:
                 lambda a: np.asarray(a).astype(np_dt)
                 if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
                 tree)
-        tree = jax.device_put(tree)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("batch"))
+            rep = NamedSharding(mesh, P())
+            st0, x0p, bounds, po, Ry, dks, us, eps = tree
+            tree = ((jax.device_put(st0, sh), jax.device_put(x0p, sh),
+                     jax.device_put(bounds, rep), jax.device_put(po, rep))
+                    + jax.device_put((Ry, dks, us, eps), sh))
+        else:
+            tree = jax.device_put(tree)
         stN, x0pN, outs = self._vscan(*tree)
         return {k: np.asarray(v) for k, v in
                 dict(Y=outs["y"], U=outs["u"], X=outs["x_p"],

@@ -147,3 +147,15 @@ def test_sl_run_fleet_matches_per_lane():
                                       seed=5 + i)
         assert np.abs(fleet["U"][i] - ri.u_data).max() < 1e-7
         assert np.abs(fleet["Y"][i] - ri.y_data).max() < 1e-7
+
+
+def test_run_fleet_sharded_over_mesh():
+    import jax
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("batch",))
+    loop = CompiledClosedLoop(_mk(qp_solver="active_set"))
+    f_sh = loop.run_fleet(8, 10, ry=[5, 1], y_noise=[0.1, 0.1], seed=2,
+                          mesh=mesh)
+    loop2 = CompiledClosedLoop(_mk(qp_solver="active_set"))
+    f_un = loop2.run_fleet(8, 10, ry=[5, 1], y_noise=[0.1, 0.1], seed=2)
+    assert np.allclose(f_sh["U"], f_un["U"], atol=1e-9)
+    assert f_sh["conv"].all()
