@@ -22,6 +22,7 @@ from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
                           NonLinMPC, SLMPC, SingleShooting, MultipleShooting,
                           TrapezoidalCollocation, OrthogonalCollocation)
 from .sim import sim, SimResult
-from .sim_compiled import CompiledClosedLoop, CompiledSLLoop
+from .sim_compiled import (CompiledClosedLoop, CompiledSLLoop,
+                           CompiledMHELoop)
 
 __version__ = "0.1.0"

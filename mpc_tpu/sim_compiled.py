@@ -506,3 +506,180 @@ class CompiledSLLoop:
         return {k: np.asarray(v) for k, v in
                 dict(Y=outs["y"], U=outs["u"], X=outs["x_p"],
                      X_hat=outs["x_hat"], conv=outs["conv"]).items()}
+
+
+class CompiledMHELoop:
+    """Process an entire measurement record through a MovingHorizonEstimator
+    as ONE ``lax.scan`` device call.
+
+    The host MHE solves one window per ``preparestate`` with a fresh window
+    upload each step (mhe/execute.jl protocol); here the windows, warm
+    start, and arrival covariance all live in the scan carry, so estimating
+    an N-step record is a single XLA call — the offline/batch-estimation
+    form of the estimator.  Semantics mirrored in-graph: growing window via
+    the Nk mask, slot shifting when full, warm-start block shifts
+    (mhe/transcription.jl:936-1075), arrival covariance correct/predict on
+    the oldest slot with finite/PD acceptance (mhe/execute.jl:729-797), NaN
+    measurements masked per sample.
+
+    Supported: ``direct=True`` MHE on a LinModel (or NonLinModel whose f/h
+    trace) with a KalmanFilter covestim.  Call ``initstate`` (or step the
+    MHE) on the host first; the loop starts from the estimator's current
+    state and does not advance it.
+    """
+
+    def __init__(self, mhe):
+        from .estimators.mhe import MovingHorizonEstimator
+        from .estimators.kalman import KalmanFilter
+        if not isinstance(mhe, MovingHorizonEstimator):
+            raise TypeError("CompiledMHELoop drives a MovingHorizonEstimator")
+        if not mhe.direct:
+            raise ValueError("CompiledMHELoop supports direct=True MHE")
+        if not isinstance(mhe.covestim, KalmanFilter):
+            raise TypeError("CompiledMHELoop needs a KalmanFilter covestim "
+                            "(the LinModel default)")
+        self.mhe = mhe
+        self.i_ym = np.asarray(mhe.i_ym, int)
+        self._scan = jit32(self._make_scan(), static_argnames=("N",))
+
+    def _make_scan(self):
+        mhe = self.mhe
+        from .estimators.kalman import kf_correct, kf_predict
+        He, nx, ne = mhe.He, mhe.nx_hat, mhe.n_eps
+        wo, is_ms = mhe._w_off, mhe.is_ms
+        nd = mhe.model.nd
+        solve = mhe._solve_jit                # pure (p, Zt0) fn (jit collapses)
+        ce = mhe.covestim
+        cep = dict(A=np.asarray(ce.A_hat), Bu=np.asarray(ce.Bu_hat),
+                   Bd=np.asarray(ce.Bd_hat), Cm=np.asarray(ce.Cm_hat),
+                   Ddm=np.asarray(ce.Ddm_hat), Q=np.asarray(ce.Q_hat),
+                   R=np.asarray(ce.R_hat),
+                   fop_m_xop=np.asarray(ce.fop_hat - ce.xop_hat))
+        # static problem data (bounds, inverses of Q/R, op offsets)
+        statics = {k: np.asarray(v) for k, v in mhe._windows_params().items()
+                   if k in ("invQ", "invR", "fop_m_xop", "Xmin", "Xmax",
+                            "Wmin", "Wmax", "Vmin", "Vmax", "C_xmin",
+                            "C_xmax", "C_wmin", "C_wmax", "C_vmin",
+                            "C_vmax")}
+
+        def accept_cov(P_new, P_old, invP_old):
+            Ps = 0.5 * (P_new + P_new.T)
+            L = jnp.linalg.cholesky(Ps)
+            ok = jnp.all(jnp.isfinite(Ps)) & jnp.all(jnp.isfinite(L))
+            eye = jnp.eye(Ps.shape[0], dtype=Ps.dtype)
+            Li = jax.scipy.linalg.solve_triangular(
+                jnp.where(ok, L, eye), eye, lower=True)
+            invP = Li.T @ Li
+            return (jnp.where(ok, Ps, P_old), jnp.where(ok, invP, invP_old))
+
+        def shift_Z(Z):
+            Zs = Z
+            if is_ms:
+                Zs = Zs.at[ne + nx:ne + nx + (He - 1) * nx].set(
+                    Zs[ne + 2 * nx:ne + nx + He * nx])
+            Zs = Zs.at[wo:wo + (He - 1) * nx].set(Zs[wo + nx:wo + He * nx])
+            Zs = Zs.at[wo + (He - 1) * nx:].set(0.0)
+            return Zs
+
+        def body(carry, xs):
+            st, S = carry
+            ym, dk, u_next = xs
+            y0m = ym                      # already deviation form (run())
+            d0 = dk
+            u0_next = u_next
+            moving = (st["Nk"] + 1) > He
+            # --- add_data_windows!: shift when full, then append ---
+            sh = lambda W: jnp.where(moving, jnp.roll(W, -1, axis=0), W)
+            Y0m_w = sh(st["Y0m"]); U0_w = sh(st["U0"])
+            X0_old_w = sh(st["X0_old"])
+            D0_w = jnp.where(moving, jnp.roll(st["D0"], -1, axis=0),
+                             st["D0"])
+            Nk2 = jnp.where(moving, He - 1, st["Nk"])
+            Z = jnp.where(moving, shift_Z(st["Z"]), st["Z"])
+            Y0m_w = Y0m_w.at[Nk2].set(y0m)
+            U0_w = U0_w.at[Nk2].set(st["pending_u0"])
+            X0_old_w = X0_old_w.at[Nk2].set(st["x0_hat"])
+            D0_w = D0_w.at[Nk2 + 1].set(d0)
+            Nk3 = Nk2 + 1
+            x_arr_prior = X0_old_w[0]
+            Z = jnp.where(moving,
+                          Z.at[ne:ne + nx].set(x_arr_prior), Z)
+            # --- correct_cov! on the arrival slot (only when moving) ---
+            y0m_arr, d0_arr = Y0m_w[0], D0_w[0]
+            y_pred_arr = cep["Cm"] @ x_arr_prior + \
+                (cep["Ddm"] @ d0_arr if nd else 0.0)
+            _, Pc = kf_correct(x_arr_prior, st["P_arr"], y_pred_arr,
+                               y0m_arr, cep["Cm"], cep["R"])
+            Pc, invPc = accept_cov(Pc, st["P_arr"], st["invP"])
+            P_arr = jnp.where(moving, Pc, st["P_arr"])
+            invP = jnp.where(moving, invPc, st["invP"])
+            # --- window solve ---
+            mask_w = (jnp.arange(He) < Nk3).astype(P_arr.dtype)
+            mask_v = (mask_w[:, None] > 0) & jnp.isfinite(Y0m_w)
+            p = dict(U=U0_w, D=D0_w, Y0m=jnp.nan_to_num(Y0m_w),
+                     mask_w=mask_w, mask_v=mask_v, invP=invP,
+                     x_arr_prior=x_arr_prior, Nk=Nk3.astype(jnp.int32),
+                     invQ=statics["invQ"], invR=statics["invR"],
+                     fop_m_xop=statics["fop_m_xop"],
+                     Xmin=statics["Xmin"], Xmax=statics["Xmax"],
+                     Wmin=statics["Wmin"], Wmax=statics["Wmax"],
+                     Vmin=statics["Vmin"], Vmax=statics["Vmax"],
+                     C_xmin=statics["C_xmin"], C_xmax=statics["C_xmax"],
+                     C_wmin=statics["C_wmin"], C_wmax=statics["C_wmax"],
+                     C_vmin=statics["C_vmin"], C_vmax=statics["C_vmax"])
+            Zt, x_new, X, Ym, J, ok = solve(p, Z)
+            # --- update_cov! (predict) once the window is full ---
+            full = Nk3 == He
+            xr = cep["A"] @ x_arr_prior + cep["Bu"] @ U0_w[0] + \
+                (cep["Bd"] @ D0_w[0] if nd else 0.0)
+            _, Pn = kf_predict(xr, P_arr, cep["A"], cep["Q"],
+                               cep["fop_m_xop"])
+            Pn, invPn = accept_cov(Pn, P_arr, invP)
+            P_arr = jnp.where(full, Pn, P_arr)
+            invP = jnp.where(full, invPn, invP)
+            new_st = dict(Y0m=Y0m_w, U0=U0_w, D0=D0_w, X0_old=X0_old_w,
+                          Nk=Nk3, Z=Zt, x0_hat=x_new, P_arr=P_arr,
+                          invP=invP, pending_u0=u0_next)
+            return (new_st, S), dict(x0_hat=x_new, J=J, ok=ok)
+
+        def scan(st0, S, Ym, Dk, U, N):
+            (stN, _), outs = jax.lax.scan(body, (st0, S), (Ym, Dk, U),
+                                          length=N)
+            return stN, outs
+
+        return scan
+
+    def run(self, Ym, U, D=None):
+        """Estimate a recorded sequence: Ym (N, nym) measurements, U (N, nu)
+        the inputs applied AFTER each measurement, D (N, nd) measured
+        disturbances.  Returns dict(X_hat (N, nx̂ absolute), J, ok)."""
+        mhe = self.mhe
+        model = mhe.model
+        Ym = np.asarray(Ym, float)
+        U = np.asarray(U, float)
+        N = Ym.shape[0]
+        nd = model.nd
+        D = np.asarray(D, float) if D is not None else \
+            np.tile(model.dop, (N, 1))
+        yopm = model.yop[self.i_ym]
+        Y0m = Ym - yopm
+        U0 = U - model.uop
+        D0 = D - model.dop if nd else np.zeros((N, 0))
+        st0 = dict(Y0m=np.asarray(mhe.Y0m_win, float),
+                   U0=np.asarray(mhe.U0_win, float),
+                   D0=np.asarray(mhe.D0_win, float),
+                   X0_old=np.asarray(mhe.X0_old_win, float),
+                   Nk=np.int32(mhe.Nk),
+                   Z=np.asarray(mhe.Z_tilde, float),
+                   x0_hat=np.asarray(mhe.x0_hat, float),
+                   P_arr=np.asarray(mhe.P_arr, float),
+                   invP=np.asarray(mhe.invP_arr, float),
+                   pending_u0=np.asarray(
+                       getattr(mhe, "_pending_u0", np.zeros(model.nu)),
+                       float))
+        tree = jax.device_put((st0, 0, Y0m, D0, U0))
+        stN, outs = self._scan(tree[0], tree[1], tree[2], tree[3], tree[4],
+                               N=N)
+        xh = np.asarray(outs["x0_hat"]) + np.asarray(mhe.xop_hat)
+        return dict(X_hat=xh, J=np.asarray(outs["J"]),
+                    ok=np.asarray(outs["ok"]))
