@@ -159,3 +159,16 @@ def test_run_fleet_sharded_over_mesh():
     f_un = loop2.run_fleet(8, 10, ry=[5, 1], y_noise=[0.1, 0.1], seed=2)
     assert np.allclose(f_sh["U"], f_un["U"], atol=1e-9)
     assert f_sh["conv"].all()
+
+
+def test_compiled_loop_fuzz_random_plants():
+    """Compiled scan ≡ host sim across randomized plants/tunings/noise."""
+    from mpc_tpu.parallel import random_cstr_controllers
+    for seed in (11, 29):
+        c1 = random_cstr_controllers(1, Hp=8, Hc=3, seed=seed)[0]
+        c2 = random_cstr_controllers(1, Hp=8, Hc=3, seed=seed)[0]
+        kw = dict(y_noise=[0.3, 0.3], u_noise=[0.1, 0.1], seed=seed)
+        rh = mpc.sim(c1, 20, [6, -2], **kw)
+        rc = CompiledClosedLoop(c2).run(20, ry=[6, -2], **kw)
+        assert np.abs(rh.u_data - rc.u_data).max() < 1e-7, seed
+        assert np.abs(rh.y_data - rc.y_data).max() < 1e-7, seed
