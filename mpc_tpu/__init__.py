@@ -23,6 +23,6 @@ from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
                           TrapezoidalCollocation, OrthogonalCollocation)
 from .sim import sim, SimResult
 from .sim_compiled import (CompiledClosedLoop, CompiledSLLoop,
-                           CompiledMHELoop)
+                           CompiledMHELoop, CompiledMHEMPCLoop)
 
 __version__ = "0.1.0"

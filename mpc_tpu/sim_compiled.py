@@ -543,103 +543,13 @@ class CompiledMHELoop:
         self._scan = jit32(self._make_scan(), static_argnames=("N",))
 
     def _make_scan(self):
-        mhe = self.mhe
-        from .estimators.kalman import kf_correct, kf_predict
-        He, nx, ne = mhe.He, mhe.nx_hat, mhe.n_eps
-        wo, is_ms = mhe._w_off, mhe.is_ms
-        nd = mhe.model.nd
-        solve = mhe._solve_jit                # pure (p, Zt0) fn (jit collapses)
-        ce = mhe.covestim
-        cep = dict(A=np.asarray(ce.A_hat), Bu=np.asarray(ce.Bu_hat),
-                   Bd=np.asarray(ce.Bd_hat), Cm=np.asarray(ce.Cm_hat),
-                   Ddm=np.asarray(ce.Ddm_hat), Q=np.asarray(ce.Q_hat),
-                   R=np.asarray(ce.R_hat),
-                   fop_m_xop=np.asarray(ce.fop_hat - ce.xop_hat))
-        # static problem data (bounds, inverses of Q/R, op offsets)
-        statics = {k: np.asarray(v) for k, v in mhe._windows_params().items()
-                   if k in ("invQ", "invR", "fop_m_xop", "Xmin", "Xmax",
-                            "Wmin", "Wmax", "Vmin", "Vmax", "C_xmin",
-                            "C_xmax", "C_wmin", "C_wmax", "C_vmin",
-                            "C_vmax")}
-
-        def accept_cov(P_new, P_old, invP_old):
-            Ps = 0.5 * (P_new + P_new.T)
-            L = jnp.linalg.cholesky(Ps)
-            ok = jnp.all(jnp.isfinite(Ps)) & jnp.all(jnp.isfinite(L))
-            eye = jnp.eye(Ps.shape[0], dtype=Ps.dtype)
-            Li = jax.scipy.linalg.solve_triangular(
-                jnp.where(ok, L, eye), eye, lower=True)
-            invP = Li.T @ Li
-            return (jnp.where(ok, Ps, P_old), jnp.where(ok, invP, invP_old))
-
-        def shift_Z(Z):
-            Zs = Z
-            if is_ms:
-                Zs = Zs.at[ne + nx:ne + nx + (He - 1) * nx].set(
-                    Zs[ne + 2 * nx:ne + nx + He * nx])
-            Zs = Zs.at[wo:wo + (He - 1) * nx].set(Zs[wo + nx:wo + He * nx])
-            Zs = Zs.at[wo + (He - 1) * nx:].set(0.0)
-            return Zs
+        mhe_step = _make_mhe_step(self.mhe)
 
         def body(carry, xs):
             st, S = carry
             ym, dk, u_next = xs
-            y0m = ym                      # already deviation form (run())
-            d0 = dk
-            u0_next = u_next
-            moving = (st["Nk"] + 1) > He
-            # --- add_data_windows!: shift when full, then append ---
-            sh = lambda W: jnp.where(moving, jnp.roll(W, -1, axis=0), W)
-            Y0m_w = sh(st["Y0m"]); U0_w = sh(st["U0"])
-            X0_old_w = sh(st["X0_old"])
-            D0_w = jnp.where(moving, jnp.roll(st["D0"], -1, axis=0),
-                             st["D0"])
-            Nk2 = jnp.where(moving, He - 1, st["Nk"])
-            Z = jnp.where(moving, shift_Z(st["Z"]), st["Z"])
-            Y0m_w = Y0m_w.at[Nk2].set(y0m)
-            U0_w = U0_w.at[Nk2].set(st["pending_u0"])
-            X0_old_w = X0_old_w.at[Nk2].set(st["x0_hat"])
-            D0_w = D0_w.at[Nk2 + 1].set(d0)
-            Nk3 = Nk2 + 1
-            x_arr_prior = X0_old_w[0]
-            Z = jnp.where(moving,
-                          Z.at[ne:ne + nx].set(x_arr_prior), Z)
-            # --- correct_cov! on the arrival slot (only when moving) ---
-            y0m_arr, d0_arr = Y0m_w[0], D0_w[0]
-            y_pred_arr = cep["Cm"] @ x_arr_prior + \
-                (cep["Ddm"] @ d0_arr if nd else 0.0)
-            _, Pc = kf_correct(x_arr_prior, st["P_arr"], y_pred_arr,
-                               y0m_arr, cep["Cm"], cep["R"])
-            Pc, invPc = accept_cov(Pc, st["P_arr"], st["invP"])
-            P_arr = jnp.where(moving, Pc, st["P_arr"])
-            invP = jnp.where(moving, invPc, st["invP"])
-            # --- window solve ---
-            mask_w = (jnp.arange(He) < Nk3).astype(P_arr.dtype)
-            mask_v = (mask_w[:, None] > 0) & jnp.isfinite(Y0m_w)
-            p = dict(U=U0_w, D=D0_w, Y0m=jnp.nan_to_num(Y0m_w),
-                     mask_w=mask_w, mask_v=mask_v, invP=invP,
-                     x_arr_prior=x_arr_prior, Nk=Nk3.astype(jnp.int32),
-                     invQ=statics["invQ"], invR=statics["invR"],
-                     fop_m_xop=statics["fop_m_xop"],
-                     Xmin=statics["Xmin"], Xmax=statics["Xmax"],
-                     Wmin=statics["Wmin"], Wmax=statics["Wmax"],
-                     Vmin=statics["Vmin"], Vmax=statics["Vmax"],
-                     C_xmin=statics["C_xmin"], C_xmax=statics["C_xmax"],
-                     C_wmin=statics["C_wmin"], C_wmax=statics["C_wmax"],
-                     C_vmin=statics["C_vmin"], C_vmax=statics["C_vmax"])
-            Zt, x_new, X, Ym, J, ok = solve(p, Z)
-            # --- update_cov! (predict) once the window is full ---
-            full = Nk3 == He
-            xr = cep["A"] @ x_arr_prior + cep["Bu"] @ U0_w[0] + \
-                (cep["Bd"] @ D0_w[0] if nd else 0.0)
-            _, Pn = kf_predict(xr, P_arr, cep["A"], cep["Q"],
-                               cep["fop_m_xop"])
-            Pn, invPn = accept_cov(Pn, P_arr, invP)
-            P_arr = jnp.where(full, Pn, P_arr)
-            invP = jnp.where(full, invPn, invP)
-            new_st = dict(Y0m=Y0m_w, U0=U0_w, D0=D0_w, X0_old=X0_old_w,
-                          Nk=Nk3, Z=Zt, x0_hat=x_new, P_arr=P_arr,
-                          invP=invP, pending_u0=u0_next)
+            new_st, x_new, J, ok = mhe_step(st, ym, dk)
+            new_st["pending_u0"] = u_next
             return (new_st, S), dict(x0_hat=x_new, J=J, ok=ok)
 
         def scan(st0, S, Ym, Dk, U, N):
@@ -683,3 +593,232 @@ class CompiledMHELoop:
         xh = np.asarray(outs["x0_hat"]) + np.asarray(mhe.xop_hat)
         return dict(X_hat=xh, J=np.asarray(outs["J"]),
                     ok=np.asarray(outs["ok"]))
+
+
+def _make_mhe_step(mhe):
+    """One in-graph MHE period: add-data shift/append, arrival-covariance
+    correct/predict with finite/PD acceptance, window solve.  Returns
+    ``step(st, y0m, d0) -> (new_st, x_new, J, ok)``; the caller stores the
+    next applied input in ``new_st["pending_u0"]`` (it is needed by the
+    NEXT period's add-data, mhe/execute.jl:44-84 protocol)."""
+    from .estimators.kalman import kf_correct, kf_predict
+    He, nx, ne = mhe.He, mhe.nx_hat, mhe.n_eps
+    wo, is_ms = mhe._w_off, mhe.is_ms
+    nd = mhe.model.nd
+    solve = mhe._solve_jit                # pure (p, Zt0) fn (jit collapses)
+    ce = mhe.covestim
+    cep = dict(A=np.asarray(ce.A_hat), Bu=np.asarray(ce.Bu_hat),
+               Bd=np.asarray(ce.Bd_hat), Cm=np.asarray(ce.Cm_hat),
+               Ddm=np.asarray(ce.Ddm_hat), Q=np.asarray(ce.Q_hat),
+               R=np.asarray(ce.R_hat),
+               fop_m_xop=np.asarray(ce.fop_hat - ce.xop_hat))
+    statics = {k: np.asarray(v) for k, v in mhe._windows_params().items()
+               if k in ("invQ", "invR", "fop_m_xop", "Xmin", "Xmax",
+                        "Wmin", "Wmax", "Vmin", "Vmax", "C_xmin",
+                        "C_xmax", "C_wmin", "C_wmax", "C_vmin",
+                        "C_vmax")}
+
+    def accept_cov(P_new, P_old, invP_old):
+        Ps = 0.5 * (P_new + P_new.T)
+        L = jnp.linalg.cholesky(Ps)
+        ok = jnp.all(jnp.isfinite(Ps)) & jnp.all(jnp.isfinite(L))
+        eye = jnp.eye(Ps.shape[0], dtype=Ps.dtype)
+        Li = jax.scipy.linalg.solve_triangular(
+            jnp.where(ok, L, eye), eye, lower=True)
+        invP = Li.T @ Li
+        return (jnp.where(ok, Ps, P_old), jnp.where(ok, invP, invP_old))
+
+    def shift_Z(Z):
+        Zs = Z
+        if is_ms:
+            Zs = Zs.at[ne + nx:ne + nx + (He - 1) * nx].set(
+                Zs[ne + 2 * nx:ne + nx + He * nx])
+        Zs = Zs.at[wo:wo + (He - 1) * nx].set(Zs[wo + nx:wo + He * nx])
+        Zs = Zs.at[wo + (He - 1) * nx:].set(0.0)
+        return Zs
+
+    def step(st, y0m, d0):
+        moving = (st["Nk"] + 1) > He
+        # --- add_data_windows!: shift when full, then append ---
+        sh = lambda W: jnp.where(moving, jnp.roll(W, -1, axis=0), W)
+        Y0m_w = sh(st["Y0m"]); U0_w = sh(st["U0"])
+        X0_old_w = sh(st["X0_old"])
+        D0_w = jnp.where(moving, jnp.roll(st["D0"], -1, axis=0), st["D0"])
+        Nk2 = jnp.where(moving, He - 1, st["Nk"])
+        Z = jnp.where(moving, shift_Z(st["Z"]), st["Z"])
+        Y0m_w = Y0m_w.at[Nk2].set(y0m)
+        U0_w = U0_w.at[Nk2].set(st["pending_u0"])
+        X0_old_w = X0_old_w.at[Nk2].set(st["x0_hat"])
+        D0_w = D0_w.at[Nk2 + 1].set(d0)
+        Nk3 = Nk2 + 1
+        x_arr_prior = X0_old_w[0]
+        Z = jnp.where(moving, Z.at[ne:ne + nx].set(x_arr_prior), Z)
+        # --- correct_cov! on the arrival slot (only when moving) ---
+        y0m_arr, d0_arr = Y0m_w[0], D0_w[0]
+        y_pred_arr = cep["Cm"] @ x_arr_prior + \
+            (cep["Ddm"] @ d0_arr if nd else 0.0)
+        _, Pc = kf_correct(x_arr_prior, st["P_arr"], y_pred_arr,
+                           y0m_arr, cep["Cm"], cep["R"])
+        Pc, invPc = accept_cov(Pc, st["P_arr"], st["invP"])
+        P_arr = jnp.where(moving, Pc, st["P_arr"])
+        invP = jnp.where(moving, invPc, st["invP"])
+        # --- window solve ---
+        mask_w = (jnp.arange(He) < Nk3).astype(P_arr.dtype)
+        mask_v = (mask_w[:, None] > 0) & jnp.isfinite(Y0m_w)
+        p = dict(U=U0_w, D=D0_w, Y0m=jnp.nan_to_num(Y0m_w),
+                 mask_w=mask_w, mask_v=mask_v, invP=invP,
+                 x_arr_prior=x_arr_prior, Nk=Nk3.astype(jnp.int32),
+                 **statics)
+        Zt, x_new, X, Ym_roll, J, ok = solve(p, Z)
+        # --- update_cov! (predict) once the window is full ---
+        full = Nk3 == He
+        xr = cep["A"] @ x_arr_prior + cep["Bu"] @ U0_w[0] + \
+            (cep["Bd"] @ D0_w[0] if nd else 0.0)
+        _, Pn = kf_predict(xr, P_arr, cep["A"], cep["Q"], cep["fop_m_xop"])
+        Pn, invPn = accept_cov(Pn, P_arr, invP)
+        P_arr = jnp.where(full, Pn, P_arr)
+        invP = jnp.where(full, invPn, invP)
+        new_st = dict(Y0m=Y0m_w, U0=U0_w, D0=D0_w, X0_old=X0_old_w,
+                      Nk=Nk3, Z=Zt, x0_hat=x_new, P_arr=P_arr,
+                      invP=invP, pending_u0=st["pending_u0"])
+        return new_st, x_new, J, ok
+
+    return step
+
+
+class CompiledMHEMPCLoop:
+    """MHE -> LinMPC -> plant, fused: the reference's ManualEstimator
+    composition (manual.jl:99-128 docstring pattern: an MHE feeding a linear
+    MPC through setstate) as ONE ``lax.scan`` device program.
+
+    ``ctrl`` must be a LinMPC whose estimator has the same augmented-state
+    layout as ``mhe`` (e.g. ``LinMPC(ManualEstimator(model))`` with matching
+    integrator defaults) — the MHE's deviation estimate is fed straight into
+    the condensed-QP solve each period.
+    """
+
+    def __init__(self, mhe, ctrl: LinMPC, plant: LinModel | None = None):
+        from .estimators.mhe import MovingHorizonEstimator
+        if not isinstance(mhe, MovingHorizonEstimator):
+            raise TypeError("mhe must be a MovingHorizonEstimator")
+        if not isinstance(ctrl, LinMPC):
+            raise TypeError("ctrl must be a LinMPC")
+        if ctrl.estim.nx_hat != mhe.nx_hat:
+            raise ValueError(
+                f"augmented-state mismatch: MHE nx̂={mhe.nx_hat}, controller "
+                f"estimator nx̂={ctrl.estim.nx_hat} — construct both with the "
+                "same integrator configuration")
+        if plant is None:
+            plant = _copy_model(mhe.model)
+        if not isinstance(plant, LinModel):
+            raise TypeError("plant must be a LinModel")
+        self.mhe, self.ctrl, self.plant = mhe, ctrl, plant
+        self.nu, self.ny, self.nd = plant.nu, plant.ny, plant.nd
+        self.i_ym = np.asarray(mhe.i_ym, int)
+        self._p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+        model = mhe.model
+        self._mp = dict(uop=np.asarray(model.uop), dop=np.asarray(model.dop),
+                        yop_m=np.asarray(model.yop)[self.i_ym])
+        pl = plant
+        self._pp = dict(A=np.asarray(pl.A), Bu=np.asarray(pl.Bu),
+                        Bd=np.asarray(pl.Bd), C=np.asarray(pl.C),
+                        Dd=np.asarray(pl.Dd),
+                        fop_m_xop=np.asarray(pl.fop - pl.xop),
+                        xop=np.asarray(pl.xop), uop=np.asarray(pl.uop),
+                        yop=np.asarray(pl.yop), dop=np.asarray(pl.dop))
+        self._scan = jit32(self._make_scan(), static_argnames=("N",))
+
+    def _make_scan(self):
+        mhe, ctrl = self.mhe, self.ctrl
+        mhe_step = _make_mhe_step(mhe)
+        step_raw = ctrl._step_raw
+        Hp = ctrl.Hp
+        nyu = ctrl.estim.nyu
+        nd = self.nd
+        i_ym = self.i_ym
+        xop_hat = np.asarray(mhe.xop_hat)
+
+        def body(carry, xs):
+            p, mp, pp, st = carry
+            ry, dk, eps_y = xs
+            d0p = dk - pp["dop"] if nd else dk
+            y = pp["C"] @ st["x0_p"] + pp["yop"] + eps_y
+            if nd:
+                y = y + pp["Dd"] @ d0p
+            ym = y[i_ym]
+            y0m = ym - mp["yop_m"]
+            d0 = dk - mp["dop"] if nd else dk
+            # --- MHE window step ---
+            est, x_new, J_mhe, ok = mhe_step(st["est"], y0m, d0)
+            # --- LinMPC solve from the MHE estimate ---
+            D_hat_0 = jnp.tile(d0, Hp)
+            R_hat_y = jnp.tile(ry, Hp)
+            u, Z_t, y_dual, conv, _, obj = step_raw(
+                p, x_new, st["lastu0"], d0, D_hat_0, R_hat_y, p["Uop"],
+                jnp.zeros(p["Ks"].shape[1], x_new.dtype),
+                jnp.zeros(y0m.shape[0] + nyu, x_new.dtype),
+                st["Z_tilde"], st["y_dual"])
+            lastu0 = u - mp["uop"]
+            est["pending_u0"] = lastu0
+            # --- plant update ---
+            x0p_n = pp["A"] @ st["x0_p"] + pp["Bu"] @ (u - pp["uop"]) \
+                + pp["fop_m_xop"]
+            if nd:
+                x0p_n = x0p_n + pp["Bd"] @ d0p
+            out = dict(y=y, u=u, x_hat=x_new + xop_hat, J_mhe=J_mhe,
+                       ok=ok, conv=conv)
+            new_st = dict(est=est, x0_p=x0p_n, lastu0=lastu0,
+                          Z_tilde=Z_t, y_dual=y_dual)
+            return (p, mp, pp, new_st), out
+
+        def scan(p, mp, pp, st0, ry, dks, eps_y, N):
+            (_, _, _, stN), outs = jax.lax.scan(
+                body, (p, mp, pp, st0), (ry, dks, eps_y), length=N)
+            return stN, outs
+
+        return scan
+
+    def run(self, N, ry=None, d=None, *, y_noise=None, seed=0, lastu=None):
+        """Run the fused MHE->MPC->plant loop for N steps (one device call).
+
+        Starts from the MHE's and plant's current host state; call
+        ``mhe.initstate(...)`` first.  Stateless (host objects not advanced).
+        """
+        mhe, plant, model = self.mhe, self.plant, self.mhe.model
+        ny, nd, nu = self.ny, self.nd, self.nu
+        N = int(N)
+        rng = np.random.default_rng(seed)
+        ry = np.asarray(ry, float).ravel() if ry is not None else \
+            model.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        d = np.asarray(d, float).ravel() if d is not None else \
+            model.dop.copy()
+        y_noise = np.zeros(ny) if y_noise is None else \
+            np.asarray(y_noise, float).ravel()
+        eps_y = y_noise * rng.normal(size=(N, ny))
+        dks = np.tile(d, (N, 1)) if nd else np.zeros((N, 0))
+        lastu = model.uop.copy() if lastu is None else \
+            np.asarray(lastu, float).ravel()
+        est0 = dict(Y0m=np.asarray(mhe.Y0m_win, float),
+                    U0=np.asarray(mhe.U0_win, float),
+                    D0=np.asarray(mhe.D0_win, float),
+                    X0_old=np.asarray(mhe.X0_old_win, float),
+                    Nk=np.int32(mhe.Nk),
+                    Z=np.asarray(mhe.Z_tilde, float),
+                    x0_hat=np.asarray(mhe.x0_hat, float),
+                    P_arr=np.asarray(mhe.P_arr, float),
+                    invP=np.asarray(mhe.invP_arr, float),
+                    pending_u0=np.asarray(
+                        getattr(mhe, "_pending_u0", np.zeros(nu)), float))
+        st0 = dict(est=est0, x0_p=np.asarray(plant.x0, float),
+                   lastu0=lastu - model.uop,
+                   Z_tilde=np.zeros(self.ctrl.nZt),
+                   y_dual=np.zeros(self.ctrl.A_stack.shape[0]))
+        tree = jax.device_put((self._p, self._mp, self._pp, st0, Ry, dks,
+                               eps_y))
+        stN, outs = self._scan(*tree, N=N)
+        outs = jax.tree.map(np.asarray, outs)
+        T = np.arange(N) * plant.Ts
+        return SimResult(T, outs["y"], outs["u"], Ry_data=Ry,
+                         D_data=dks if nd else np.zeros((N, 1)),
+                         X_est_data=outs["x_hat"])

@@ -12,3 +12,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite compiles hundreds of small
+# programs (every controller/estimator construction jits); caching them on
+# disk is shared across xdist workers AND across runs (first run pays,
+# reruns start ~warm).  Keyed by HLO hash — safe across code edits.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache_mpc_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

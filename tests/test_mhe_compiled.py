@@ -77,3 +77,48 @@ def test_compiled_mhe_continues_host_state():
     _ = _host_trace(h, Ym[:8], U[:8])
     out = CompiledMHELoop(h).run(Ym[8:], U[8:])
     assert np.abs(out["X_hat"] - full[8:]).max() < 1e-9
+
+
+def test_fused_mhe_mpc_pipeline_matches_host_composition():
+    """CompiledMHEMPCLoop ≡ the reference's ManualEstimator pattern
+    (manual.jl:99-128): MHE feeding a LinMPC through setstate."""
+    from mpc_tpu.sim_compiled import CompiledMHEMPCLoop
+
+    def _m():
+        return mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    N = 20
+    rng = np.random.default_rng(3)
+    eps_y = 0.1 * rng.normal(size=(N, 1))
+    ry = np.array([4.0])
+
+    mhe = mpc.MovingHorizonEstimator(_m(), He=5)
+    ctrl = mpc.LinMPC(mpc.ManualEstimator(_m()), Hp=10, Hc=2)
+    plant = _m()
+    mhe.initstate(np.zeros(1), np.zeros(1))
+    Y = np.zeros((N, 1)); U = np.zeros((N, 1))
+    for k in range(N):
+        y = plant.evaloutput() + eps_y[k]
+        xh = mhe.preparestate(y)
+        ctrl.setstate(xh)
+        ctrl.preparestate(y)
+        u = ctrl.moveinput(ry)
+        Y[k] = y; U[k] = u
+        plant.updatestate(u)
+        mhe.updatestate(u, y)
+
+    mhe2 = mpc.MovingHorizonEstimator(_m(), He=5)
+    ctrl2 = mpc.LinMPC(mpc.ManualEstimator(_m()), Hp=10, Hc=2)
+    mhe2.initstate(np.zeros(1), np.zeros(1))
+    res = CompiledMHEMPCLoop(mhe2, ctrl2).run(N, ry=ry, y_noise=[0.1],
+                                              seed=3)
+    assert np.abs(U - res.u_data).max() < 1e-9
+    assert np.abs(Y - res.y_data).max() < 1e-9
+
+
+def test_fused_pipeline_rejects_mismatched_augmentation():
+    from mpc_tpu.sim_compiled import CompiledMHEMPCLoop
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=4, nint_ym=[2])
+    ctrl = mpc.LinMPC(mpc.ManualEstimator(m), Hp=10, Hc=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        CompiledMHEMPCLoop(mhe, ctrl)

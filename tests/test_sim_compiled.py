@@ -172,3 +172,24 @@ def test_compiled_loop_fuzz_random_plants():
         rc = CompiledClosedLoop(c2).run(20, ry=[6, -2], **kw)
         assert np.abs(rh.u_data - rc.u_data).max() < 1e-7, seed
         assert np.abs(rh.y_data - rc.y_data).max() < 1e-7, seed
+
+
+def test_compiled_loop_with_measured_disturbance():
+    """nd>0: feedforward path (G/J matrices, d-noise RNG order) ≡ host."""
+    G = mpc.tf_matrix([[mpc.tf(1.90, [18, 1]), mpc.tf(1.90, [18, 1])],
+                       [mpc.tf(-0.74, [8, 1]), mpc.tf(0.74, [8, 1])]])
+    Gd = mpc.tf_matrix([[mpc.tf(0.74, [8, 1])], [mpc.tf(0.74, [8, 1])]])
+    GG = np.hstack([np.asarray(G, object), np.asarray(Gd, object)])
+
+    def mk():
+        m = mpc.LinModel(GG, 2.0, i_d=[2])
+        c = mpc.LinMPC(m, Hp=10, Hc=2, Mwt=[1, 1], Nwt=[0.1, 0.1],
+                       qp_solver="active_set")
+        c.setconstraint(umin=[-20, -20], umax=[20, 20])
+        return c
+    kw = dict(d=[0.5], d_step=[0.3], d_noise=[0.05], y_noise=[0.05, 0.05],
+              seed=6)
+    rh = mpc.sim(mk(), 20, [4, 0], **kw)
+    rc = CompiledClosedLoop(mk()).run(20, ry=[4, 0], **kw)
+    assert np.abs(rh.u_data - rc.u_data).max() < 1e-8
+    assert np.abs(rh.y_data - rc.y_data).max() < 1e-8
