@@ -23,6 +23,7 @@ from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
                           TrapezoidalCollocation, OrthogonalCollocation)
 from .sim import sim, SimResult
 from .sim_compiled import (CompiledClosedLoop, CompiledSLLoop,
-                           CompiledMHELoop, CompiledMHEMPCLoop)
+                           CompiledMHELoop, CompiledMHEMPCLoop,
+                           CompiledNonLinLoop)
 
 __version__ = "0.1.0"

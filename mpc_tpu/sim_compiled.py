@@ -822,3 +822,128 @@ class CompiledMHEMPCLoop:
         return SimResult(T, outs["y"], outs["u"], Ry_data=Ry,
                          D_data=dks if nd else np.zeros((N, 1)),
                          X_est_data=outs["x_hat"])
+
+
+class CompiledNonLinLoop:
+    """One-`lax.scan` closed loop for full NonLinMPC (in-graph SQP) with a
+    UKF and a nonlinear plant — the compiled form of the reference's
+    pendulum case (UKF feedback + Ipopt NLP each period, here the SQP
+    kernel).  Mirrors ``parallel.BatchedNonLinMPC``'s per-step body with the
+    plant rollout added, so an N-step nonlinear closed loop is one XLA call.
+    """
+
+    def __init__(self, ctrl, plant: NonLinModel | None = None):
+        from .controllers.nonlinmpc import NonLinMPC
+        from .estimators.kalman import UnscentedKalmanFilter
+        if not isinstance(ctrl, NonLinMPC):
+            raise TypeError("CompiledNonLinLoop drives a NonLinMPC")
+        if not isinstance(ctrl.estim, UnscentedKalmanFilter):
+            raise TypeError("CompiledNonLinLoop needs an "
+                            "UnscentedKalmanFilter estimator (the NonLinModel "
+                            "default)")
+        if plant is None:
+            plant = _copy_model(ctrl.estim.model)
+        if not isinstance(plant, NonLinModel):
+            raise TypeError("plant must be a NonLinModel")
+        self.ctrl, self.plant = ctrl, plant
+        self.nu, self.ny, self.nd = plant.nu, plant.ny, plant.nd
+        self.i_ym = np.asarray(ctrl.estim.i_ym, int)
+        self._scan = jit32(self._make_scan(), static_argnames=("N",))
+
+    def _make_scan(self):
+        ctrl, plant = self.ctrl, self.plant
+        estim = ctrl.estim
+        model = estim.model
+        nd, Hp = model.nd, ctrl.Hp
+        step_fn = ctrl._step
+        corr, pred = estim._kernels()
+        i_ym = self.i_ym
+        ep = dict(m_hat=np.asarray(estim.m_hat),
+                  S_hat=np.asarray(estim.S_hat),
+                  R_hat=np.asarray(estim.R_hat),
+                  Q_hat=np.asarray(estim.Q_hat),
+                  fop_m_xop=np.asarray(estim.fop_hat - estim.xop_hat),
+                  xop_hat=np.asarray(estim.xop_hat),
+                  yopm=np.asarray(model.yop)[i_ym],
+                  uop=np.asarray(model.uop), dop=np.asarray(model.dop),
+                  yop=np.asarray(model.yop))
+        fd, hh, p_pl = plant._fd, plant._h_user, plant.p
+        pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
+                   yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
+                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+        h_hat = estim.h_hat
+
+        def body(carry, xs):
+            p, e, po, st = carry
+            ry, dk, eps_y = xs
+            d0p = dk - po["dop"] if nd else dk
+            y = jnp.asarray(hh(st["x0_p"], d0p, p_pl)) + po["yop"] + eps_y
+            ym = y[i_ym]
+            d0 = dk - e["dop"] if nd else dk
+            y0m = ym - e["yopm"]
+            # UKF correction
+            x0c, Pc = corr(st["x0_hat"], st["P_hat"], y0m, d0, e["m_hat"],
+                           e["S_hat"], e["R_hat"])
+            yk = jnp.asarray(h_hat(x0c, d0)) + e["yop"]
+            # SQP solve
+            D0 = jnp.tile(d0, Hp)
+            Ry = jnp.tile(ry, Hp)
+            Ru = p["Uop"]
+            u, Zt, y_d, J, viol, iters, _, _, _ = step_fn(
+                p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, ry,
+                st["Z_tilde"], None)
+            lastu0 = u - e["uop"]
+            # plant update
+            x0p_n = jnp.asarray(fd(st["x0_p"], u - po["uop"], d0p, p_pl)) \
+                + po["fop_m_xop"]
+            # UKF prediction
+            x0n, Pn = pred(x0c, Pc, lastu0, d0, e["m_hat"], e["S_hat"],
+                           e["Q_hat"], e["fop_m_xop"])
+            out = dict(y=y, u=u, J=J, x_hat=x0c + e["xop_hat"],
+                       x_p=st["x0_p"] + po["xop"], iters=iters)
+            new_st = dict(x0_p=x0p_n, x0_hat=x0n, P_hat=Pn, lastu0=lastu0,
+                          Z_tilde=Zt)
+            return (p, e, po, new_st), out
+
+        def scan(p, e, po, st0, ry, dks, eps_y, N):
+            (_, _, _, stN), outs = jax.lax.scan(
+                body, (p, e, po, st0), (ry, dks, eps_y), length=N)
+            return stN, outs
+
+        self._ep_host, self._pop_host = ep, pop
+        return scan
+
+    def run(self, N, ry=None, d=None, *, y_noise=None, x_0=None, seed=0):
+        """One device call for the N-step nonlinear closed loop (stateless
+        w.r.t. the host controller/plant objects)."""
+        ctrl, plant = self.ctrl, self.plant
+        estim = ctrl.estim
+        model = estim.model
+        ny, nd = self.ny, self.nd
+        N = int(N)
+        rng = np.random.default_rng(seed)
+        ry = np.asarray(ry, float).ravel() if ry is not None else \
+            plant.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        d = np.asarray(d, float).ravel() if d is not None else \
+            model.dop.copy()
+        y_noise = np.zeros(ny) if y_noise is None else \
+            np.asarray(y_noise, float).ravel()
+        eps_y = y_noise * rng.normal(size=(N, ny))
+        dks = np.tile(d, (N, 1)) if nd else np.zeros((N, 0))
+        if x_0 is not None:
+            plant.setstate(np.asarray(x_0, float))
+        p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+        st0 = dict(x0_p=np.asarray(plant.x0, float),
+                   x0_hat=np.asarray(estim.x0_hat, float),
+                   P_hat=np.asarray(estim.P_hat, float),
+                   lastu0=np.asarray(ctrl.lastu0, float),
+                   Z_tilde=np.asarray(ctrl.Z_tilde, float))
+        tree = jax.device_put((p, self._ep_host, self._pop_host, st0, Ry,
+                               dks, eps_y))
+        stN, outs = self._scan(*tree, N=N)
+        outs = jax.tree.map(np.asarray, outs)
+        T = np.arange(N) * plant.Ts
+        return SimResult(T, outs["y"], outs["u"], Ry_data=Ry,
+                         D_data=dks if nd else np.zeros((N, 1)),
+                         X_data=outs["x_p"], X_est_data=outs["x_hat"])
