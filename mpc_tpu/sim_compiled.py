@@ -35,6 +35,17 @@ from .models import LinModel, NonLinModel
 from .sim import SimResult, _copy_model
 
 
+def _cast_tree(tree, dtc):
+    """Cast every floating leaf to ``dtc`` host-side (f32 TPU mode) — one
+    pass before the single device_put."""
+    if dtc is None:
+        return tree
+    np_dt = np.dtype(dtc)
+    return jax.tree.map(
+        lambda a: np.asarray(a).astype(np_dt)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a, tree)
+
+
 class CompiledClosedLoop:
     """One-`lax.scan` closed loop for a LinMPC + constant-gain estimator.
 
@@ -233,13 +244,7 @@ class CompiledClosedLoop:
             self._vscan_N = N
         tree = (self._p, self._ep, self._pp, st0, Ry, dks, steps,
                 (np.zeros((B, N, nd)), eps_y, eps_u, eps_x))
-        dtc = getattr(self.ctrl, "_dt", None)
-        if dtc is not None:
-            np_dt = np.dtype(dtc)
-            tree = jax.tree.map(
-                lambda a: np.asarray(a).astype(np_dt)
-                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-                tree)
+        tree = _cast_tree(tree, getattr(self.ctrl, "_dt", None))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P("batch"))
@@ -305,13 +310,7 @@ class CompiledClosedLoop:
         steps = (np.tile(u_step, (N, 1)), np.tile(y_step, (N, 1)))
         tree = (self._p, self._ep, self._pp, st0, Ry, dks,
                 steps, (eps_d, eps_y, eps_u, eps_x))
-        dtc = getattr(self.ctrl, "_dt", None)
-        if dtc is not None:   # f32 on TPU: cast host-side, ship once
-            np_dt = np.dtype(dtc)
-            tree = jax.tree.map(
-                lambda a: np.asarray(a).astype(np_dt)
-                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-                tree)
+        tree = _cast_tree(tree, getattr(self.ctrl, "_dt", None))
         tree = jax.device_put(tree)
         stN, outs = self._scan(*tree, N=N)
         outs = jax.tree.map(np.asarray, outs)
@@ -414,13 +413,7 @@ class CompiledSLLoop:
                    fop_m_xop=np.asarray(plant.fop - plant.xop))
         tree = (ctrl.state, x0p, ctrl.bounds(), pop, Ry, dks,
                 np.tile(u_step, (N, 1)), (eps_y, eps_u, eps_x))
-        dtc = getattr(ctrl, "_dt", None)
-        if dtc is not None:   # f32 on TPU: cast host-side, ship once
-            np_dt = np.dtype(dtc)
-            tree = jax.tree.map(
-                lambda a: np.asarray(a).astype(np_dt)
-                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-                tree)
+        tree = _cast_tree(tree, getattr(ctrl, "_dt", None))
         tree = jax.device_put(tree)
         stN, x0pN, outs = self._scan(*tree, N=N)
         ctrl.state = stN                      # controller stepped N times
@@ -485,13 +478,7 @@ class CompiledSLLoop:
             self._vscan_N = N
         tree = (st0, x0p, ctrl.bounds(), pop, Ry, dks,
                 np.zeros((B, N, nu)), (eps_y, eps_u, eps_x))
-        dtc = getattr(ctrl, "_dt", None)
-        if dtc is not None:
-            np_dt = np.dtype(dtc)
-            tree = jax.tree.map(
-                lambda a: np.asarray(a).astype(np_dt)
-                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-                tree)
+        tree = _cast_tree(tree, getattr(ctrl, "_dt", None))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P("batch"))
