@@ -934,3 +934,65 @@ class CompiledNonLinLoop:
         return SimResult(T, outs["y"], outs["u"], Ry_data=Ry,
                          D_data=dks if nd else np.zeros((N, 1)),
                          X_data=outs["x_p"], X_est_data=outs["x_hat"])
+
+
+def _fleet_noise(B, N, dims, scales, seed):
+    """Per-lane noise draws; lane i reproduces run(seed=seed+i) order."""
+    outs = [np.zeros((B, N, n)) for n in dims]
+    for i in range(B):
+        rng = np.random.default_rng(seed + i)
+        for k in range(N):
+            for o, n, s in zip(outs, dims, scales):
+                o[i, k] = s * rng.normal(size=n)
+    return outs
+
+
+def _nonlin_run_fleet(self, B, N, ry=None, *, x_0=None, y_noise=None,
+                      d=None, seed=0):
+    """B independent nonlinear NonLinMPC closed loops in one XLA call
+    (stateless; lane i ≡ run(seed=seed+i))."""
+    ctrl, plant = self.ctrl, self.plant
+    estim = ctrl.estim
+    model = estim.model
+    ny, nd = self.ny, self.nd
+    B, N = int(B), int(N)
+    ry = np.asarray(ry, float) if ry is not None else plant.yop.copy()
+    if ry.ndim == 1:
+        Ry = np.tile(ry, (B, N, 1))
+    elif ry.ndim == 2:
+        Ry = np.tile(ry[:, None, :], (1, N, 1))
+    else:
+        Ry = ry
+    d = np.asarray(d, float).ravel() if d is not None else model.dop.copy()
+    y_noise = np.zeros(ny) if y_noise is None else \
+        np.asarray(y_noise, float).ravel()
+    # mirror run()'s vectorized draw: rng(seed+i).normal(size=(N, ny))
+    eps_y = np.stack([y_noise * np.random.default_rng(seed + i).normal(
+        size=(N, ny)) for i in range(B)])
+    dks = np.tile(d, (B, N, 1)) if nd else np.zeros((B, N, 0))
+    if x_0 is None:
+        x0p = np.tile(np.asarray(plant.x0, float), (B, 1))
+    else:
+        x0p = np.asarray(x_0, float) - plant.xop
+    p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+    st0 = dict(x0_p=x0p,
+               x0_hat=np.tile(np.asarray(estim.x0_hat, float), (B, 1)),
+               P_hat=np.tile(np.asarray(estim.P_hat, float), (B, 1, 1)),
+               lastu0=np.tile(np.asarray(ctrl.lastu0, float), (B, 1)),
+               Z_tilde=np.tile(np.asarray(ctrl.Z_tilde, float), (B, 1)))
+    if getattr(self, "_vscan_N", None) != N:
+        scan = self._make_scan()
+        self._vscan = jit32(jax.vmap(
+            lambda p, e, po, st0, ry, dks, eps_y:
+            scan(p, e, po, st0, ry, dks, eps_y, N),
+            in_axes=(None, None, None, 0, 0, 0, 0)))
+        self._vscan_N = N
+    tree = jax.device_put((p, self._ep_host, self._pop_host, st0, Ry, dks,
+                           eps_y))
+    stN, outs = self._vscan(*tree)
+    return {k: np.asarray(v) for k, v in
+            dict(Y=outs["y"], U=outs["u"], X=outs["x_p"],
+                 X_hat=outs["x_hat"], J=outs["J"]).items()}
+
+
+CompiledNonLinLoop.run_fleet = _nonlin_run_fleet

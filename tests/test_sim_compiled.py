@@ -221,3 +221,31 @@ def test_compiled_nonlin_loop_matches_host():
     res_c = CompiledNonLinLoop(mk()).run(N, ry=[180.0])
     assert np.abs(res_h.u_data - res_c.u_data).max() < 1e-6
     assert np.abs(res_h.y_data - res_c.y_data).max() < 1e-6
+
+
+def test_compiled_nonlin_run_fleet_matches_per_lane():
+    import jax.numpy as jnp
+    from mpc_tpu.sim_compiled import CompiledNonLinLoop
+
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+
+    def mk():
+        model = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                                solver=mpc.RungeKutta(4))
+        estim = mpc.UnscentedKalmanFilter(model, sigmaQ=[0.1, 1.0],
+                                          sigmaR=[5.0], nint_ym=[1],
+                                          sigmaQint_ym=[0.1])
+        c = mpc.NonLinMPC(estim, Hp=20, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                          Cwt=np.inf)
+        c.setconstraint(umin=[-1.5], umax=[1.5])
+        return c
+    loop = CompiledNonLinLoop(mk())
+    fl = loop.run_fleet(2, 12, ry=[180.0], y_noise=[2.0], seed=4)
+    for i in range(2):
+        ri = CompiledNonLinLoop(mk()).run(12, ry=[180.0], y_noise=[2.0],
+                                          seed=4 + i)
+        assert np.abs(fl["U"][i] - ri.u_data).max() < 1e-6
