@@ -996,3 +996,105 @@ def _nonlin_run_fleet(self, B, N, ry=None, *, x_0=None, y_noise=None,
 
 
 CompiledNonLinLoop.run_fleet = _nonlin_run_fleet
+
+
+class CompiledClosedLoopFleet:
+    """Heterogeneous compiled closed loops: B different (controller, plant)
+    pairs, each an independent N-step loop, in ONE device call.
+
+    Unlike ``CompiledClosedLoop.run_fleet`` (one controller, many noise
+    realizations), every lane here has its own plant/controller matrices —
+    for model-mismatch and tuning sweeps (e.g. controller designed on the
+    nominal model, lanes simulate perturbed plants).  Constant-gain
+    estimators only (the ``BatchedLinMPC`` feedback path).
+    """
+
+    def __init__(self, controllers, plants=None):
+        from .parallel.batch import stack_params, estimator_params
+        c0 = controllers[0]
+        if plants is None:
+            plants = [_copy_model(c.estim.model) for c in controllers]
+        if len(plants) != len(controllers):
+            raise ValueError("need one plant per controller")
+        self.ctrls, self.plants = controllers, plants
+        self.B = len(controllers)
+        self.nu, self.ny = plants[0].nu, plants[0].ny
+        self.nd = plants[0].nd
+        self.i_ym = np.asarray(c0.estim.i_ym, int)
+        self._p = stack_params(controllers)
+        ep = estimator_params(controllers)
+        ep["C_hat"] = np.stack([np.asarray(c.estim.C_hat)
+                                for c in controllers])
+        ep["Dd_hat"] = np.stack([np.asarray(c.estim.Dd_hat)
+                                 for c in controllers])
+        ep["xop_hat"] = np.stack([np.asarray(c.estim.xop_hat)
+                                  for c in controllers])
+        ep["yop"] = np.stack([np.asarray(c.estim.model.yop)
+                              for c in controllers])
+        self._ep = ep
+        g = lambda a: np.stack([np.asarray(getattr(p, a), float)
+                                for p in plants])
+        self._pp = dict(A=g("A"), Bu=g("Bu"), Bd=g("Bd"), C=g("C"),
+                        Dd=g("Dd"),
+                        fop_m_xop=np.stack([p.fop - p.xop for p in plants]),
+                        xop=g("xop"), uop=g("uop"), yop=g("yop"),
+                        dop=g("dop"))
+        # reuse the homogeneous scan body; vmap over ALL the param trees
+        proto = CompiledClosedLoop.__new__(CompiledClosedLoop)
+        proto.ctrl, proto.estim, proto.plant = c0, c0.estim, plants[0]
+        proto.nd, proto.i_ym = self.nd, self.i_ym
+        proto._kf = False
+        scan = CompiledClosedLoop._make_scan(proto)
+        self._vscan_builder = lambda N: jit32(jax.vmap(
+            lambda p, ep, pp, st0, ry, dks, steps, eps:
+            scan(p, ep, pp, st0, ry, dks, steps, eps, N),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0)))
+        self._vscan, self._vscan_N = None, None
+
+    def run(self, N, ry=None, *, y_noise=None, x_0=None, seed=0):
+        """Run all B loops for N steps.  ``ry``: (ny,), (B, ny) or
+        (B, N, ny); per-lane noise seeds ``seed + i``."""
+        B, nu, ny, nd = self.B, self.nu, self.ny, self.nd
+        N = int(N)
+        c0 = self.ctrls[0]
+        ry = np.asarray(ry, float) if ry is not None else \
+            self.plants[0].yop.copy()
+        if ry.ndim == 1:
+            Ry = np.tile(ry, (B, N, 1))
+        elif ry.ndim == 2:
+            Ry = np.tile(ry[:, None, :], (1, N, 1))
+        else:
+            Ry = ry
+        y_noise = np.zeros(ny) if y_noise is None else \
+            np.asarray(y_noise, float).ravel()
+        nx_p = self.plants[0].nx
+        # interleaved (y, u, x) per-step draws: lane i ≡ the single-loop
+        # run(seed=seed+i) RNG order
+        eps_y, _, _ = _fleet_noise(B, N, [ny, nu, nx_p],
+                                   [y_noise, np.zeros(nu), np.zeros(nx_p)],
+                                   seed)
+        zeros = lambda n: np.zeros((B, N, n))
+        if x_0 is None:
+            x0p = np.stack([np.asarray(p.x0, float) for p in self.plants])
+        else:
+            x0p = np.asarray(x_0, float) - self._pp["xop"]
+        st0 = dict(x0_p=x0p,
+                   x0_hat=np.stack([np.asarray(c.estim.x0_hat, float)
+                                    for c in self.ctrls]),
+                   lastu0=np.zeros((B, nu)),
+                   Z_tilde=np.zeros((B, c0.nZt)),
+                   y_dual=np.zeros((B, c0.A_stack.shape[0])))
+        if self._vscan_N != N:
+            self._vscan = self._vscan_builder(N)
+            self._vscan_N = N
+        tree = jax.device_put(
+            (self._p, self._ep, self._pp, st0, Ry,
+             zeros(nd) if nd else np.zeros((B, N, 0)),
+             (zeros(nu), zeros(ny)),
+             (zeros(nd) if nd else np.zeros((B, N, 0)), eps_y, zeros(nu),
+              np.zeros((B, N, self.plants[0].nx)))))
+        stN, outs = self._vscan(*tree)
+        return {k: np.asarray(v) for k, v in
+                dict(Y=outs["y"], U=outs["u"], Y_est=outs["y_est"],
+                     X=outs["x_p"], X_hat=outs["x_hat"],
+                     conv=outs["conv"]).items()}

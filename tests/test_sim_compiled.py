@@ -249,3 +249,29 @@ def test_compiled_nonlin_run_fleet_matches_per_lane():
         ri = CompiledNonLinLoop(mk()).run(12, ry=[180.0], y_noise=[2.0],
                                           seed=4 + i)
         assert np.abs(fl["U"][i] - ri.u_data).max() < 1e-6
+
+
+def test_heterogeneous_fleet_model_mismatch():
+    """Per-lane plants ≠ controller models: lanes match single loops exactly
+    and the integrator augmentation still gives offset-free tracking."""
+    import copy
+    from mpc_tpu.parallel import random_cstr_controllers
+    from mpc_tpu.sim_compiled import CompiledClosedLoopFleet
+    B, N = 2, 25
+    ctrls = random_cstr_controllers(B, Hp=8, Hc=2, seed=5)
+    plants = []
+    for c in ctrls:
+        p = copy.deepcopy(c.estim.model)
+        p.Bu = np.asarray(p.Bu) * 1.1    # 10% gain mismatch
+        plants.append(p)
+    fleet = CompiledClosedLoopFleet(ctrls, [copy.deepcopy(p) for p in plants])
+    out = fleet.run(N, ry=[5, 1], y_noise=[0.05, 0.05], seed=20)
+    ctrls2 = random_cstr_controllers(B, Hp=8, Hc=2, seed=5)
+    for i in range(B):
+        c = ctrls2[i]
+        xh_abs = np.asarray(c.estim.x0_hat + c.estim.xop_hat, float)
+        ri = CompiledClosedLoop(c, copy.deepcopy(plants[i])).run(
+            N, ry=[5, 1], y_noise=[0.05, 0.05], seed=20 + i, x_hat_0=xh_abs)
+        assert np.abs(out["U"][i] - ri.u_data).max() < 1e-9
+    # offset-free despite the gain error (SKF integrator augmentation)
+    assert np.abs(out["Y"][:, -1, 0] - 5.0).max() < 0.35
