@@ -114,7 +114,7 @@ class CompiledClosedLoop:
             p, ep, pp, st = carry
             ry, dk, steps, eps = xs
             u_step, y_step = steps
-            eps_d, eps_y, eps_u, eps_x = eps
+            eps_y, eps_u, eps_x = eps
             d0p = dk - pp["dop"] if nd else dk
             # plant output + sensor injection
             y = pp["C"] @ st["x0_p"] + pp["yop"] + y_step + eps_y
@@ -204,14 +204,8 @@ class CompiledClosedLoop:
             np.asarray(v, float).ravel()
         u_noise, y_noise, x_noise = z(u_noise, nu), z(y_noise, ny), \
             z(x_noise, nx)
-        eps_y = np.zeros((B, N, ny)); eps_u = np.zeros((B, N, nu))
-        eps_x = np.zeros((B, N, nx))
-        for i in range(B):   # lane i ≡ run(..., seed=seed+i) draw order
-            rng = np.random.default_rng(seed + i)
-            for k in range(N):
-                eps_y[i, k] = y_noise * rng.normal(size=ny)
-                eps_u[i, k] = u_noise * rng.normal(size=nu)
-                eps_x[i, k] = x_noise * rng.normal(size=nx)
+        eps_y, eps_u, eps_x = _fleet_noise(B, N, nd, ny, nu, nx, y_noise,
+                                           u_noise, x_noise, seed)
         dks = np.tile(d, (B, N, 1)) if nd else np.zeros((B, N, 0))
         if x_0 is None:
             x0p = np.tile(np.asarray(plant.x0, float), (B, 1))
@@ -227,15 +221,7 @@ class CompiledClosedLoop:
         if self._kf:
             st0["P_hat"] = np.tile(np.asarray(estim.P_hat, float), (B, 1, 1))
         steps = (np.zeros((B, N, nu)), np.zeros((B, N, ny)))
-        if getattr(self, "_vscan", None) is None:
-            scan = self._make_scan()
-            self._vscan = jit32(jax.vmap(
-                lambda p, ep, pp, st0, ry, dks, steps, eps:
-                scan(p, ep, pp, st0, ry, dks, steps, eps, N),
-                in_axes=(None, None, None, 0, 0, 0, 0, 0)),
-                static_argnums=())
-            self._vscan_N = N
-        elif self._vscan_N != N:
+        if getattr(self, "_vscan_N", None) != N:
             scan = self._make_scan()
             self._vscan = jit32(jax.vmap(
                 lambda p, ep, pp, st0, ry, dks, steps, eps:
@@ -243,7 +229,7 @@ class CompiledClosedLoop:
                 in_axes=(None, None, None, 0, 0, 0, 0, 0)))
             self._vscan_N = N
         tree = (self._p, self._ep, self._pp, st0, Ry, dks, steps,
-                (np.zeros((B, N, nd)), eps_y, eps_u, eps_x))
+                (eps_y, eps_u, eps_x))
         tree = _cast_tree(tree, getattr(self.ctrl, "_dt", None))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -268,9 +254,8 @@ class CompiledClosedLoop:
         nu, ny, nd, nx = self.nu, self.ny, self.nd, plant.nx
         N = int(N)
         rng = np.random.default_rng(seed)
-        ry = np.asarray(ry, float).ravel() if ry is not None else \
-            model.yop.copy()
-        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        ry = np.asarray(ry, float) if ry is not None else model.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else ry
         d = np.asarray(d, float).ravel() if d is not None else model.dop.copy()
         z = lambda v, n: np.zeros(n) if v is None else \
             np.asarray(v, float).ravel()
@@ -309,7 +294,7 @@ class CompiledClosedLoop:
             st0["P_hat"] = np.asarray(estim.P_hat, float)
         steps = (np.tile(u_step, (N, 1)), np.tile(y_step, (N, 1)))
         tree = (self._p, self._ep, self._pp, st0, Ry, dks,
-                steps, (eps_d, eps_y, eps_u, eps_x))
+                steps, (eps_y, eps_u, eps_x))
         tree = _cast_tree(tree, getattr(self.ctrl, "_dt", None))
         tree = jax.device_put(tree)
         stN, outs = self._scan(*tree, N=N)
@@ -385,9 +370,8 @@ class CompiledSLLoop:
         nu, ny, nd, nx = self.nu, self.ny, self.nd, plant.nx
         N = int(N)
         rng = np.random.default_rng(seed)
-        ry = np.asarray(ry, float).ravel() if ry is not None else \
-            plant.yop.copy()
-        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        ry = np.asarray(ry, float) if ry is not None else plant.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else ry
         d = np.asarray(d, float).ravel() if d is not None else \
             plant.dop.copy()
         z = lambda v, n: np.zeros(n) if v is None else \
@@ -450,14 +434,8 @@ class CompiledSLLoop:
             np.asarray(v, float).ravel()
         u_noise, y_noise, x_noise = z(u_noise, nu), z(y_noise, ny), \
             z(x_noise, nx)
-        eps_y = np.zeros((B, N, ny)); eps_u = np.zeros((B, N, nu))
-        eps_x = np.zeros((B, N, nx))
-        for i in range(B):   # lane i ≡ run(..., seed=seed+i) draw order
-            rng = np.random.default_rng(seed + i)
-            for k in range(N):
-                eps_y[i, k] = y_noise * rng.normal(size=ny)
-                eps_u[i, k] = u_noise * rng.normal(size=nu)
-                eps_x[i, k] = x_noise * rng.normal(size=nx)
+        eps_y, eps_u, eps_x = _fleet_noise(B, N, nd, ny, nu, nx, y_noise,
+                                           u_noise, x_noise, seed)
         dks = np.tile(d, (B, N, 1)) if nd else np.zeros((B, N, 0))
         if x_0 is None:
             x0p = np.tile(np.asarray(plant.x0, float), (B, 1))
@@ -532,16 +510,14 @@ class CompiledMHELoop:
     def _make_scan(self):
         mhe_step = _make_mhe_step(self.mhe)
 
-        def body(carry, xs):
-            st, S = carry
+        def body(st, xs):
             ym, dk, u_next = xs
             new_st, x_new, J, ok = mhe_step(st, ym, dk)
             new_st["pending_u0"] = u_next
-            return (new_st, S), dict(x0_hat=x_new, J=J, ok=ok)
+            return new_st, dict(x0_hat=x_new, J=J, ok=ok)
 
-        def scan(st0, S, Ym, Dk, U, N):
-            (stN, _), outs = jax.lax.scan(body, (st0, S), (Ym, Dk, U),
-                                          length=N)
+        def scan(st0, Ym, Dk, U, N):
+            stN, outs = jax.lax.scan(body, st0, (Ym, Dk, U), length=N)
             return stN, outs
 
         return scan
@@ -574,9 +550,8 @@ class CompiledMHELoop:
                    pending_u0=np.asarray(
                        getattr(mhe, "_pending_u0", np.zeros(model.nu)),
                        float))
-        tree = jax.device_put((st0, 0, Y0m, D0, U0))
-        stN, outs = self._scan(tree[0], tree[1], tree[2], tree[3], tree[4],
-                               N=N)
+        tree = jax.device_put((st0, Y0m, D0, U0))
+        stN, outs = self._scan(*tree, N=N)
         xh = np.asarray(outs["x0_hat"]) + np.asarray(mhe.xop_hat)
         return dict(X_hat=xh, J=np.asarray(outs["J"]),
                     ok=np.asarray(outs["ok"]))
@@ -775,9 +750,8 @@ class CompiledMHEMPCLoop:
         ny, nd, nu = self.ny, self.nd, self.nu
         N = int(N)
         rng = np.random.default_rng(seed)
-        ry = np.asarray(ry, float).ravel() if ry is not None else \
-            model.yop.copy()
-        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        ry = np.asarray(ry, float) if ry is not None else model.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else ry
         d = np.asarray(d, float).ravel() if d is not None else \
             model.dop.copy()
         y_noise = np.zeros(ny) if y_noise is None else \
@@ -801,8 +775,9 @@ class CompiledMHEMPCLoop:
                    lastu0=lastu - model.uop,
                    Z_tilde=np.zeros(self.ctrl.nZt),
                    y_dual=np.zeros(self.ctrl.A_stack.shape[0]))
-        tree = jax.device_put((self._p, self._mp, self._pp, st0, Ry, dks,
-                               eps_y))
+        tree = _cast_tree((self._p, self._mp, self._pp, st0, Ry, dks,
+                           eps_y), getattr(self.ctrl, "_dt", None))
+        tree = jax.device_put(tree)
         stN, outs = self._scan(*tree, N=N)
         outs = jax.tree.map(np.asarray, outs)
         T = np.arange(N) * plant.Ts
@@ -909,9 +884,8 @@ class CompiledNonLinLoop:
         ny, nd = self.ny, self.nd
         N = int(N)
         rng = np.random.default_rng(seed)
-        ry = np.asarray(ry, float).ravel() if ry is not None else \
-            plant.yop.copy()
-        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else np.asarray(ry, float)
+        ry = np.asarray(ry, float) if ry is not None else plant.yop.copy()
+        Ry = np.tile(ry, (N, 1)) if ry.ndim == 1 else ry
         d = np.asarray(d, float).ravel() if d is not None else \
             model.dop.copy()
         y_noise = np.zeros(ny) if y_noise is None else \
@@ -926,8 +900,9 @@ class CompiledNonLinLoop:
                    P_hat=np.asarray(estim.P_hat, float),
                    lastu0=np.asarray(ctrl.lastu0, float),
                    Z_tilde=np.asarray(ctrl.Z_tilde, float))
-        tree = jax.device_put((p, self._ep_host, self._pop_host, st0, Ry,
-                               dks, eps_y))
+        tree = _cast_tree((p, self._ep_host, self._pop_host, st0, Ry,
+                           dks, eps_y), getattr(ctrl, "_dt", None))
+        tree = jax.device_put(tree)
         stN, outs = self._scan(*tree, N=N)
         outs = jax.tree.map(np.asarray, outs)
         T = np.arange(N) * plant.Ts
@@ -936,15 +911,24 @@ class CompiledNonLinLoop:
                          X_data=outs["x_p"], X_est_data=outs["x_hat"])
 
 
-def _fleet_noise(B, N, dims, scales, seed):
-    """Per-lane noise draws; lane i reproduces run(seed=seed+i) order."""
-    outs = [np.zeros((B, N, n)) for n in dims]
+def _fleet_noise(B, N, nd, ny, nu, nx, y_noise, u_noise=None, x_noise=None,
+                 seed=0):
+    """Per-lane (y, u, x) noise draws; lane i reproduces the single-loop
+    ``run(seed=seed+i)`` RNG order, including the per-step d draw that
+    ``sim()``/``run()`` consume whenever nd > 0 (even with zero d_noise)."""
+    u_noise = np.zeros(nu) if u_noise is None else u_noise
+    x_noise = np.zeros(nx) if x_noise is None else x_noise
+    eps_y = np.zeros((B, N, ny)); eps_u = np.zeros((B, N, nu))
+    eps_x = np.zeros((B, N, nx))
     for i in range(B):
         rng = np.random.default_rng(seed + i)
         for k in range(N):
-            for o, n, s in zip(outs, dims, scales):
-                o[i, k] = s * rng.normal(size=n)
-    return outs
+            if nd:
+                rng.normal(size=nd)     # consumed by run() when nd > 0
+            eps_y[i, k] = y_noise * rng.normal(size=ny)
+            eps_u[i, k] = u_noise * rng.normal(size=nu)
+            eps_x[i, k] = x_noise * rng.normal(size=nx)
+    return eps_y, eps_u, eps_x
 
 
 def _nonlin_run_fleet(self, B, N, ry=None, *, x_0=None, y_noise=None,
@@ -987,8 +971,9 @@ def _nonlin_run_fleet(self, B, N, ry=None, *, x_0=None, y_noise=None,
             scan(p, e, po, st0, ry, dks, eps_y, N),
             in_axes=(None, None, None, 0, 0, 0, 0)))
         self._vscan_N = N
-    tree = jax.device_put((p, self._ep_host, self._pop_host, st0, Ry, dks,
-                           eps_y))
+    tree = _cast_tree((p, self._ep_host, self._pop_host, st0, Ry, dks,
+                       eps_y), getattr(ctrl, "_dt", None))
+    tree = jax.device_put(tree)
     stN, outs = self._vscan(*tree)
     return {k: np.asarray(v) for k, v in
             dict(Y=outs["y"], U=outs["u"], X=outs["x_p"],
@@ -1012,6 +997,19 @@ class CompiledClosedLoopFleet:
     def __init__(self, controllers, plants=None):
         from .parallel.batch import stack_params, estimator_params
         c0 = controllers[0]
+        i_ym0 = list(c0.estim.i_ym)
+        for c in controllers:
+            if not isinstance(c.estim, (SteadyKalmanFilter, Luenberger)):
+                raise TypeError(
+                    "CompiledClosedLoopFleet needs constant-gain estimators "
+                    f"(SteadyKalmanFilter/Luenberger); got "
+                    f"{type(c.estim).__name__}")
+            if not c.estim.direct:
+                raise ValueError("CompiledClosedLoopFleet requires "
+                                 "direct=True estimators")
+            if list(c.estim.i_ym) != i_ym0:
+                raise ValueError("all lanes must share the same i_ym "
+                                 "measurement selection")
         if plants is None:
             plants = [_copy_model(c.estim.model) for c in controllers]
         if len(plants) != len(controllers):
@@ -1051,28 +1049,38 @@ class CompiledClosedLoopFleet:
             in_axes=(0, 0, 0, 0, 0, 0, 0, 0)))
         self._vscan, self._vscan_N = None, None
 
-    def run(self, N, ry=None, *, y_noise=None, x_0=None, seed=0):
+    def run(self, N, ry=None, *, y_noise=None, x_0=None, d=None, seed=0):
         """Run all B loops for N steps.  ``ry``: (ny,), (B, ny) or
-        (B, N, ny); per-lane noise seeds ``seed + i``."""
+        (B, N, ny) — default: each lane's own model yop; ``d``: absolute
+        measured disturbance, (nd,) or (B, nd) — default: each lane's dop;
+        per-lane noise seeds ``seed + i``."""
         B, nu, ny, nd = self.B, self.nu, self.ny, self.nd
         N = int(N)
         c0 = self.ctrls[0]
-        ry = np.asarray(ry, float) if ry is not None else \
-            self.plants[0].yop.copy()
-        if ry.ndim == 1:
-            Ry = np.tile(ry, (B, N, 1))
-        elif ry.ndim == 2:
-            Ry = np.tile(ry[:, None, :], (1, N, 1))
+        if ry is None:
+            Ry = np.tile(self._pp["yop"][:, None, :], (1, N, 1))
         else:
-            Ry = ry
+            ry = np.asarray(ry, float)
+            if ry.ndim == 1:
+                Ry = np.tile(ry, (B, N, 1))
+            elif ry.ndim == 2:
+                Ry = np.tile(ry[:, None, :], (1, N, 1))
+            else:
+                Ry = ry
         y_noise = np.zeros(ny) if y_noise is None else \
             np.asarray(y_noise, float).ravel()
         nx_p = self.plants[0].nx
-        # interleaved (y, u, x) per-step draws: lane i ≡ the single-loop
-        # run(seed=seed+i) RNG order
-        eps_y, _, _ = _fleet_noise(B, N, [ny, nu, nx_p],
-                                   [y_noise, np.zeros(nu), np.zeros(nx_p)],
-                                   seed)
+        eps_y, _, _ = _fleet_noise(B, N, nd, ny, nu, nx_p, y_noise,
+                                   seed=seed)
+        if nd:
+            if d is None:
+                dlanes = self._pp["dop"]                  # (B, nd)
+            else:
+                d = np.asarray(d, float)
+                dlanes = np.tile(d, (B, 1)) if d.ndim == 1 else d
+            dks = np.tile(dlanes[:, None, :], (1, N, 1))
+        else:
+            dks = np.zeros((B, N, 0))
         zeros = lambda n: np.zeros((B, N, n))
         if x_0 is None:
             x0p = np.stack([np.asarray(p.x0, float) for p in self.plants])
@@ -1088,11 +1096,9 @@ class CompiledClosedLoopFleet:
             self._vscan = self._vscan_builder(N)
             self._vscan_N = N
         tree = jax.device_put(
-            (self._p, self._ep, self._pp, st0, Ry,
-             zeros(nd) if nd else np.zeros((B, N, 0)),
+            (self._p, self._ep, self._pp, st0, Ry, dks,
              (zeros(nu), zeros(ny)),
-             (zeros(nd) if nd else np.zeros((B, N, 0)), eps_y, zeros(nu),
-              np.zeros((B, N, self.plants[0].nx)))))
+             (eps_y, zeros(nu), np.zeros((B, N, nx_p)))))
         stN, outs = self._vscan(*tree)
         return {k: np.asarray(v) for k, v in
                 dict(Y=outs["y"], U=outs["u"], Y_est=outs["y_est"],

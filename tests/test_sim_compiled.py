@@ -275,3 +275,35 @@ def test_heterogeneous_fleet_model_mismatch():
         assert np.abs(out["U"][i] - ri.u_data).max() < 1e-9
     # offset-free despite the gain error (SKF integrator augmentation)
     assert np.abs(out["Y"][:, -1, 0] - 5.0).max() < 0.35
+
+
+def test_compiled_loop_time_varying_setpoint():
+    """(N, ny) setpoint trajectories (previously unreachable branch)."""
+    loop = CompiledClosedLoop(_mk(qp_solver="active_set"))
+    ry_traj = np.vstack([np.tile([2.0, 0.5], (10, 1)),
+                         np.tile([6.0, -1.0], (10, 1))])
+    res = loop.run(20, ry=ry_traj)
+    assert abs(res.y_data[9, 0] - 2.0) < 0.5
+    assert abs(res.y_data[-1, 0] - 6.0) < 0.8
+
+
+def test_run_fleet_nd_matches_per_lane():
+    """nd>0 fleets: dop handling and RNG order (d draw consumed) ≡ run()."""
+    Gd = mpc.tf_matrix([[mpc.tf(0.74, [8, 1])], [mpc.tf(0.74, [8, 1])]])
+    GG = np.hstack([np.asarray(_cstr_G(), object), np.asarray(Gd, object)])
+
+    def mk():
+        c = mpc.LinMPC(mpc.LinModel(GG, 2.0, i_d=[2]), Hp=8, Hc=2,
+                       Mwt=[1, 1], Nwt=[0.1, 0.1], qp_solver="active_set")
+        c.setconstraint(umin=[-20, -20], umax=[20, 20])
+        return c
+    B, N = 2, 12
+    loop = CompiledClosedLoop(mk())
+    xh_abs = np.asarray(loop.estim.xop_hat, float)
+    fl = loop.run_fleet(B, N, ry=[4, 0], d=[0.3], y_noise=[0.1, 0.1],
+                        x_hat_0=np.tile(xh_abs, (B, 1)), seed=31)
+    for i in range(B):
+        ri = CompiledClosedLoop(mk()).run(N, ry=[4, 0], d=[0.3],
+                                          y_noise=[0.1, 0.1],
+                                          x_hat_0=xh_abs, seed=31 + i)
+        assert np.abs(fl["U"][i] - ri.u_data).max() < 1e-9, i
