@@ -41,7 +41,7 @@ class SLMPC(PredictiveController):
     """Successive-linearization MPC on a NonLinModel with EKF feedback."""
 
     def __init__(self, model: NonLinModel, Hp=10, Hc=2,
-                 Mwt=None, Nwt=None, Lwt=None, Cwt=np.inf,
+                 Mwt=None, Nwt=None, Lwt=None, Cwt=1e5,
                  i_ym=None, nint_u=0, nint_ym=None,
                  sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
@@ -56,7 +56,7 @@ class SLMPC(PredictiveController):
         self.qp_solver = qp_solver
         self.model = model
         nb = move_blocking(Hp, Hc)
-        if any(n != nb_i for n, nb_i in zip([1] * (len(nb) - 1), nb[:-1])):
+        if any(n != 1 for n in nb[:-1]):
             raise ValueError("SLMPC supports the default move-blocking pattern")
         self.Hp, self.Hc = int(Hp), len(nb)
         nu, ny, nd, nx = model.nu, model.ny, model.nd, model.nx
@@ -100,15 +100,45 @@ class SLMPC(PredictiveController):
 
     def setconstraint(self, umin=None, umax=None, dumin=None, dumax=None,
                       ymin=None, ymax=None):
+        from .linmpc import _clipinf
         for name, v in (("umin", umin), ("umax", umax), ("dumin", dumin),
                         ("dumax", dumax), ("ymin", ymin), ("ymax", ymax)):
             if v is not None:
-                arr = getattr(self, name)
-                arr[:] = np.clip(np.nan_to_num(np.asarray(v, float),
-                                               posinf=BIG, neginf=-BIG),
-                                 -BIG, BIG)
+                getattr(self, name)[:] = _clipinf(np.asarray(v, float))
         self._bounds_cache = None  # re-upload on next step
         return self
+
+    # -- state access (PredictiveController protocol; SLMPC owns its own
+    #    fused estimator, so the estim-forwarding base methods don't apply) --
+    def setstate(self, x_hat, P_hat=None):
+        """Set the absolute augmented state estimate (and optionally P̂)."""
+        x_hat = np.asarray(x_hat, float).ravel()
+        xop_hat = np.concatenate([np.asarray(self.model.xop, float),
+                                  np.zeros(self.nxs)])
+        if x_hat.shape != (self.nx_hat,):
+            raise ValueError(f"x̂ size must be {self.nx_hat}")
+        st = dict(self.state)
+        st["x_hat"] = jnp.asarray(x_hat - xop_hat, self._dt)
+        if P_hat is not None:
+            P_hat = np.asarray(P_hat, float)
+            if P_hat.shape != (self.nx_hat, self.nx_hat):
+                raise ValueError("P̂ shape mismatch")
+            st["P_hat"] = jnp.asarray(P_hat, self._dt)
+        self.state = st
+        return self
+
+    def getstate(self):
+        """Absolute augmented state estimate."""
+        xop_hat = np.concatenate([np.asarray(self.model.xop, float),
+                                  np.zeros(self.nxs)])
+        return np.asarray(self.state["x_hat"]) + xop_hat
+
+    def preparestate(self, *args, **kwargs):
+        raise NotImplementedError(
+            "SLMPC fuses estimation and control in one step: drive it with "
+            "moveinput_closed(ym, ry, d)")
+
+    updatestate = initstate = preparestate
 
     # ------------------------------------------------------------------
     def _make_step(self):
@@ -131,26 +161,29 @@ class SLMPC(PredictiveController):
         L_Hp = ja(self.weights.L_Hp)
         Q_hat = ja(self.Q_hat)
         R_hat = ja(self.R_hat)
+        uop = ja(model.uop)
+        dop = ja(model.dop)
+        yop = ja(model.yop)
+        yopm = ja(np.asarray(model.yop)[i_ym])
+        fop_m_xop_d = ja(model.fop - model.xop)
 
-        def linearize(x, u, d):
-            A = jax.jacfwd(lambda xx: fd(xx, u, d, p_mod))(x)
-            Bu = jax.jacfwd(lambda uu: fd(x, uu, d, p_mod))(u)
-            Bd = (jax.jacfwd(lambda dd: fd(x, u, dd, p_mod))(d)
-                  if nd else jnp.zeros((nx, 0), x.dtype))
-            C = jax.jacfwd(lambda xx: hh(xx, d, p_mod))(x)
-            Dd = (jax.jacfwd(lambda dd: hh(x, dd, p_mod))(d)
-                  if nd else jnp.zeros((ny, 0), x.dtype))
-            fx = fd(x, u, d, p_mod)       # = fop (next state at the op point)
-            yx = hh(x, d, p_mod)          # = yop
-            return A, Bu, Bd, C, Dd, fx, yx
+        def linearize(x0, u0, d0):
+            """Jacobians of the DEVIATION-coordinate dynamics at (x0, u0, d0)
+            (Bd/Dd are not needed: d is pinned to its value over Hp, so the
+            deviation from the linearization point is zero)."""
+            A = jax.jacfwd(lambda xx: fd(xx, u0, d0, p_mod))(x0)
+            Bu = jax.jacfwd(lambda uu: fd(x0, uu, d0, p_mod))(u0)
+            C = jax.jacfwd(lambda xx: hh(xx, d0, p_mod))(x0)
+            fx = fd(x0, u0, d0, p_mod)    # next deviation state at the point
+            yx = hh(x0, d0, p_mod)        # deviation output at the point
+            return A, Bu, C, fx, yx
 
-        def augment(A, Bu, Bd, C):
+        def augment(A, Bu, C):
             Ah = jnp.block([[A, Bu @ Cs_u],
                             [jnp.zeros((nxs, nx), A.dtype), As]])
             Buh = jnp.vstack([Bu, jnp.zeros((nxs, nu), A.dtype)])
             Ch = jnp.hstack([C, Cs_y])
-            Bdh = jnp.vstack([Bd, jnp.zeros((nxs, nd), A.dtype)])
-            return Ah, Buh, Ch, Bdh
+            return Ah, Buh, Ch
 
         def predmat(Ah, Buh, Ch):
             """Condensed E, K, V, B-coef from Â-power scans (default move
@@ -168,7 +201,6 @@ class SLMPC(PredictiveController):
             CA = jnp.einsum("ox,kxy->koy", Ch, Apows)                # ĈÂ^k
             # K rows: ĈÂ^j, j=1..Hp
             K = CA[1:Hp + 1].reshape(Hp * ny, nx_hat)
-            V = CSB[0:Hp].reshape(Hp * ny, nu)
             # E block (stage i, move j) = ĈS(i−j)B̂u for i ≥ j — a gather over
             # the precomputed CSB stack (default move blocking)
             idx = jnp.arange(Hp)[:, None] - jnp.arange(Hc)[None, :]
@@ -177,7 +209,7 @@ class SLMPC(PredictiveController):
             E_blocks = jnp.where(valid[:, :, None, None], gathered, 0.0)
             E = E_blocks.transpose(0, 2, 1, 3).reshape(Hp * ny, Hc * nu)
             Bc = jnp.einsum("ox,kxy->koy", Ch, S[0:Hp]).reshape(Hp * ny, nx_hat)
-            return E, K, V, Bc
+            return E, K, Bc
 
         Cwt = self.weights.Cwt
 
@@ -188,29 +220,37 @@ class SLMPC(PredictiveController):
             dumin, dumax = bounds["dumin"], bounds["dumax"]
             ymin, ymax = bounds["ymin"], bounds["ymax"]
             x_hat, P_hat, lastu = st["x_hat"], st["P_hat"], st["lastu"]
+            # op-point convention: x_hat is the DEVIATION augmented state
+            # (x0 = x - xop; sim_model.jl:50-125), lastu/ym/d are absolute
+            d0 = d - dop if nd else d
+            u0_last = lastu - uop
             xd = x_hat[:nx]
-            # --- linearize at the current estimate & last input ---
-            A, Bu, Bd, C, Dd, fx, yx = linearize(xd, lastu, d)
-            Ah, Buh, Ch, Bdh = augment(A, Bu, Bd, C)
-            Chm = Ch[i_ym, :]
-            # --- EKF correction with fresh Jacobians ---
-            ys = Cs_y @ x_hat[nx:]
-            y_pred_m = (yx + ys)[i_ym]
+            xs = x_hat[nx:]
+            # --- EKF correction: h-Jacobian at the prior estimate (the
+            # "previous model", as in the reference SL pattern where the
+            # estimator still holds last period's linearization) ---
+            C1 = jax.jacfwd(lambda xx: hh(xx, d0, p_mod))(xd)
+            Chm = jnp.hstack([C1, Cs_y])[i_ym, :]
+            y_pred_m = (jnp.asarray(hh(xd, d0, p_mod)) + Cs_y @ xs)[i_ym] \
+                + yopm
             xc, Pc = kf_correct(x_hat, P_hat, y_pred_m, ym, Chm, R_hat)
-            # --- condensed prediction matrices, deviation around (xd, lastu) ---
-            E, K, V, Bc = predmat(Ah, Buh, Ch)
-            # operating point: xop = [xd;0(before correction xs…)] — use the
-            # corrected estimate as the linearization/deviation point
             xcd = xc[:nx]
-            # re-linearize? one linearization per step (at pre-correction xd)
-            # is the reference behavior; deviations below use xc
-            x0c = xc - jnp.concatenate([xd, jnp.zeros(nxs, xd.dtype)])
-            fop_m_xop = jnp.concatenate([fx - xd, jnp.zeros(nxs, xd.dtype)])
-            F = K @ x0c + Bc @ fop_m_xop
-            Yop = jnp.tile(yx, Hp)   # stochastic part flows through K @ x0c
+            # --- re-linearize at the corrected estimate (linearize! after
+            # preparestate!, docs/src/manual/nonlinmpc.md SL pattern) ---
+            A, Bu, C, fx, yx = linearize(xcd, u0_last, d0)
+            Ah, Buh, Ch = augment(A, Bu, C)
+            E, K, Bc = predmat(Ah, Buh, Ch)
+            # deviation around the linearization point [xcd; 0]: only the
+            # stochastic substate is displaced
+            x0c = jnp.concatenate([jnp.zeros(nx, xcd.dtype), xc[nx:]])
+            f_aff = jnp.concatenate([fx + fop_m_xop_d - xcd,
+                                     jnp.zeros(nxs, xcd.dtype)])
+            F = K @ x0c + Bc @ f_aff
+            Yop = jnp.tile(yx + yop, Hp)  # absolute outputs at the op point
             # u deviation: u0 = u − lastu (op point = lastu) ⇒ lastu0 = 0
             Cy = F + Yop - ry_full(ry)
-            q = 2.0 * (E_t(E).T @ (M_Hp @ Cy))
+            Cu = jnp.tile(lastu - uop, Hp)   # input target = uop (R̂u = Uop)
+            q = 2.0 * (E_t(E).T @ (M_Hp @ Cy) + Pu_t(E).T @ (L_Hp @ Cu))
             H = 2.0 * (E_t(E).T @ M_Hp @ E_t(E) + PDu_t().T @ Nt_Hc @ PDu_t()
                        + Pu_t(E).T @ L_Hp @ Pu_t(E))
             H = 0.5 * (H + H.T) + 1e-9 * jnp.eye(nZt, dtype=H.dtype)
@@ -227,9 +267,10 @@ class SLMPC(PredictiveController):
             Z = jnp.where(sol.converged, sol.x, shift(st["Z"]))
             du = Z[:nu]
             u_new = jnp.clip(du + lastu, umin, umax)
-            # --- EKF prediction (exact augmented dynamics) ---
-            u_dist = u_new + Cs_u @ xc[nx:]
-            xn_raw = jnp.concatenate([fd(xcd, u_dist, d, p_mod),
+            # --- EKF prediction (exact augmented deviation dynamics) ---
+            u0_dist = (u_new - uop) + Cs_u @ xc[nx:]
+            xn_raw = jnp.concatenate([jnp.asarray(fd(xcd, u0_dist, d0, p_mod))
+                                      + fop_m_xop_d,
                                       As @ xc[nx:]])
             xn, Pn = kf_predict(xn_raw, Pc, Ah, Q_hat,
                                 jnp.zeros(nx_hat, xn_raw.dtype))
@@ -316,9 +357,12 @@ class SLMPC(PredictiveController):
         Returns the applied u."""
         dt = self._dt if self._dt is not None else float
         d = np.zeros(0) if d is None else np.asarray(d, float)
-        u, conv, self.state = self._step(self.state, jnp.asarray(ym, dt),
-                                         jnp.asarray(ry, dt),
-                                         jnp.asarray(d, dt), self.bounds())
+        # ONE upload for the step inputs (tunneled-TPU transfer discipline)
+        ym_d, ry_d, d_d = jax.device_put((np.asarray(ym, dt),
+                                          np.asarray(ry, dt),
+                                          np.asarray(d, dt)))
+        u, conv, self.state = self._step(self.state, ym_d, ry_d, d_d,
+                                         self.bounds())
         return np.asarray(u), bool(conv)
 
     # ------------------------------------------------------------------

@@ -334,9 +334,12 @@ class CompiledSLLoop:
         fd, hh, p_pl = plant._fd, plant._h_user, plant.p
         nd = self.nd
         i_ym = self.i_ym
+        ctrl_xop_hat = np.concatenate([np.asarray(ctrl.model.xop, float),
+                                       np.zeros(ctrl.nxs)])
         pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
                    yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
-                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+                   fop_m_xop=np.asarray(plant.fop - plant.xop),
+                   xop_hat=ctrl_xop_hat)
 
         def body(carry, xs):
             st, x0p, bounds, po = carry
@@ -349,7 +352,7 @@ class CompiledSLLoop:
             x0p_n = jnp.asarray(fd(x0p, u0p, d0p, p_pl)) + po["fop_m_xop"] \
                 + eps_x
             out = dict(y=y, u=u, conv=conv, x_p=x0p + po["xop"],
-                       x_hat=st["x_hat"])
+                       x_hat=st["x_hat"] + po["xop_hat"])
             return (st, x0p_n, bounds, po), out
 
         def scan(st0, x0p, bounds, po, ry, dks, u_steps, eps, N):
@@ -394,7 +397,9 @@ class CompiledSLLoop:
         x0p = np.asarray(plant.x0, float)
         pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
                    yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
-                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+                   fop_m_xop=np.asarray(plant.fop - plant.xop),
+                   xop_hat=np.concatenate([np.asarray(ctrl.model.xop, float),
+                                           np.zeros(ctrl.nxs)]))
         tree = (ctrl.state, x0p, ctrl.bounds(), pop, Ry, dks,
                 np.tile(u_step, (N, 1)), (eps_y, eps_u, eps_x))
         tree = _cast_tree(tree, getattr(ctrl, "_dt", None))
@@ -446,7 +451,9 @@ class CompiledSLLoop:
                            ctrl.state)
         pop = dict(uop=np.asarray(plant.uop), dop=np.asarray(plant.dop),
                    yop=np.asarray(plant.yop), xop=np.asarray(plant.xop),
-                   fop_m_xop=np.asarray(plant.fop - plant.xop))
+                   fop_m_xop=np.asarray(plant.fop - plant.xop),
+                   xop_hat=np.concatenate([np.asarray(ctrl.model.xop, float),
+                                           np.zeros(ctrl.nxs)]))
         if getattr(self, "_vscan_N", None) != N:
             scan = self._make_scan()
             self._vscan = jit32(jax.vmap(

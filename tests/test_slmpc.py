@@ -114,3 +114,58 @@ def test_slmpc_active_set_solver():
     ub, yb = run("active_set")
     assert abs(ya - 180) < 2 and abs(yb - 180) < 2
     assert np.allclose(ua, ub, atol=1e-6)
+
+
+def test_slmpc_operating_point_invariance():
+    """Two op-point parameterizations of the SAME physics act identically
+    (the deviation convention, sim_model.jl:50-125, applied to SLMPC)."""
+    import jax.numpy as jnp
+    from mpc_tpu.controllers.slmpc import SLMPC
+
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    p = (9.8, 0.4, 1.2, 0.3)
+    uop, yop = 0.5, 30.0
+    # same physics expressed around (uop, yop): absolute u and y agree
+    fB = lambda x, u0, d, par: f(x, jnp.asarray(u0) + uop, d, par)
+    hB = lambda x, d, par: h(x, d, par) - yop
+
+    mA = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=p, solver=mpc.RungeKutta(4))
+    mB = mpc.NonLinModel(fB, hB, 0.1, 1, 2, 1, p=p, solver=mpc.RungeKutta(4))
+    mB.setop(uop=[uop], yop=[yop])
+
+    def mk(m):
+        c = SLMPC(m, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], sigmaQ=[0.1, 1.0],
+                  sigmaR=[5.0], nint_ym=[1], sigmaQint_ym=[0.1],
+                  qp_solver="active_set")
+        c.setconstraint(umin=[-1.5], umax=[1.5])
+        return c
+    cA, cB = mk(mA), mk(mB)
+    plant = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=p,
+                            solver=mpc.RungeKutta(4))
+    ry = np.array([120.0])
+    for k in range(25):
+        y = plant.evaloutput()          # absolute measurement
+        uA, _ = cA.moveinput_closed(y, ry)
+        uB, _ = cB.moveinput_closed(y, ry)
+        assert np.allclose(uA, uB, atol=1e-7), k
+        plant.updatestate(uA)
+
+
+def test_slmpc_setstate_getstate():
+    import jax.numpy as jnp
+    from mpc_tpu.controllers.slmpc import SLMPC
+
+    def f(x, u, d, par):
+        return jnp.array([x[1], -jnp.sin(x[0]) - x[1] + u[0]])
+    h = lambda x, d, par: jnp.array([x[0]])
+    m = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, solver=mpc.RungeKutta(4))
+    c = SLMPC(m, Hp=5, Hc=2)
+    c.setstate([0.3, -0.1, 0.05])
+    assert np.allclose(c.getstate(), [0.3, -0.1, 0.05])
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        c.preparestate([0.0])
