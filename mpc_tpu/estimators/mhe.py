@@ -45,7 +45,7 @@ class MovingHorizonEstimator(StateEstimator):
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
                  Q_hat=None, R_hat=None, P0_hat=None, Cwt=np.inf,
                  covestim=None, direct=True, sqp_iters=12,
-                 gc=None, nc=0, p=None, transcription=None, **_):
+                 gc=None, nc=0, p=None, transcription=None):
         if He is None or He < 1:
             raise ValueError("estimation horizon He should be ≥ 1")
         self._init_common(model, i_ym, nint_u, nint_ym, direct)
@@ -557,9 +557,31 @@ class MovingHorizonEstimator(StateEstimator):
         )
 
     def _solve_window(self):
-        p = jax.device_put(self._windows_params())  # one upload per solve
+        p = self._windows_params()
+        if self.Nk < self.He:
+            # growing window: END-align the per-slot bound vectors so bound
+            # slot He always corresponds to the current time (the reference's
+            # trunc_bounds, mhe/execute.jl:572-580); out-of-window slots are
+            # masked in the solver, so the wrapped tail is inert
+            He, nx, nym = self.He, self.nx_hat, self.nym
+            shift = He - self.Nk
+            roll = lambda b, slots, n: np.roll(
+                np.asarray(b).reshape(slots, n), -shift, axis=0).reshape(-1)
+            for k, n, slots in (("Xmin", nx, He + 1), ("Xmax", nx, He + 1),
+                                ("Wmin", nx, He), ("Wmax", nx, He),
+                                ("Vmin", nym, He), ("Vmax", nym, He),
+                                ("C_xmin", nx, He + 1), ("C_xmax", nx, He + 1),
+                                ("C_wmin", nx, He), ("C_wmax", nx, He),
+                                ("C_vmin", nym, He), ("C_vmax", nym, He)):
+                p[k] = roll(p[k], slots, n)
+        p = jax.device_put(p)  # one upload per solve
         Zt0 = jnp.asarray(self.Z_tilde)
         Zt, x_new, X, Ym, J, ok = self._solve_jit(p, Zt0)
+        if not (bool(ok) and np.all(np.isfinite(np.asarray(x_new)))):
+            warnings.warn("MHE window solve failed; keeping the warm-start "
+                          "solution (graceful degradation)")
+            Zt = Zt0
+            x_new = self.x0_hat
         self.Z_tilde = np.array(Zt)   # writable copy (warm-start shifts mutate)
         self.x0_hat = np.array(x_new)
         self._last = dict(J=float(J), X=np.asarray(X), Ym=np.asarray(Ym),
@@ -571,6 +593,10 @@ class MovingHorizonEstimator(StateEstimator):
         """add_data_windows! (mhe/execute.jl:497-547): shift when full, then
         append (y, d, u, x̂0_old); returns True when the window is moving."""
         He = self.He
+        if np.any(np.isnan(u0)):
+            raise ValueError("manipulated input u contains NaN values")
+        if np.any(np.isnan(d0)):
+            raise ValueError("measured disturbance d contains NaN values")
         x0_old = self.x0_hat.copy()
         moving = (self.Nk + 1) > He
         if moving:
@@ -683,6 +709,9 @@ class MovingHorizonEstimator(StateEstimator):
         self.Y0m_win[:] = np.nan
         self.U0_win[:] = 0.0
         self.D0_win[:] = 0.0
+        if d is not None and self.model.nd:
+            # seed the pre-window slot with d0(-1) (mhe/execute.jl:30)
+            self.D0_win[0] = np.asarray(d, float) - self.model.dop
         self.X0_old_win[:] = 0.0
         self.Z_tilde[:] = 0.0
         self.x_arr_prior = self.x0_hat.copy()
@@ -691,11 +720,35 @@ class MovingHorizonEstimator(StateEstimator):
         return x
 
     def _update_model(self, model, Qhat, Rhat):
-        """setmodel_estimator! for MHE (mhe/execute.jl:944-1040): re-augment,
-        refresh the objective inverses, swap the nested covestim's model, and
-        rebuild the jitted window solver (the old matrices were baked into
-        the trace as constants)."""
+        """setmodel_estimator! for MHE (mhe/execute.jl:944-1050): re-augment,
+        rebase every deviation-form window/warm-start/bound from the old
+        operating points to the new ones, refresh the objective inverses,
+        swap the nested covestim's model, and rebuild the jitted window
+        solver (the old matrices were baked into the trace as constants)."""
+        old = self.model
+        uop_old, dop_old = old.uop.copy(), old.dop.copy()
+        yopm_old = old.yop[np.asarray(self.i_ym, int)].copy()
+        xop_hat_old = self.xop_hat.copy()
         super()._update_model(model, Qhat, Rhat)
+        du = uop_old - model.uop
+        dd = dop_old - model.dop
+        dym = yopm_old - model.yop[np.asarray(self.i_ym, int)]
+        dx = xop_hat_old - self.xop_hat
+        He, ne, nx = self.He, self.n_eps, self.nx_hat
+        self.Y0m_win += dym          # NaN slots stay NaN
+        self.U0_win += du
+        self.D0_win += dd
+        self.X0_old_win += dx
+        self.x_arr_prior = self.x_arr_prior + dx
+        self.Z_tilde[ne:ne + nx] += dx
+        if self.is_ms:               # shift the X̂0 window block too
+            self.Z_tilde[ne + nx:ne + nx + He * nx] += np.tile(dx, He)
+        self._pending_u0 = getattr(self, "_pending_u0",
+                                   np.zeros(model.nu)) + du
+        for attr in ("X_min", "X_max"):
+            b = getattr(self, attr)
+            b += np.tile(dx, He + 1)
+            np.clip(b, -BIG, BIG, out=b)
         if Qhat is not None:
             self.invQ = np.linalg.inv(self.Q_hat)
         if Rhat is not None:

@@ -495,7 +495,10 @@ class CompiledMHELoop:
     measurements masked per sample.
 
     Supported: ``direct=True`` MHE on a LinModel (or NonLinModel whose f/h
-    trace) with a KalmanFilter covestim.  Call ``initstate`` (or step the
+    trace) with a KalmanFilter covestim.  Per-slot (capital-form) bounds are
+    applied with full-window alignment — if the scan starts before the
+    window has filled AND time-varying bounds are set, the transient
+    alignment differs from the host path's end-aligned form.  Call ``initstate`` (or step the
     MHE) on the host first; the loop starts from the estimator's current
     state and does not advance it.
     """

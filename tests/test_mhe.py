@@ -435,3 +435,86 @@ def test_mhe_arrival_cov_fallback():
         e.preparestate([0.5])
         e.updatestate([0.1], [0.5])
     assert np.allclose(e.invP_arr, invP_copy)
+
+
+def test_mhe_setmodel_rebases_operating_points():
+    """setmodel to a reparameterization of the SAME physics (shifted
+    uop/xop/yop/fop) must leave the estimate stream unchanged — requires the
+    deviation-form window/warm-start rebase of mhe/execute.jl:1009-1050."""
+    def mk():
+        return mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    m0 = mk()
+    A, Bu, C = np.asarray(m0.A), np.asarray(m0.Bu), np.asarray(m0.C)
+    uop = np.array([2.0])
+    xop = np.linalg.solve(np.eye(len(A)) - A, Bu @ uop)
+    mB = mk()
+    mB.setop(uop=uop, yop=C @ xop, xop=xop, fop=A @ xop + Bu @ uop)
+
+    mhe = mpc.MovingHorizonEstimator(mk(), He=4, nint_ym=0, direct=False)
+    kf = mpc.KalmanFilter(mk(), nint_ym=0, direct=False)
+    rng = np.random.default_rng(0)
+    u = np.zeros(1)
+    for k in range(6):
+        y = rng.normal(size=1) * 0.5
+        x1 = mhe.preparestate(y); x2 = kf.preparestate(y)
+        assert np.allclose(x1, x2, atol=1e-6), ("pre", k)
+        mhe.updatestate(u, y); kf.updatestate(u, y)
+        u = rng.normal(size=1) * 0.2
+    mhe.setmodel(mB)
+    kf.setmodel(mB)
+    for k in range(8):
+        y = rng.normal(size=1) * 0.5
+        x1 = mhe.preparestate(y); x2 = kf.preparestate(y)
+        assert np.allclose(x1, x2, atol=1e-6), ("post", k)
+        u = rng.normal(size=1) * 0.2
+        mhe.updatestate(u, y); kf.updatestate(u, y)
+
+
+def test_mhe_initstate_seeds_prewindow_disturbance():
+    """initstate stores d0(-1) in the pre-window slot (mhe/execute.jl:30):
+    MHE ≡ KF during the transient with d != dop."""
+    G = mpc.tf_matrix([[mpc.tf(3, [10, 1]), mpc.tf(1, [5, 1])]])
+    m = mpc.LinModel(G, 1.0, i_d=[1])
+    mhe = mpc.MovingHorizonEstimator(m, He=4, nint_ym=0, direct=False)
+    kf = mpc.KalmanFilter(m, nint_ym=0, direct=False)
+    d = np.array([0.7])
+    y0 = np.asarray(m.yop + 0.3)
+    mhe.initstate(np.zeros(1), y0, d)
+    kf.initstate(np.zeros(1), y0, d)
+    rng = np.random.default_rng(2)
+    for k in range(6):
+        y = rng.normal(size=1) * 0.4
+        xm = mhe.preparestate(y, d)
+        xk = kf.preparestate(y, d)
+        assert np.allclose(xm, xk, atol=1e-6), k
+        u = rng.normal(size=1) * 0.1
+        mhe.updatestate(u, y, d); kf.updatestate(u, y, d)
+
+
+def test_mhe_transient_bounds_end_aligned():
+    """Per-slot bounds are end-aligned while the window grows
+    (trunc_bounds, mhe/execute.jl:572-580): the 'newest slot' bound applies
+    to the newest sample even when Nk < He."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    He = 4
+    mhe = mpc.MovingHorizonEstimator(m, He=He, nint_ym=[1])
+    nx = mhe.nx_hat
+    Wmax = np.full(He * nx, 1e17); Wmin = np.full(He * nx, -1e17)
+    Wmax[-nx:] = 1e-6; Wmin[-nx:] = -1e-6    # newest slot: ŵ ≈ 0
+    mhe.setconstraint(Whatmin=Wmin, Whatmax=Wmax)
+    rng = np.random.default_rng(5)
+    for i in range(2):                        # Nk = 2 < He: still growing
+        y = [3.0 * rng.normal()]
+        mhe.preparestate(y)
+        W = mhe.getinfo()["What"].reshape(-1, nx)  # valid slots only
+        assert np.all(np.abs(W[-1]) <= 1e-5), i   # newest VALID slot pinned
+        mhe.updatestate([1.0], y)
+
+
+def test_mhe_rejects_nan_inputs():
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=3)
+    mhe.preparestate([0.1])
+    mhe.updatestate([np.nan], [0.1])
+    with pytest.raises(ValueError, match="NaN"):
+        mhe.preparestate([0.1])   # NaN u hits the window append
