@@ -186,8 +186,24 @@ class MovingHorizonEstimator(StateEstimator):
         He, nu, nd, nym, nx_hat = self.He, model.nu, model.nd, self.nym, self.nx_hat
         n_eps = self.n_eps
         nZ, nZt = self.nZ, self.nZt
-        f_hat, h_hat_m = self.f_hat, self.h_hat_m
         is_lin = isinstance(model, LinModel)
+        if is_lin:
+            # read the matrices from p: setmodel swaps data without a retrace
+            def f_hat(x, u0, d0, _p=None):
+                r = _p["A_hat"] @ x + _p["Bu_hat"] @ u0
+                if model.nd:
+                    r = r + _p["Bd_hat"] @ d0
+                return r
+
+            def h_hat_m(x, d0, _p=None):
+                r = _p["Cm_hat"] @ x
+                if model.nd:
+                    r = r + _p["Ddm_hat"] @ d0
+                return r
+        else:
+            _fh, _hm = self.f_hat, self.h_hat_m
+            f_hat = lambda x, u0, d0, _p=None: _fh(x, u0, d0)
+            h_hat_m = lambda x, d0, _p=None: _hm(x, d0)
         Cwt = self.Cwt
         sqp_iters = self.sqp_iters
         from ..ops.qp import solve_qp
@@ -212,7 +228,7 @@ class MovingHorizonEstimator(StateEstimator):
 
             def scan_f(x, inp):
                 u0, d0f, w = inp
-                xn = jnp.asarray(f_hat(x, u0, d0f)) + p["fop_m_xop"] + w
+                xn = jnp.asarray(f_hat(x, u0, d0f, p)) + p["fop_m_xop"] + w
                 return xn, xn
 
             _, X = jax.lax.scan(scan_f, x_arr, (U, Df, Wm))
@@ -220,7 +236,8 @@ class MovingHorizonEstimator(StateEstimator):
                 Xmeas = X
             else:
                 Xmeas = jnp.vstack([x_arr[None, :], X[:-1]])
-            Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h)))(Xmeas, D[1:])
+            Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h, p)))(
+                Xmeas, D[1:])
             return X, Ym
 
         is_ms = self.is_ms
@@ -239,7 +256,7 @@ class MovingHorizonEstimator(StateEstimator):
                 return rollout(p, x_arr, W, p["U"], p["D"])
             X = Zt[n_eps + nx_hat:w_off].reshape(He, nx_hat)
             Xmeas = X if p_form == 0 else jnp.vstack([x_arr[None, :], X[:-1]])
-            Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h)))(
+            Ym = jax.vmap(lambda x, d0h: jnp.asarray(h_hat_m(x, d0h, p)))(
                 Xmeas, p["D"][1:])
             return X, Ym
 
@@ -289,7 +306,7 @@ class MovingHorizonEstimator(StateEstimator):
                          - X[:, nx_d:] + Wm[:, nx_d:])
                 S_valid = jnp.concatenate([S_det, S_sto], axis=1)
             else:
-                F = jax.vmap(lambda x, u, d: jnp.asarray(f_hat(x, u, d)))(
+                F = jax.vmap(lambda x, u, d: jnp.asarray(f_hat(x, u, d, p)))(
                     X_prev, p["U"], Df) + p["fop_m_xop"]
                 S_valid = F + Wm - X
             S_anchor = X_prev + Wm - X
@@ -540,7 +557,14 @@ class MovingHorizonEstimator(StateEstimator):
     def _windows_params(self):
         mask_w = (np.arange(self.He) < self.Nk).astype(float)
         mask_v = (mask_w[:, None] > 0) & np.isfinite(self.Y0m_win)
+        extra = {}
+        if isinstance(self.model, LinModel):
+            # model matrices live in p: setmodel swaps data, never retraces
+            extra = dict(A_hat=self.A_hat, Bu_hat=self.Bu_hat,
+                         Bd_hat=self.Bd_hat, Cm_hat=self.Cm_hat,
+                         Ddm_hat=self.Ddm_hat)
         return dict(
+            **extra,
             U=self.U0_win, D=self.D0_win,
             Y0m=np.nan_to_num(self.Y0m_win),
             mask_w=mask_w, mask_v=mask_v,
@@ -755,7 +779,10 @@ class MovingHorizonEstimator(StateEstimator):
             self.invR = np.linalg.inv(self.R_hat)
         if self.covestim is not None and self.covestim is not self:
             self.covestim.setmodel(model, Qhat, Rhat)
-        self._solve_jit = self._make_solver()
+        if not isinstance(model, LinModel):
+            # NonLinModel f/h are baked into the trace; LinModel matrices
+            # travel in the params dict, so no retrace is needed there
+            self._solve_jit = self._make_solver()
 
     def _init_cov(self):
         self.P_arr = self.P0_hat.copy()

@@ -51,12 +51,17 @@ class BatchedMHE:
             _kf_P_correct(P, ce.Cm_hat, ce.R_hat))
         self._P_predict = lambda P: np.asarray(
             ce.A_hat @ P @ ce.A_hat.T + ce.Q_hat)
-        self._solve = jit32(jax.vmap(template._solve_jit, in_axes=(
-            dict(U=0, D=0, Y0m=0, mask_w=None, mask_v=0, invP=None, invQ=None,
-                 invR=None, x_arr_prior=0, fop_m_xop=None, Xmin=None, Xmax=None,
-                 Wmin=None, Wmax=None, Vmin=None, Vmax=None, C_xmin=None,
-                 C_xmax=None, C_wmin=None, C_wmax=None, C_vmin=None,
-                 C_vmax=None, Nk=None), 0)))
+        in_ax = dict(U=0, D=0, Y0m=0, mask_w=None, mask_v=0, invP=None,
+                     invQ=None, invR=None, x_arr_prior=0, fop_m_xop=None,
+                     Xmin=None, Xmax=None, Wmin=None, Wmax=None, Vmin=None,
+                     Vmax=None, C_xmin=None, C_xmax=None, C_wmin=None,
+                     C_wmax=None, C_vmin=None, C_vmax=None, Nk=None)
+        from ..models import LinModel
+        self._lin = isinstance(template.model, LinModel)
+        if self._lin:
+            in_ax.update(A_hat=None, Bu_hat=None, Bd_hat=None, Cm_hat=None,
+                         Ddm_hat=None)
+        self._solve = jit32(jax.vmap(template._solve_jit, in_axes=(in_ax, 0)))
 
     def step(self, ym, u_prev=None):
         """Append measurements for every stream and solve in lockstep.
@@ -107,7 +112,11 @@ class BatchedMHE:
             C_xmin=np.asarray(t.C_xmin), C_xmax=np.asarray(t.C_xmax),
             C_wmin=np.asarray(t.C_wmin), C_wmax=np.asarray(t.C_wmax),
             C_vmin=np.asarray(t.C_vmin), C_vmax=np.asarray(t.C_vmax),
-            Nk=np.int32(self.Nk)))
+            Nk=np.int32(self.Nk),
+            **({"A_hat": np.asarray(t.A_hat), "Bu_hat": np.asarray(t.Bu_hat),
+                "Bd_hat": np.asarray(t.Bd_hat),
+                "Cm_hat": np.asarray(t.Cm_hat),
+                "Ddm_hat": np.asarray(t.Ddm_hat)} if self._lin else {})))
         Zt, x_new, X, Ym, J, ok = self._solve(p, jnp.asarray(self.Z))
         self.Z = np.array(Zt)
         self.x0_hat = np.array(x_new)

