@@ -71,6 +71,10 @@ class NonLinMPC(PredictiveController):
                                          M_Hp, N_Hc, L_Hp, Cwt, Ewt)
         self.n_eps = self.weights.n_eps
         self.JE = JE or (lambda Ue, Ye, De, p_, eps: 0.0)
+        if (gc is not None) != (int(nc) > 0):
+            raise ValueError(
+                "custom constraints need BOTH gc and nc>0: got "
+                f"gc={'set' if gc is not None else 'None'}, nc={int(nc)}")
         self.gc = gc
         self.nc = int(nc)
         # custom linear constraints W (construct.jl:665-695): the Wy (output)
@@ -96,7 +100,7 @@ class NonLinMPC(PredictiveController):
         self._last = {}
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _build(self, rebuild_step=True):
         model, estim = self.estim.model, self.estim
         Hp, Hc, nb = self.Hp, self.Hc, self.nb
         nu, ny, nd, nx_hat = model.nu, model.ny, model.nd, estim.nx_hat
@@ -194,8 +198,11 @@ class NonLinMPC(PredictiveController):
             fop_m_xop=estim.fop_hat - estim.xop_hat,
             yop=model.yop, uop=model.uop, dop=model.dop,
         )
-        self._step = self._make_step()
-        self._coldstart_fn = None
+        if rebuild_step or getattr(self, "_step", None) is None:
+            # the jitted step bakes in f/h and shapes; weight/covariance
+            # swaps travel in params and must NOT retrace (CLAUDE.md)
+            self._step = self._make_step()
+            self._coldstart_fn = None
         self._solved_once = False
 
     # ------------------------------------------------------------------
@@ -319,7 +326,7 @@ class NonLinMPC(PredictiveController):
 
         def _disturbed_inputs(U0m, X_prev):
             # û_j = u_j + Cs_u·x̂s(j) (estimator/execute.jl:162-173)
-            return U0m + X_prev[:, nx:] @ jnp.asarray(Cs_u).T
+            return U0m + X_prev[:, nx:] @ jnp.asarray(Cs_u, U0m.dtype).T
 
         def outputs_trap(p, Z, x0_hat, lastu0, Df, Dh):
             """Trapezoidal defects (controller/transcription.jl:1392-1437),
@@ -337,7 +344,7 @@ class NonLinMPC(PredictiveController):
             k2 = jax.vmap(lambda x, u, d: jnp.asarray(f_cont(x, u, d, p_model)))(
                 X[:, :nx], Uh_next, Dh)
             S_det = X_prev[:, :nx] - X[:, :nx] + 0.5 * Ts * (k1 + k2)
-            S_sto = X_prev[:, nx:] @ jnp.asarray(As_s).T - X[:, nx:]
+            S_sto = X_prev[:, nx:] @ jnp.asarray(As_s, X.dtype).T - X[:, nx:]
             S = jnp.concatenate([S_det, S_sto], axis=1).reshape(-1)
             return Y.reshape(-1) + p["Ys_now"], X[-1], S, U0
 
@@ -346,10 +353,11 @@ class NonLinMPC(PredictiveController):
             (controller/transcription.jl:1486-1541): Mo(kᵢ−x̂d) − k̇ᵢ per
             point, linear continuity Co·k + λo·x̂d − x̂d⁺, stochastic MS."""
             no = tr.no
-            tau = jnp.asarray(tr.tau)
-            Mo = jnp.asarray(self.Mo)
-            Co = jnp.asarray(self.Co)
-            lam = self.lam_o
+            dt_z = Z.dtype
+            tau = jnp.asarray(tr.tau, dt_z)
+            Mo = jnp.asarray(self.Mo, dt_z)
+            Co = jnp.asarray(self.Co, dt_z)
+            lam = float(self.lam_o)   # np.float64 scalar would upcast f32
             U0 = (p["Pu"] @ Z + p["Tu"] @ lastu0)
             U0m = U0.reshape(Hp, nu)
             X = Z[nDU:nDU + nx_hat * Hp].reshape(Hp, nx_hat)
@@ -370,7 +378,7 @@ class NonLinMPC(PredictiveController):
                 kdot = jnp.stack([point(i) for i in range(no)]).reshape(-1)
                 sk = sk - kdot
                 sc = Co @ kj.reshape(-1) + lam * xd - xn[:nx]
-                ss = jnp.asarray(As_s) @ xp[nx:] - xn[nx:]
+                ss = jnp.asarray(As_s, xp.dtype) @ xp[nx:] - xn[nx:]
                 return jnp.concatenate([sk, sc, ss])
 
             S = jax.vmap(stage)(X_prev, X, K, Uh, Uh_next, Df, Dh).reshape(-1)
@@ -763,6 +771,7 @@ class NonLinMPC(PredictiveController):
                 alphas = jnp.asarray(alphas_f, Zt.dtype)
                 merits = jax.vmap(
                     lambda a: merit(Zt + a * dz + (a * a) * c_soc, mu))(alphas)
+                merits = jnp.where(jnp.isnan(merits), jnp.inf, merits)
                 best = jnp.argmin(merits)
                 improve = merits[best] <= merit(Zt, mu)
                 a = jnp.where(improve, alphas[best], 0.0)
@@ -788,7 +797,11 @@ class NonLinMPC(PredictiveController):
             Zt0 = Zs
             n_in = (2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nW
                     + 2 * nx_hat + nc + n_eps)
-            y0 = jnp.zeros(n_in + (nZt - neq if neq else nZt), dt)
+            n_dual = n_in + (nZt - neq if neq else nZt)
+            # cross-solve dual warm start (the receding-horizon active set is
+            # nearly stationary; linmpc.py persists y_dual the same way)
+            y0 = (jnp.zeros(n_dual, dt) if y_prev is None
+                  else jnp.asarray(y_prev, dt))
             Zt, y_d, iters, sn, _, _, _ = jax.lax.while_loop(
                 sqp_cond, sqp_body,
                 (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt),
@@ -848,16 +861,25 @@ class NonLinMPC(PredictiveController):
         if Mwt is not None or Nwt is not None or Lwt is not None:
             w = self.weights
             model_ = self.estim.model
+            # unchanged weights keep their FULL matrices (a custom M_Hp must
+            # not collapse to its first diagonal block)
             self.weights = ControllerWeights(
                 model_.nu, model_.ny, self.Hp, self.Hc,
-                Mwt if Mwt is not None else np.diag(w.M_Hp)[:model_.ny],
-                Nwt if Nwt is not None else np.diag(w.N_Hc)[:model_.nu],
-                Lwt if Lwt is not None else np.diag(w.L_Hp)[:model_.nu],
+                Mwt, Nwt, Lwt,
+                M_Hp=None if Mwt is not None else w.M_Hp,
+                N_Hc=None if Nwt is not None else w.N_Hc,
+                L_Hp=None if Lwt is not None else w.L_Hp,
                 Cwt=w.Cwt, Ewt=w.Ewt)
-        self._build()
+        self._build(rebuild_step=model is not None)
         for k, v in saved.items():
             getattr(self, k)[:] = v
         return self
+
+    def initstate(self, u, ym, d=None):
+        x = super().initstate(u, ym, d)
+        self._solved_once = False   # re-enable the MS/collocation cold start
+        self.y_dual = None          # fresh episode: drop stale QP duals
+        return x
 
     # ------------------------------------------------------------------
     def moveinput(self, ry=None, d=None, D_hat=None, R_hat_y=None,
@@ -866,9 +888,13 @@ class NonLinMPC(PredictiveController):
         if estim.direct and not estim.prepared:
             import warnings
             warnings.warn("preparestate should be called before moveinput")
-        D_hat = D_hat if D_hat is not None else alias.get("Dhat")
-        R_hat_y = R_hat_y if R_hat_y is not None else alias.get("Rhaty")
-        R_hat_u = R_hat_u if R_hat_u is not None else alias.get("Rhatu")
+        D_hat = D_hat if D_hat is not None else alias.pop("Dhat", None)
+        R_hat_y = R_hat_y if R_hat_y is not None else alias.pop("Rhaty", None)
+        R_hat_u = R_hat_u if R_hat_u is not None else alias.pop("Rhatu", None)
+        alias.pop("Dhat", None); alias.pop("Rhaty", None)
+        alias.pop("Rhatu", None)
+        if alias:
+            raise TypeError(f"unknown moveinput arguments: {sorted(alias)}")
         ry, d, D_hat, R_hat_y, R_hat_u, lastu = self._prepare_args(
             ry, d, D_hat, R_hat_y, R_hat_u, lastu)
         self.lastu0 = lastu - model.uop
@@ -892,18 +918,22 @@ class NonLinMPC(PredictiveController):
             self.Z_tilde = np.asarray(self._coldstart_fn(
                 p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                 jnp.asarray(d0), jnp.asarray(D0)))
+        y_prev = getattr(self, "y_dual", None)
         out = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                          jnp.asarray(d0), jnp.asarray(D0), jnp.asarray(R_hat_y),
                          jnp.asarray(R_hat_u), jnp.asarray(yk),
-                         jnp.asarray(ry), jnp.asarray(self.Z_tilde), None)
+                         jnp.asarray(ry), jnp.asarray(self.Z_tilde),
+                         None if y_prev is None else jnp.asarray(y_prev))
         u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = out
+        self.y_dual = np.asarray(y_d)
         self._solved_once = True
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Zt)
         self.R_hat_y, self.R_hat_u = R_hat_y, R_hat_u
         self._last = dict(J=float(J), viol=float(viol), iters=int(iters),
                           d=d, D_hat=D_hat, Y0=np.asarray(Y0f),
-                          xend=np.asarray(xendf), U0=np.asarray(U0f))
+                          xend=np.asarray(xendf), U0=np.asarray(U0f),
+                          yk=yk.copy())
         if not np.isfinite(float(J)) or float(viol) > 1e-2:
             # graceful degradation (reference execute.jl:499-504): warn, keep
             # the plan — the warm start already encodes the previous solution
@@ -943,9 +973,13 @@ class NonLinMPC(PredictiveController):
         info["Rhatu"] = info["R̂u"] = getattr(self, "R_hat_u", None)
         info["xhat"] = info["x̂"] = self.estim.x0_hat + self.estim.xop_hat
         estim = self.estim
-        d_now = self._last.get("d")
-        info["yhat"] = info["ŷ"] = np.asarray(
-            estim.evaloutput(d_now if model.nd else None), float)
+        yk = self._last.get("yk")
+        if yk is not None:
+            info["yhat"] = info["ŷ"] = np.asarray(yk, float)
+        else:   # pre-solve: current estimator output (needs d when nd > 0)
+            d_now = self._last.get("d", model.dop)
+            info["yhat"] = info["ŷ"] = np.asarray(
+                estim.evaloutput(d_now if model.nd else None), float)
         if isinstance(estim, InternalModel):
             info["Yhats"] = info["Ŷs"] = np.asarray(self.params["Ys_now"])
         else:

@@ -301,3 +301,57 @@ def test_nonlinmpc_active_set_solver(pendulum):
     res = mpc.sim(ctrl, 45, [180.0])
     assert abs(res.Y_data[-1, 0] - 180.0) < 2.0
     assert np.max(np.abs(res.U_data)) <= 1.5 + 1e-6
+
+
+def test_collocation_traces_in_f32(pendulum):
+    """Collocation closure constants dtype-follow the iterate (f32 fleets)."""
+    for tr in (mpc.TrapezoidalCollocation(), mpc.OrthogonalCollocation(no=2)):
+        c = mpc.NonLinMPC(pendulum, Hp=6, Hc=2, transcription=tr,
+                          sqp_iters=2)
+        p32 = {k: np.asarray(v, np.float32) if np.issubdtype(
+            np.asarray(v).dtype, np.floating) else np.asarray(v)
+            for k, v in c.params.items()}
+        import jax.numpy as jnp
+        nZ = c.nZt
+        out = c._step(p32, jnp.zeros(c.estim.nx_hat, jnp.float32),
+                      jnp.zeros(1, jnp.float32), jnp.zeros(0, jnp.float32),
+                      jnp.zeros(0, jnp.float32),
+                      jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
+                      jnp.zeros(1, jnp.float32), jnp.zeros(1, jnp.float32),
+                      jnp.zeros(nZ, jnp.float32), None)
+        assert out[0].dtype == jnp.float32
+
+
+def test_nonlinmpc_setmodel_weights_no_retrace():
+    """Weight-only setmodel swaps params data; the jitted step survives."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    c = mpc.NonLinMPC(m, Hp=8, Hc=2)
+    step_before = c._step
+    c.setmodel(Mwt=[2.0])
+    assert c._step is step_before
+    c.preparestate([0.0])
+    u = c.moveinput([3.0])
+    assert np.isfinite(u).all()
+
+
+def test_nonlinmpc_initstate_resets_coldstart(pendulum):
+    c = mpc.NonLinMPC(pendulum, Hp=6, Hc=2,
+                      transcription=mpc.MultipleShooting(), sqp_iters=4)
+    c.preparestate([10.0])
+    c.moveinput([90.0])
+    assert c._solved_once
+    c.initstate([0.0], [10.0])
+    assert not c._solved_once
+    assert c.y_dual is None
+
+
+def test_nonlinmpc_arg_validation(pendulum):
+    with pytest.raises(ValueError, match="gc"):
+        mpc.NonLinMPC(pendulum, Hp=5, Hc=2, nc=2)      # nc without gc
+    with pytest.raises(ValueError, match="gc"):
+        mpc.NonLinMPC(pendulum, Hp=5, Hc=2,
+                      gc=lambda *a: np.zeros(1))       # gc without nc
+    c = mpc.NonLinMPC(pendulum, Hp=5, Hc=2)
+    c.preparestate([0.0])
+    with pytest.raises(TypeError, match="unknown moveinput"):
+        c.moveinput([90.0], Rhat_y=np.zeros(5))        # typo'd kwarg
