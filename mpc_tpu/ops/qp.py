@@ -37,9 +37,9 @@ class QPSolution(NamedTuple):
     obj: jax.Array        # ½xᵀPx + qᵀx
 
 
-def _rho_vec(l, u, rho):
-    eq = (u - l) < 1e-12
-    loose = (u >= _BIG) & (l <= -_BIG)
+def _rho_vec(eq, loose, rho):
+    """Per-row rho from the equality/loose masks (classified on the
+    ORIGINAL bounds — equilibration must not flip a row's class)."""
     return jnp.where(eq, 1e3 * rho, jnp.where(loose, 1e-6 * rho, rho))
 
 
@@ -62,9 +62,13 @@ def _ruiz_equilibrate(P, q, A, iters=10):
         # column norms of [P; A] → D update
         col = jnp.maximum(jnp.max(jnp.abs(P), axis=0),
                           jnp.max(jnp.abs(A), axis=0) if m else 0.0)
-        d = 1.0 / jnp.sqrt(jnp.clip(col, 1e-12, 1e12))
+        # zero/tiny norms keep scale 1 (OSQP limit_scaling): 1/sqrt(eps)
+        # would otherwise compound 1e6x per iteration on an all-zero row
+        d = jnp.where(col < 1e-10, 1.0,
+                      1.0 / jnp.sqrt(jnp.clip(col, 1e-12, 1e12)))
         row = jnp.max(jnp.abs(A), axis=1) if m else jnp.zeros(0, dt)
-        e = 1.0 / jnp.sqrt(jnp.clip(row, 1e-12, 1e12))
+        e = jnp.where(row < 1e-10, 1.0,
+                      1.0 / jnp.sqrt(jnp.clip(row, 1e-12, 1e12)))
         P = (d[:, None] * P) * d[None, :]
         q = d * q
         A = (e[:, None] * A) * d[None, :]
@@ -115,11 +119,16 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     x = jnp.zeros(n, dt) if x0 is None else x0
     y = jnp.zeros(m, dt) if y0 is None else y0
     if m == 0:
-        xs = jnp.linalg.solve(P + sigma * jnp.eye(n, dtype=dt), -q)
-        return QPSolution(xs, y, jnp.zeros(0, dt), jnp.array(True),
+        xs = jnp.linalg.solve(P, -q)
+        ok = jnp.all(jnp.isfinite(xs))
+        return QPSolution(xs, y, jnp.zeros(0, dt), ok,
                           jnp.array(0), 0.5 * xs @ P @ xs + q @ xs)
 
     P_orig, q_orig, A_orig, l_orig, u_orig = P, q, A, l, u
+    eq_mask = (u - l) < 1e-12
+    loose_mask = (u >= _BIG) & (l <= -_BIG)
+    fin_l = l > -_BIG
+    fin_u = u < _BIG
     if scaling:
         P, q, A, D, Esc, c = _ruiz_equilibrate(P, q, A, iters=scaling)
         l = jnp.clip(Esc * l, -2e18, 2e18)
@@ -131,8 +140,10 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         Esc = jnp.ones(m, dt)
         c = jnp.asarray(1.0, dt)
 
+    Dinv, Einv, cinv = 1.0 / D, 1.0 / Esc, 1.0 / c
+
     def factorize(rho_s):
-        rhov = _rho_vec(l, u, rho_s)
+        rhov = _rho_vec(eq_mask, loose_mask, rho_s)
         M = P + sigma * jnp.eye(n, dtype=dt) + (A.T * rhov) @ A
         Lm, _ = jax.scipy.linalg.cho_factor(M, lower=True)
         return rhov, Lm
@@ -142,8 +153,8 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
 
     z = jnp.clip(A @ x, l, u)
 
-    # scaling terms for relative tolerances
-    qnorm = jnp.maximum(jnp.linalg.norm(q, jnp.inf), 1.0)
+    # scaling terms for relative tolerances (original units)
+    qnorm = jnp.maximum(jnp.linalg.norm(Dinv * q, jnp.inf), 1.0)
 
     def admm_step(carry):
         x, z, y, it, _, rhov, Lm = carry
@@ -157,14 +168,18 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         return xn, zn, yn, it + 1, jnp.array(False), rhov, Lm
 
     def residuals(x, z, y):
+        # residuals UNSCALED to original problem units (OSQP §5.1): the
+        # user tolerance must not depend on the equilibration
         Ax = A @ x
-        r_prim = jnp.linalg.norm(Ax - z, jnp.inf)
-        r_dual = jnp.linalg.norm(P @ x + q + A.T @ y, jnp.inf)
-        s_prim = jnp.maximum(jnp.maximum(jnp.linalg.norm(Ax, jnp.inf),
-                                         jnp.linalg.norm(z, jnp.inf)), 1.0)
-        s_dual = jnp.maximum(jnp.maximum(jnp.linalg.norm(P @ x, jnp.inf),
-                                         jnp.linalg.norm(A.T @ y, jnp.inf)), qnorm)
-        return r_prim / s_prim, r_dual / s_dual
+        r_prim = jnp.linalg.norm(Einv * (Ax - z), jnp.inf)
+        r_dual = cinv * jnp.linalg.norm(Dinv * (P @ x + q + A.T @ y), jnp.inf)
+        s_prim = jnp.maximum(jnp.maximum(
+            jnp.linalg.norm(Einv * Ax, jnp.inf),
+            jnp.linalg.norm(Einv * z, jnp.inf)), 1.0)
+        s_dual = cinv * jnp.maximum(jnp.maximum(
+            jnp.linalg.norm(Dinv * (P @ x), jnp.inf),
+            jnp.linalg.norm(Dinv * (A.T @ y), jnp.inf)), qnorm)
+        return r_prim / s_prim, r_dual / (s_dual + 1e-30)
 
     def cond(carry):
         return (~carry[4]) & (carry[3] < max_iter)
@@ -203,7 +218,7 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                      rho_s, rhov, Lm))
 
     if polish:
-        x, y, z = _polish(P, q, A, l, u, x, y, rhov,
+        x, y, z = _polish(P, q, A, l, u, x, y, fin_l, fin_u,
                           iters=polish_iters, delta=polish_delta,
                           rounds=polish_rounds)
 
@@ -219,7 +234,8 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     return QPSolution(x, y, z, converged, iters, obj)
 
 
-def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-11, rounds=2):
+def _polish(P, q, A, l, u, x, y, fin_l, fin_u, iters=3, delta=1e-11,
+            rounds=2):
     """Iterated active-set polish with masked static-shape KKT + refinement.
 
     The active set is detected from BOTH the dual signs and primal proximity
@@ -246,8 +262,8 @@ def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-11, rounds=2):
         z = A @ x
         row_scale = jnp.maximum(absA @ jnp.abs(x) + 1e-12, 1.0)
         tol_p = prox * row_scale
-        act_low = (((z - l) < tol_p) | (y < -delta)) & (l > -_BIG)
-        act_up = (((u - z) < tol_p) | (y > delta)) & (u < _BIG)
+        act_low = (((z - l) < tol_p) | (y < -delta)) & fin_l
+        act_up = (((u - z) < tol_p) | (y > delta)) & fin_u
         act_low = act_low & ~act_up
         act = act_low | act_up
         b = jnp.where(act_low, l, u)
@@ -280,26 +296,28 @@ def _polish(P, q, A, l, u, x, y, rhov, iters=3, delta=1e-11, rounds=2):
         y_r = jnp.where(ok, y_r, y)
         return x_r, y_r
 
-    x_pol, y_pol = x, y
-    for _ in range(rounds):
-        x_pol, y_pol = one_round(x_pol, y_pol)
-    z_pol = jnp.clip(A @ x_pol, l, u)
-
-    # accept polish only if it does not violate feasibility/optimality more
     def score(xx, yy):
         Ax = A @ xx
         viol = jnp.maximum(jnp.max(Ax - u), jnp.max(l - Ax))
         viol = jnp.maximum(viol, 0.0)
         rd = jnp.linalg.norm(P @ xx + q + A.T @ yy, jnp.inf)
-        return viol + rd
+        return jnp.where(jnp.all(jnp.isfinite(xx)), viol + rd, jnp.inf)
 
-    better = score(x_pol, y_pol) <= score(x, y)
-    finite = jnp.all(jnp.isfinite(x_pol))
-    take = better & finite
-    x = jnp.where(take, x_pol, x)
-    y = jnp.where(take, y_pol, y)
-    z = jnp.where(take, z_pol, A @ x)
-    return x, y, z
+    # best-of-rounds: a later round re-detecting a worse active set must
+    # not discard an earlier, strictly better polish
+    best_x, best_y, best_s = x, y, score(x, y)
+    x_pol, y_pol = x, y
+    for _ in range(rounds):
+        x_pol, y_pol = one_round(x_pol, y_pol)
+        s = score(x_pol, y_pol)
+        take = s <= best_s
+        best_x = jnp.where(take, x_pol, best_x)
+        best_y = jnp.where(take, y_pol, best_y)
+        best_s = jnp.where(take, s, best_s)
+    # clipped z in EVERY branch: the final residual check must measure the
+    # true primal violation (z = A@x would zero it out)
+    z = jnp.clip(A @ best_x, l, u)
+    return best_x, best_y, z
 
 
 def solve_qp_batch(P, q, A, l, u, x0=None, y0=None, **kw):

@@ -189,3 +189,28 @@ def test_active_set_warm_start():
     assert np.allclose(np.asarray(warm.x), np.asarray(cold.x), atol=1e-9)
     assert np.allclose(np.asarray(junk.x), np.asarray(cold.x), atol=1e-8)
     assert bool(warm.converged) and bool(junk.converged)
+
+
+def test_qp_zero_constraint_row():
+    """An all-zero A row (flat constraint Jacobian) must not blow up the
+    Ruiz scaling (1e6x/iteration compounding) or poison the solve."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    n, m = 4, 6
+    M = rng.normal(size=(n, n))
+    P = M @ M.T + np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    A[2] = 0.0                      # zero row, satisfied bounds
+    l = np.full(m, -5.0); u = np.full(m, 5.0)
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                   jnp.asarray(l), jnp.asarray(u))
+    assert bool(sol.converged)
+    assert np.all(np.isfinite(np.asarray(sol.x)))
+    ref = scipy_qp(P, q, A, l, u)
+    assert np.allclose(np.asarray(sol.x), ref, atol=1e-5)
+    # f32 path must also survive
+    sol32 = solve_qp(jnp.asarray(P, jnp.float32), jnp.asarray(q, jnp.float32),
+                     jnp.asarray(A, jnp.float32), jnp.asarray(l, jnp.float32),
+                     jnp.asarray(u, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(sol32.x)))
