@@ -42,8 +42,10 @@ def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9):
 
     Exact at termination (up to the small gathered-KKT solves' accuracy) —
     intended for float64 single-stream latency paths; works in float32 with
-    the usual caveats.  ``max_pivots`` bounds add/drop steps; `converged`
-    is False if the bound is hit or the duals detect primal infeasibility.
+    the usual caveats.  ``max_pivots`` bounds LOOP iterations (each
+    add costs one selection scan plus one or more add/drop steps, so the
+    effective pivot budget is roughly half); `converged` is False if the
+    bound is hit or the duals detect primal infeasibility.
 
     ``y0`` warm-starts the ACTIVE SET from a previous solve's duals (their
     signs give the active sides): the warm phase solves the gathered KKT for
@@ -60,6 +62,10 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
     dt = q.dtype
     n = q.shape[0]
     m = A.shape[0]
+    if dt == jnp.float32:
+        # f32 roundoff on A@x sits ~1e-7; a 1e-9 test would re-pick
+        # already-active rows forever (same floor policy as _solve_qp_impl)
+        tol = max(tol, 3e-6)
     eps = jnp.asarray(tol, dt)
     inf = jnp.asarray(jnp.inf, dt)
 
@@ -107,7 +113,9 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
                 idx=jnp.where(drop, idx_d, idx),
                 side=jnp.where(drop, side_d,
                                jnp.where(ok, side, jnp.zeros_like(side))),
-                lam=jnp.where(adopt, jnp.where(valid, lamw, 0.0), st["lam"]),
+                lam=jnp.where(adopt,
+                              jnp.where(valid, jnp.maximum(lamw, 0.0), 0.0),
+                              st["lam"]),
                 cnt=jnp.where(drop, cnt - 1,
                               jnp.where(ok, cnt, 0)),
                 p=jnp.where(drop, -2, -1).astype(jnp.int32),
@@ -159,7 +167,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
             x = x + t * z
             lam = jnp.maximum(lam - t * r, 0.0)
             lam_p = lam_p + t
-            full = (t2 <= t1) & jnp.isfinite(t2)
+            full = (t2 <= t1) & jnp.isfinite(t2) & (cnt < n)
             # full step → append p to the slots; else swap-remove slot k
             # (GI invariant: cnt < n whenever a full step is possible —
             # with n active independent normals, ν⁺ ∈ span(N) ⇒ z = 0)
@@ -171,12 +179,13 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
             idx_d = idx.at[k].set(idx[last])
             side_d = side.at[k].set(side[last])
             lam_d = lam.at[k].set(lam[last])
+            upd = ~infeasible   # infeasible exit must not corrupt the slots
             return dict(
                 x=x,
-                idx=jnp.where(full, idx_f, idx_d),
-                side=jnp.where(full, side_f, side_d),
-                lam=jnp.where(full, lam_f, lam_d),
-                cnt=jnp.where(full, cnt + 1, cnt - 1),
+                idx=jnp.where(upd, jnp.where(full, idx_f, idx_d), idx),
+                side=jnp.where(upd, jnp.where(full, side_f, side_d), side),
+                lam=jnp.where(upd, jnp.where(full, lam_f, lam_d), lam),
+                cnt=jnp.where(upd, jnp.where(full, cnt + 1, cnt - 1), cnt),
                 p=jnp.where(full | infeasible, -1, p).astype(jnp.int32),
                 sp=jnp.where(full | infeasible, 0, sp).astype(jnp.int32),
                 lam_p=jnp.where(full, 0.0, lam_p),

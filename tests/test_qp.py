@@ -214,3 +214,22 @@ def test_qp_zero_constraint_row():
                      jnp.asarray(A, jnp.float32), jnp.asarray(l, jnp.float32),
                      jnp.asarray(u, jnp.float32))
     assert np.all(np.isfinite(np.asarray(sol32.x)))
+
+
+def test_active_set_f32():
+    """GI in float32: tolerance floor above f32 roundoff; exact-set result."""
+    from mpc_tpu.ops.qp_active import solve_qp_active
+    rng = np.random.default_rng(3)
+    n, m = 4, 10
+    M = rng.normal(size=(n, n)); P = M @ M.T + np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    l = np.full(m, -0.5); u = np.full(m, 0.5)
+    ref = scipy_qp(P, q, A, l, u)
+    s32 = solve_qp_active(jnp.asarray(P, jnp.float32),
+                          jnp.asarray(q, jnp.float32),
+                          jnp.asarray(A, jnp.float32),
+                          jnp.asarray(l, jnp.float32),
+                          jnp.asarray(u, jnp.float32))
+    assert bool(s32.converged)
+    assert np.allclose(np.asarray(s32.x), ref, atol=5e-4)
