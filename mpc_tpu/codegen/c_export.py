@@ -81,6 +81,13 @@ def export_c(ctrl: LinMPC, name="mpc", admm_iters=4000, admm_tol=1e-9,
         # q̃/bounds/receding-input code identical to the ADMM path
         Hs, As = p["H"], A
         Dv, Ev, csc = np.ones(nZ), np.ones(m), 1.0
+        try:
+            np.linalg.cholesky(0.5 * (p["H"] + p["H"].T))
+        except np.linalg.LinAlgError:
+            raise ValueError(
+                "active-set export needs a strictly convex QP (Goldfarb-"
+                "Idnani requirement): H is not positive definite — check "
+                "Nwt > 0 and the plant's input directions")
         Pinv = np.linalg.inv(p["H"])
         HIAT = Pinv @ A.T            # (nZ, m): P⁻¹ aᵢ columns
         GIG = A @ HIAT               # (m, m): aᵢᵀ P⁻¹ aⱼ
@@ -134,6 +141,7 @@ def export_c(ctrl: LinMPC, name="mpc", admm_iters=4000, admm_tol=1e-9,
         _carr("C_TU", p["Tu"]),
         _carr("C_UOP", p["Uop"]), _carr("C_YOP", p["Yop"]),
         _carr("C_U0MIN", p["U0min"]), _carr("C_U0MAX", p["U0max"]),
+        _carr("C_CUMINU", p["C_umin_u"]), _carr("C_CUMAXU", p["C_umax_u"]),
         _carr("C_DUMIN", p["DUmin"]), _carr("C_DUMAX", p["DUmax"]),
         _carr("C_Y0MIN", p["Y0min"]), _carr("C_Y0MAX", p["Y0max"]),
         _carr("C_X0MIN", p["x0min"]), _carr("C_X0MAX", p["x0max"]),
@@ -158,7 +166,8 @@ def export_c(ctrl: LinMPC, name="mpc", admm_iters=4000, admm_tol=1e-9,
         "    double xhat[NX];      /* estimator state (deviation) */",
         "    double lastu0[NU];",
         "    double z[NZ];         /* QP warm start */",
-        "    double zd[M_ROWS];    /* ADMM z (unused by the GI solver) */",
+    ] + (["    double zd[M_ROWS];   /* ADMM z */"] if solver == "admm"
+         else []) + [
         "    double yd[M_ROWS];    /* QP duals (GI: warm-start active set) */",
         f"}} {name}_state_t;",
         "",
@@ -418,13 +427,18 @@ def export_c(ctrl: LinMPC, name="mpc", admm_iters=4000, admm_tol=1e-9,
             "      for(c2=0;c2<cnt;c2++) s->yd[idx[c2]]=sidev[c2]*lam[c2]; }",
         ]
     lines += [
-        "    /* --- receding input (unscale: x = D x̄) --- */",
-        "    for(i=0;i<NU;i++){",
+        "    /* --- receding input: clamp to the eps-RELAXED soft box",
+        "           (linmpc.py getinput parity; hard box when N_EPS==0) --- */",
+        "    { double epsf = N_EPS ? C_DSC[NZ-1]*s->z[NZ-1] : 0.0;",
+        "      if(epsf < 0.0) epsf = 0.0;",
+        "      for(i=0;i<NU;i++){",
         "        double u0=C_DSC[i]*s->z[i]+s->lastu0[i];",
-        "        if(u0<C_U0MIN[i]) u0=C_U0MIN[i];",
-        "        if(u0>C_U0MAX[i]) u0=C_U0MAX[i];",
+        "        double lo=C_U0MIN[i]-C_CUMINU[i]*epsf;",
+        "        double hi=C_U0MAX[i]+C_CUMAXU[i]*epsf;",
+        "        if(u0<lo) u0=lo;",
+        "        if(u0>hi) u0=hi;",
         "        u_out[i]=u0+C_UOP1[i];",
-        "        s->lastu0[i]=u0; }",
+        "        s->lastu0[i]=u0; } }",
         "    /* --- SKF prediction --- */",
         "    { double xn[NX];",
         "      matvec(C_AH, NX, NX, s->xhat, xn);",

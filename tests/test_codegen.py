@@ -147,10 +147,10 @@ def test_c_export_active_set_exact():
     lib = compile_and_load(src, name="gimpc")
 
     class State(ctypes.Structure):
+        # the GI struct has no ADMM zd field
         _fields_ = [("xhat", ctypes.c_double * ctrl.estim.nx_hat),
                     ("lastu0", ctypes.c_double * 1),
                     ("z", ctypes.c_double * ctrl.nZt),
-                    ("zd", ctypes.c_double * ctrl.A_stack.shape[0]),
                     ("yd", ctypes.c_double * ctrl.A_stack.shape[0])]
 
     st = State()
@@ -168,3 +168,39 @@ def test_c_export_active_set_exact():
         ryv = (ctypes.c_double * 1)(ry)
         lib.gimpc_step(ctypes.byref(st), ym, ryv, d_dummy, u_c)
         assert abs(u_c[0] - u_py[0]) < 1e-9, (k, u_c[0], u_py[0])
+
+
+@pytest.mark.skipif(gcc is None, reason="no C compiler")
+def test_c_export_soft_input_bound_parity():
+    """When input bounds are SOFT and the slack is active, the C receding
+    clamp must use the eps-relaxed box like linmpc.py getinput — the hard
+    box silently diverged the loops (review finding)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    ctrl = mpc.LinMPC(m, Hp=8, Hc=2, Cwt=1e2)
+    ctrl.setconstraint(umin=[-0.5], umax=[0.5], c_umin=[1.0], c_umax=[1.0],
+                       ymin=[2.0])     # hard ymin forces the u slack active
+    src = export_c(ctrl, name="softmpc")
+    lib = compile_and_load(src, name="softmpc")
+
+    class State(ctypes.Structure):
+        _fields_ = [("xhat", ctypes.c_double * ctrl.estim.nx_hat),
+                    ("lastu0", ctypes.c_double * 1),
+                    ("z", ctypes.c_double * ctrl.nZt),
+                    ("zd", ctypes.c_double * ctrl.A_stack.shape[0]),
+                    ("yd", ctypes.c_double * ctrl.A_stack.shape[0])]
+
+    st = State()
+    lib.softmpc_init(ctypes.byref(st))
+    u_c = (ctypes.c_double * 1)()
+    d_dummy = (ctypes.c_double * 1)()
+    rng = np.random.default_rng(0)
+    for k in range(10):
+        y = rng.normal() * 0.1
+        ctrl.preparestate([y])
+        u_py = ctrl.moveinput([3.0])
+        ctrl.updatestate(u_py, [y])
+        ym = (ctypes.c_double * 1)(y)
+        ryv = (ctypes.c_double * 1)(3.0)
+        lib.softmpc_step(ctypes.byref(st), ym, ryv, d_dummy, u_c)
+        assert abs(u_c[0] - u_py[0]) < 5e-3, (k, u_c[0], u_py[0])
+        assert u_py[0] > 0.5 or k == 0   # the soft bound really is exceeded
