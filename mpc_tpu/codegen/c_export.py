@@ -49,7 +49,10 @@ def export_c(ctrl: LinMPC, name="mpc", admm_iters=4000, admm_tol=1e-9,
     exact in a handful of pivots, warm-started from the persisted duals —
     the embedded form the reference gets from LinearMPC.jl's DAQP codegen
     (ext/LinearMPCext.jl).  Note: it embeds the m×m matrix A·P⁻¹·Aᵀ as a
-    constant (~m²·8 bytes of flash).
+    constant (~m²·8 bytes of flash), and that the C step
+    has no convergence status output: on an infeasible QP it applies its
+    final (clamped) iterate where the Python path warns and keeps the
+    shifted warm start.
     """
     if solver not in ("admm", "active_set"):
         raise ValueError("solver must be 'admm' or 'active_set'")
