@@ -234,7 +234,9 @@ def d2c_tustin(sys: StateSpace) -> StateSpace:
     # Bd = inv(I - Ts/2 Ac) Bc Ts  →  Bc = (I - Ts/2 Ac) Bd / Ts
     Bc = (I - (Ts / 2.0) * Ac) @ sys.B / Ts
     Cc = sys.C @ (I - (Ts / 2.0) * Ac)
-    Dc = sys.D - (Ts / 2.0) * Cc @ Bc
+    # forward map: Dd = Dc + Ts/2·Cc·(I−Ts/2·Ac)⁻¹·Bc and Cd = Cc·(I−Ts/2·Ac)⁻¹,
+    # so the correction term is exactly Ts/2·Cd·Bc (NOT Ts/2·Cc·Bc)
+    Dc = sys.D - (Ts / 2.0) * sys.C @ Bc
     return StateSpace(Ac, Bc, Cc, Dc, None)
 
 

@@ -162,3 +162,20 @@ def test_savetime_periodsleep():
     t2 = time.time()
     m.periodsleep(busywait=True)
     assert 0.04 <= time.time() - t2 < 0.5
+
+
+def test_tustin_d2c_roundtrip():
+    """c2d_tustin → d2c_tustin must be an exact inverse, including the D
+    feedthrough (regression: the D correction used Cc instead of Cd, breaking
+    resampling of disturbance channels and InternalModel's stochastic model)."""
+    from mpc_tpu.utils import lti
+    rng = np.random.default_rng(3)
+    n, m, p = 4, 2, 3
+    A = rng.normal(size=(n, n)) * 0.3 - 0.5 * np.eye(n)
+    B = rng.normal(size=(n, m))
+    C = rng.normal(size=(p, n))
+    D = rng.normal(size=(p, m))
+    sysc = lti.StateSpace(A, B, C, D, None)
+    back = lti.d2c_tustin(lti.c2d_tustin(sysc, 0.7))
+    for X, Y in ((back.A, A), (back.B, B), (back.C, C), (back.D, D)):
+        np.testing.assert_allclose(X, Y, atol=1e-12)
