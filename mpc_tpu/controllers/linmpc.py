@@ -59,6 +59,13 @@ class LinMPC(PredictiveController):
             estim = SteadyKalmanFilter(model, **estim_kwargs)
         self.estim = estim
         self.transcription = transcription or SingleShooting()
+        if not isinstance(self.transcription, (SingleShooting, MultipleShooting)):
+            # reference restricts LinMPC to SS/MS (src/controller/linmpc.jl:244);
+            # collocation defect rows are inconsistent with the condensed QP
+            raise ValueError(
+                "LinMPC only supports SingleShooting and MultipleShooting "
+                f"transcriptions, got {type(self.transcription).__name__}; "
+                "use NonLinMPC for collocation methods")
         if qp_solver not in ("admm", "active_set"):
             raise ValueError("qp_solver must be 'admm' or 'active_set'")
         if qp_solver == "active_set" and not isinstance(

@@ -139,10 +139,10 @@ class StateEstimator:
         return self.x0_hat + self.xop_hat
 
     def updatestate(self, u, ym=None, d=None):
+        ymv = ym if ym is not None else np.full(self.nym, np.nan)
+        y0m, d0, u0 = self._remove_op(ymv, d, u)  # dim errors before protocol
         if self.direct and not self.prepared:
             raise RuntimeError("preparestate must be called before updatestate with direct=True")
-        ymv = ym if ym is not None else np.full(self.nym, np.nan)
-        y0m, d0, u0 = self._remove_op(ymv, d, u)
         if not self.direct:
             self._correct(y0m, d0)
         self._predict(u0, d0)
@@ -205,6 +205,13 @@ class StateEstimator:
             for a in ("Ts", "nu", "nx", "ny", "nd"):
                 if getattr(model, a) != getattr(old, a):
                     raise ValueError(f"model.{a} must be {getattr(old, a)}")
+        if Qhat is not None or Rhat is not None:
+            # same validation as construction (2_test_state_estim.jl:1745-1746)
+            from .construct import validate_covariances
+            validate_covariances(
+                self.nx_hat, self.nym,
+                Qhat if Qhat is not None else self.Q_hat,
+                Rhat if Rhat is not None else self.R_hat)
         self._update_model(model, Qhat, Rhat)
         return self
 

@@ -63,6 +63,8 @@ class MovingHorizonEstimator(StateEstimator):
         self.invQ = np.linalg.inv(Q_hat)
         self.invR = np.linalg.inv(R_hat)
         self.Cwt = float(Cwt)
+        if self.Cwt < 0:
+            raise ValueError("Cwt weight should be ≥ 0")
         self.n_eps = 0 if np.isinf(Cwt) else 1
         self.sqp_iters = int(sqp_iters)
         # custom nonlinear constraints gc(X̂e, V̂e, Ŵe, Ue, Yem, De, P̄, x̄, p, ε)

@@ -18,6 +18,16 @@ from ..utils import lti
 from .base import SimModel
 
 
+def _validate_split_indices(i_u, i_d, ns):
+    """i_u/i_d must be unique, in range, with i_u nonempty (linmodel.jl:159-163)."""
+    if len(set(i_u)) != len(i_u) or any(not 0 <= i < ns for i in i_u):
+        raise ValueError("Manipulated input indices i_u should contain valid "
+                         "and unique indices")
+    if len(set(i_d)) != len(i_d) or any(not 0 <= i < ns for i in i_d):
+        raise ValueError("Measured disturbances indices i_d should contain "
+                         "valid and unique indices")
+
+
 class LinModel(SimModel):
     def __init__(self, *args, Ts=None, i_u=None, i_d=None):
         # --- dispatch on argument forms ---
@@ -61,8 +71,7 @@ class LinModel(SimModel):
         i_u = list(range(ns)) if i_u is None else list(np.atleast_1d(i_u))
         i_d = [] if i_d is None else list(np.atleast_1d(i_d))
         i_u = [i for i in i_u if i not in i_d]
-        if len(set(i_u)) != len(i_u) or len(set(i_d)) != len(i_d):
-            raise ValueError("i_u / i_d must contain unique indices")
+        _validate_split_indices(i_u, i_d, ns)
         Gu = G[:, i_u] if i_u else np.empty((ny, 0), object)
         Gd = G[:, i_d] if i_d else np.empty((ny, 0), object)
         dsys_u = lti.c2d(Gu, Ts, "zoh") if Gu.size else lti.StateSpace(
@@ -107,6 +116,7 @@ class LinModel(SimModel):
         i_u = list(range(ns)) if i_u is None else list(np.atleast_1d(i_u))
         i_d = [] if i_d is None else list(np.atleast_1d(i_d))
         i_u = [i for i in i_u if i not in i_d]
+        _validate_split_indices(i_u, i_d, ns)
         sysu = lti.sminreal(sys[:, i_u])
         sysd = lti.sminreal(sys[:, i_d])
         if not np.allclose(sysu.D, 0):

