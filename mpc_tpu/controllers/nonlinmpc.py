@@ -201,7 +201,7 @@ class NonLinMPC(PredictiveController):
         if rebuild_step or getattr(self, "_step", None) is None:
             # the jitted step bakes in f/h and shapes; weight/covariance
             # swaps travel in params and must NOT retrace (CLAUDE.md)
-            self._step = self._make_step()
+            self._step, self._diag = self._make_step()
             self._coldstart_fn = None
         self._solved_once = False
 
@@ -820,9 +820,36 @@ class NonLinMPC(PredictiveController):
                           p["U0min"][:nu] - p["C_umin"][:nu] * eps_f,
                           p["U0max"][:nu] + p["C_umax"][:nu] * eps_f)
             u = u0 + p["uop"]
-            return u, Zt, y_d, J_final, viol_final, iters, Y0f, xendf, U0f
+            return u, Zt, Zs, y_d, J_final, viol_final, iters, Y0f, xendf, U0f
 
-        return step
+        @jit32
+        def diag(p, x0_hat, lastu0, d0, D_hat_0, R_y, R_u, yk, ry, Zt):
+            """Derivative/constraint dumps at the optimum for getinfo —
+            the reference's addinfo! diagnostics (nonlinmpc.jl:565-660):
+            ∇J, the nonlinear inequality values g (Ŷ/terminal/custom rows,
+            con_nonlinprog! layout), and the defect equalities geq."""
+            d = d0 + p["dop"]
+            D_hat = D_hat_0 + jnp.tile(p["dop"], Hp) if nd else D_hat_0
+            if nd:
+                Dall = jnp.concatenate([d0, D_hat_0]).reshape(Hp + 1, nd)
+                Df, Dh = Dall[:-1], Dall[1:]
+            else:
+                Df = Dh = jnp.zeros((Hp, 0), x0_hat.dtype)
+            obj = lambda Zt_: objective(p, Zt_, x0_hat, lastu0, Df, Dh,
+                                        R_y, R_u, d, D_hat, yk)
+            gJ = jax.grad(obj)(Zt)
+            Z_, eps_ = split(Zt)
+            Y0, xend, S, U0 = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
+            g_rows = [p["Y0min"] - p["C_ymin"] * eps_ - Y0,
+                      Y0 - p["Y0max"] - p["C_ymax"] * eps_,
+                      p["x0min"] - p["c_xmin"] * eps_ - xend,
+                      xend - p["x0max"] - p["c_xmax"] * eps_]
+            if nc:
+                Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
+                g_rows.append(jnp.asarray(gc(Ue, Ye, De, p_user, eps_)))
+            return obj(Zt), gJ, jnp.concatenate(g_rows), S
+
+        return step, diag
 
     # ------------------------------------------------------------------
     def setmodel(self, model=None, Mwt=None, Nwt=None, Lwt=None,
@@ -924,7 +951,7 @@ class NonLinMPC(PredictiveController):
                          jnp.asarray(R_hat_u), jnp.asarray(yk),
                          jnp.asarray(ry), jnp.asarray(self.Z_tilde),
                          None if y_prev is None else jnp.asarray(y_prev))
-        u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = out
+        u, Zt, Zs, y_d, J, viol, iters, Y0f, xendf, U0f = out
         self.y_dual = np.asarray(y_d)
         self._solved_once = True
         self.lastu0_at_solve = self.lastu0.copy()
@@ -933,15 +960,25 @@ class NonLinMPC(PredictiveController):
         self._last = dict(J=float(J), viol=float(viol), iters=int(iters),
                           d=d, D_hat=D_hat, Y0=np.asarray(Y0f),
                           xend=np.asarray(xendf), U0=np.asarray(U0f),
-                          yk=yk.copy())
-        if not np.isfinite(float(J)) or float(viol) > 1e-2:
-            # graceful degradation (reference execute.jl:499-504): warn, keep
-            # the plan — the warm start already encodes the previous solution
-            import warnings
-            warnings.warn(f"NonLinMPC SQP solution is poor (J={float(J):.3g}, "
-                          f"max violation={float(viol):.3g}); applying it "
-                          f"anyway — inspect getinfo()")
+                          yk=yk.copy(), failed=False,
+                          # solve-point args for getinfo's derivative dumps
+                          x0_hat=np.asarray(estim.x0_hat, float).copy(),
+                          d0=d0.copy(), D0=D0.copy(), ry=ry.copy())
         u = np.asarray(u)
+        if not np.isfinite(float(J)) or float(viol) > 1e-2:
+            # reference failure policy (controller/execute.jl:499-504): warn
+            # and apply the SHIFTED WARM START as the plan (graceful open-loop
+            # degradation), never the violated solution
+            import warnings
+            warnings.warn(f"NonLinMPC solution is poor (J={float(J):.3g}, "
+                          f"max violation={float(viol):.3g}); applying the "
+                          f"shifted warm start instead — inspect getinfo()")
+            Zs = np.asarray(Zs)
+            self.Z_tilde = Zs
+            u0 = Zs[:model.nu] + self.lastu0
+            u0 = np.clip(u0, self.U0min[:model.nu], self.U0max[:model.nu])
+            u = u0 + model.uop
+            self._last["failed"] = True
         self.lastu0 = u - model.uop
         return u
 
@@ -997,6 +1034,31 @@ class NonLinMPC(PredictiveController):
                 info["gc"] = np.asarray(self.gc(Ue, Ye, De, self.p, eps))
             else:
                 info["gc"] = np.zeros(0)
+        # derivative dumps + solution summary at the optimum (the reference's
+        # addinfo! diagnostics, nonlinmpc.jl:565-660 / execute.jl:145-198)
+        if self._last.get("x0_hat") is not None:
+            L = self._last
+            Ja, gJ, g_vals, geq = self._diag(
+                self._p_cache,
+                jnp.asarray(L["x0_hat"]),
+                jnp.asarray(getattr(self, "lastu0_at_solve", self.lastu0)),
+                jnp.asarray(L["d0"]), jnp.asarray(L["D0"]),
+                jnp.asarray(self.R_hat_y), jnp.asarray(self.R_hat_u),
+                jnp.asarray(L["yk"]), jnp.asarray(L["ry"]),
+                jnp.asarray(self.Z_tilde))
+            info["gradJ"] = info["∇J"] = np.asarray(gJ)
+            info["g"] = np.asarray(g_vals)
+            info["geq"] = np.asarray(geq)
+            info["sol"] = dict(
+                solver="SQP (GN Hessian + "
+                       f"{'active-set' if self.qp_solver == 'active_set' else 'ADMM'} QP)",
+                iterations=self._last.get("iters"),
+                objective=self._last.get("J"),
+                max_violation=self._last.get("viol"),
+                defect_norm=float(np.max(np.abs(np.asarray(geq))))
+                if np.asarray(geq).size else 0.0,
+                failed=self._last.get("failed", False),
+                nZt=self.nZt)
         return info
 
     def __repr__(self):

@@ -171,7 +171,8 @@ class KalmanFilter(StateEstimator):
 
 def _default_P0(model, nint_u, nint_ym, sigmaP_0, sigmaPint_u_0, sigmaPint_ym_0):
     nx = model.nx
-    sP = np.full(nx, 10.0 / nx) if sigmaP_0 is None else _sigma_scales(sigmaP_0, nx, "σP_0")
+    # reference default σP_0 = fill(1/nx, nx), same as σQ (kalman.jl:430-431)
+    sP = np.full(nx, 1.0 / nx) if sigmaP_0 is None else _sigma_scales(sigmaP_0, nx, "σP_0")
     nu_int, nym_int = sum(nint_u), sum(nint_ym)
     sPu = np.ones(nu_int) if sigmaPint_u_0 is None else _sigma_scales(sigmaPint_u_0, nu_int, "σPint_u_0")
     sPy = np.ones(nym_int) if sigmaPint_ym_0 is None else _sigma_scales(sigmaPint_ym_0, nym_int, "σPint_ym_0")

@@ -10,7 +10,9 @@ from .base import StateEstimator
 
 
 class ManualEstimator(StateEstimator):
-    def __init__(self, model, i_ym=None, nint_u=0, nint_ym=None, direct=True):
+    def __init__(self, model, i_ym=None, nint_u=0, nint_ym=None, direct=False):
+        # the reference hardcodes direct=false (manual.jl:37): setstate is the
+        # "correction", so no preparestate gate applies
         self._init_common(model, i_ym, nint_u, nint_ym, direct)
 
     def _correct(self, y0m, d0):

@@ -331,6 +331,35 @@ class MovingHorizonEstimator(StateEstimator):
                 J = J + Cwt * eps ** 2
             return J
 
+        def ineq_violation(p, Zt):
+            """ℓ1 violation of the TRUE (nonlinear) soft bounds — the merit
+            must see infeasibility or the line search undoes the QP step's
+            progress toward the active v̂/x̂ bounds (an objective-only merit
+            accepted iterates with v̂ 90× outside its bound on the reference's
+            manual.jl:99 example)."""
+            eps, x_arr, W = pack_problem(p, Zt)
+            X, Ym = rollout_z(p, Zt)
+            relu = lambda a: jnp.sum(jnp.maximum(a, 0.0))
+            big = jnp.asarray(2e18, Zt.dtype)
+            mw = jnp.repeat(p["mask_w"], nx_hat)
+            mv = p["mask_v"].reshape(-1)
+            ce = (lambda c: c * eps) if n_eps else (lambda c: 0.0)
+            v = relu(p["Xmin"][:nx_hat] - ce(p["C_xmin"][:nx_hat]) - x_arr)
+            v += relu(x_arr - p["Xmax"][:nx_hat] - ce(p["C_xmax"][:nx_hat]))
+            Xv = X.reshape(-1)
+            v += relu(jnp.where(mw, p["Xmin"][nx_hat:], -big)
+                      - ce(p["C_xmin"][nx_hat:]) - Xv)
+            v += relu(Xv - jnp.where(mw, p["Xmax"][nx_hat:], big)
+                      - ce(p["C_xmax"][nx_hat:]))
+            v += relu(jnp.where(mw, p["Wmin"], -big) - ce(p["C_wmin"]) - W)
+            v += relu(W - jnp.where(mw, p["Wmax"], big) - ce(p["C_wmax"]))
+            Vv = jnp.where(p["mask_v"], p["Y0m"] - Ym, 0.0).reshape(-1)
+            v += relu(jnp.where(mv, p["Vmin"], -big) - ce(p["C_vmin"]) - Vv)
+            v += relu(Vv - jnp.where(mv, p["Vmax"], big) - ce(p["C_vmax"]))
+            if n_eps:
+                v += relu(-eps)
+            return v
+
         # expose for getinfo's derivative dumps (reference mhe/execute.jl
         # getinfo ∇J diagnostics)
         self._obj_fn = objective
@@ -506,6 +535,8 @@ class MovingHorizonEstimator(StateEstimator):
                     sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=1500,
                                    tol=1e-8)
                     dz = sol.x
+                    dual_inf = jnp.linalg.norm(sol.y, jnp.inf)
+                    mu = jnp.clip(mu, 2.0 * dual_inf, 20.0 * dual_inf + 1e3)
                 # line search only needed for nonlinear models
                 if is_lin:
                     Zn = Zt + dz
@@ -515,15 +546,18 @@ class MovingHorizonEstimator(StateEstimator):
                     # nonlinear defects violated (the optimizer then "cheats"
                     # the dynamics and never tightens them)
                     if is_ms:
-                        merit = lambda Zt_: (obj(Zt_) + mu * jnp.sum(
-                            jnp.abs(defects_z(p, Zt_))))
+                        merit = lambda Zt_: (obj(Zt_)
+                                             + mu * jnp.sum(
+                                                 jnp.abs(defects_z(p, Zt_)))
+                                             + mu * ineq_violation(p, Zt_))
                         # second-order correction: restore the defects at the
                         # trial point through the same QR so the merit accepts
                         # full steps despite defect curvature (N&W §15.6)
                         c_soc = Q1 @ jax.scipy.linalg.solve_triangular(
                             Rsq.T, -defects_z(p, Zt + dz), lower=True)
                     else:
-                        merit = obj
+                        merit = lambda Zt_: (obj(Zt_)
+                                             + mu * ineq_violation(p, Zt_))
                         c_soc = jnp.zeros_like(dz)
                     # deep backtracking: a grid that bottoms out at 0.1 can
                     # deterministically lock at α=0 from a bad warm start (the

@@ -76,7 +76,7 @@ class BatchedNonLinMPC:
             D0 = jnp.tile(d0, Hp)
             Ry = jnp.tile(ry, Hp)
             Ru = jnp.tile(uop, Hp)
-            u, Zt, y_d, J, viol, iters, Y0f, xendf, U0f = step_fn(
+            u, Zt, _Zs, y_d, J, viol, iters, Y0f, xendf, U0f = step_fn(
                 p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, ry, st["Z_tilde"],
                 None)
             lastu0 = u - uop

@@ -355,3 +355,42 @@ def test_nonlinmpc_arg_validation(pendulum):
     c.preparestate([0.0])
     with pytest.raises(TypeError, match="unknown moveinput"):
         c.moveinput([90.0], Rhat_y=np.zeros(5))        # typo'd kwarg
+
+
+def test_nonlinmpc_failure_applies_warm_start():
+    """Reference failure policy (controller/execute.jl:499-504): on a poor
+    solve the SHIFTED WARM START is applied, not the violated plan."""
+    import warnings as _w
+    f = lambda x, u, d, p: 0.5 * x + u
+    h = lambda x, d, p: 2.0 * x
+    nm = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, solver=None)
+    ctrl = mpc.NonLinMPC(nm, Hp=5, Hc=2, Cwt=None)      # hard constraints
+    ctrl.setconstraint(ymin=[10.0], umin=[-0.1], umax=[0.1])  # unreachable
+    ctrl.preparestate([0.0])
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        u = ctrl.moveinput([10.0])
+    assert any("shifted warm start" in str(r.message) for r in rec)
+    # cold warm start is Z=0 → u = lastu0 + uop = 0, NOT the violated plan
+    np.testing.assert_allclose(u, [0.0], atol=1e-12)
+    assert ctrl.getinfo()["sol"]["failed"] is True
+
+
+def test_nonlinmpc_getinfo_derivative_dumps():
+    """getinfo parity with the reference's addinfo! (nonlinmpc.jl:565-660):
+    ∇J, g values, defect norms, and a solution summary."""
+    f = lambda x, u, d, p: 0.5 * x + u
+    h = lambda x, d, p: 2.0 * x
+    nm = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, solver=None)
+    ctrl = mpc.NonLinMPC(nm, Hp=5, Hc=2,
+                         transcription=mpc.MultipleShooting(), sqp_iters=8)
+    ctrl.preparestate([0.0])
+    ctrl.moveinput([1.0])
+    info = ctrl.getinfo()
+    for k in ("gradJ", "g", "geq", "sol", "J", "viol", "iters"):
+        assert k in info, k
+    assert info["gradJ"].shape == (ctrl.nZt,)
+    assert np.all(info["g"] <= 1e-6)          # feasible at the optimum
+    assert info["sol"]["defect_norm"] < 1e-6  # MS defects closed
+    assert info["sol"]["failed"] is False
+    assert info["sol"]["iterations"] == info["iters"]
