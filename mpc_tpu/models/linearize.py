@@ -62,9 +62,11 @@ def linearize(model, x=None, u=None, d=None) -> LinModel:
     return linearize_(linmodel, model, x, u, d)
 
 
-def linearize_(linmodel: LinModel, model: NonLinModel, x, u, d) -> LinModel:
+def linearize_(linmodel: LinModel, model: NonLinModel, x, u, d=None) -> LinModel:
     """In-place relinearization (reference ``linearize!``, linearization.jl:159)."""
     linfunc = get_linearization_func(model)
+    u = model.uop.copy() if u is None else np.asarray(u, float).ravel()
+    d = model.dop.copy() if d is None else np.asarray(d, float).ravel()
     u0, d0, x0 = u - model.uop, d - model.dop, np.asarray(x, float) - model.xop
     A, Bu, Bd, C, Dd, fx, yx = linfunc(jnp.asarray(x0), jnp.asarray(u0),
                                        jnp.asarray(d0), model.p)

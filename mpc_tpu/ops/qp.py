@@ -142,14 +142,30 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
 
     Dinv, Einv, cinv = 1.0 / D, 1.0 / Esc, 1.0 / c
 
-    def factorize(rho_s):
-        rhov = _rho_vec(eq_mask, loose_mask, rho_s)
-        M = P + sigma * jnp.eye(n, dtype=dt) + (A.T * rhov) @ A
-        Lm, _ = jax.scipy.linalg.cho_factor(M, lower=True)
-        return rhov, Lm
+    # ---- ρ-ladder of precomputed inverses -------------------------------
+    # TPU redesign of OSQP's adaptive-ρ refactorization: a cached Cholesky
+    # costs two SERIAL triangular solves per iteration, and a refactorization
+    # under vmapped lax.cond executes on every residual check regardless.
+    # Instead, ρ adaptation SNAPS to a geometric ladder whose normal-matrix
+    # inverses are all precomputed up front (batched matmuls + one batched
+    # inv, Newton-refined to f32-safe accuracy) — the ADMM loop then contains
+    # only matmuls and gathers, nothing serial.
+    N_LAD = 9
+    lad = jnp.asarray(rho, dt) * jnp.logspace(-2.0, 2.0, N_LAD).astype(dt)
+    log_step = 4.0 / (N_LAD - 1)
 
-    rho_s = jnp.asarray(rho, dt)
-    rhov, Lm = factorize(rho_s)
+    def _build_ladder():
+        rhovs = jax.vmap(lambda r: _rho_vec(eq_mask, loose_mask, r))(lad)
+        Ms = P[None] + sigma * jnp.eye(n, dtype=dt)[None] + \
+            jnp.einsum("ji,kj,jl->kil", A, rhovs, A)
+        Minvs = jnp.linalg.inv(Ms)
+        # one Newton step X ← X(2I − MX): squares the inverse's residual,
+        # which keeps f32 lanes from stalling on ill-conditioned problems
+        Minvs = Minvs @ (2.0 * jnp.eye(n, dtype=dt)[None] - Ms @ Minvs)
+        return rhovs, Minvs
+
+    rhovs_lad, Minvs_lad = _build_ladder()
+    j0 = jnp.asarray((N_LAD - 1) // 2, jnp.int32)   # lad[j0] == rho
 
     z = jnp.clip(A @ x, l, u)
 
@@ -159,7 +175,7 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     def admm_step(carry):
         x, z, y, it, _, rhov, Lm = carry
         rhs = sigma * x - q + A.T @ (rhov * z - y)
-        xt = jax.scipy.linalg.cho_solve((Lm, True), rhs)
+        xt = Lm @ rhs
         zt = A @ xt
         xn = alpha * xt + (1 - alpha) * x
         z_pre = alpha * zt + (1 - alpha) * z
@@ -186,11 +202,13 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
 
     def body(carry):
         # run `check_every` ADMM steps then test residuals + infeasibility
-        x0_, z0_, y0_, it0, done0, infeas0, rho0_, rhov0, Lm0 = carry
+        x0_, z0_, y0_, it0, done0, infeas0, j0_ = carry
+        rhov = jnp.take(rhovs_lad, j0_, axis=0)
+        Lm = jnp.take(Minvs_lad, j0_, axis=0)
         def inner(i, c):
             return admm_step(c)
         x, z, y, it, _, _, _ = jax.lax.fori_loop(
-            0, check_every, inner, (x0_, z0_, y0_, it0, done0, rhov0, Lm0))
+            0, check_every, inner, (x0_, z0_, y0_, it0, done0, rhov, Lm))
         rp, rd = residuals(x, z, y)
         done = (rp < tol) & (rd < tol)
         # OSQP §3.4 primal-infeasibility certificate from the dual direction
@@ -201,42 +219,61 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                       + jnp.where(dy < 0, jnp.maximum(l, -1e17) * dy, 0.0))
         crit2 = sup < -1e-5 * ndy
         infeas = infeas0 | ((ndy > 1e-12) & crit1 & crit2)
-        # OSQP §5.2 adaptive ρ: rebalance primal/dual residuals; the Cholesky
-        # refactorization runs only when the ratio drifts past 5× (lax.cond —
-        # vmapped callers pay it every check, unbatched callers only on adapt)
+        # OSQP §5.2 adaptive ρ, snapped to the precomputed ladder, with the
+        # original 5× hysteresis (adapting on small imbalances ping-pongs
+        # between rungs and stalls the iteration)
         ratio = jnp.sqrt((rp + 1e-18) / (rd + 1e-18))
-        rho_new = jnp.clip(rho0_ * ratio, 1e-6, 1e6)
-        adapt = (~done) & ~infeas & ((rho_new > 5.0 * rho0_) |
-                                     (rho_new < rho0_ / 5.0))
-        rho_next = jnp.where(adapt, rho_new, rho0_)
-        rhov, Lm = jax.lax.cond(adapt, factorize, lambda _: (rhov0, Lm0),
-                                rho_next)
-        return (x, z, y, it, done | infeas, infeas, rho_next, rhov, Lm)
+        dj = jnp.round(jnp.log10(ratio) / log_step).astype(jnp.int32)
+        move = (ratio > 5.0) | (ratio < 0.2)
+        j_new = jnp.clip(j0_ + dj, 0, N_LAD - 1)
+        adapt = (~done) & ~infeas & move
+        j_next = jnp.where(adapt, j_new, j0_)
+        return (x, z, y, it, done | infeas, infeas, j_next)
 
-    x, z, y, iters, done, infeasible, rho_s, rhov, Lm = jax.lax.while_loop(
+    x, z, y, iters, done, infeasible, j_fin = jax.lax.while_loop(
         cond, body, (x, z, y, jnp.array(0), jnp.array(False), jnp.array(False),
-                     rho_s, rhov, Lm))
+                     j0))
 
     if polish:
-        x, y, z = _polish(P, q, A, l, u, x, y, fin_l, fin_u,
+        x, y, z = _polish(P, q, A, l, u, x, y, fin_l, fin_u, eq_mask,
                           iters=polish_iters, delta=polish_delta,
                           rounds=polish_rounds)
 
     # convergence assessed on the final (post-polish) KKT residuals: the ADMM
     # loop only needs to identify the active set; polish supplies accuracy.
+    # Complementarity/dual-sign residual is REQUIRED here: the polish solves
+    # an equality KKT whose multipliers can carry wrong signs, which
+    # stationarity+feasibility alone cannot detect (a mis-detected active set
+    # then reports "converged" at a non-optimal vertex).
     rp, rd = residuals(x, z, y)
-    converged = ((rp < tol_final) & (rd < tol_final) | done) & ~infeasible
     # unscale (x = D x̄, y = E ȳ / c, z = z̄ / E)
     x = D * x
     y = Esc * y / c
     z = z / Esc
+    Ax_o = A_orig @ x
+    y_pos = jnp.maximum(y, 0.0)
+    y_neg = jnp.minimum(y, 0.0)
+    gap_u = jnp.where(fin_u, u_orig - Ax_o, 0.0)
+    gap_l = jnp.where(fin_l, Ax_o - l_orig, 0.0)
+    comp_scale = jnp.maximum(jnp.max(jnp.abs(y), initial=0.0), 1.0) * \
+        jnp.maximum(jnp.max(jnp.abs(Ax_o), initial=0.0), 1.0)
+    comp = (jnp.max(jnp.abs(y_pos * gap_u), initial=0.0)
+            + jnp.max(jnp.abs(y_neg * gap_l), initial=0.0)) / comp_scale
+    # wrong-side multipliers (y>0 must pair with a FINITE upper bound, y<0
+    # with a finite lower bound)
+    sgn_bad = (jnp.max(jnp.where(fin_u, 0.0, y_pos), initial=0.0)
+               + jnp.max(jnp.where(fin_l, 0.0, -y_neg), initial=0.0))
+    tol_c = 1e2 * tol_final
+    kkt_ok = (rp < tol_final) & (rd < tol_final) & (comp < tol_c) & \
+        (sgn_bad < tol_c)
+    converged = (kkt_ok | done) & ~infeasible
     obj = 0.5 * x @ P_orig @ x + q_orig @ x
     return QPSolution(x, y, z, converged, iters, obj)
 
 
-def _polish(P, q, A, l, u, x, y, fin_l, fin_u, iters=3, delta=1e-11,
-            rounds=2):
-    """Iterated active-set polish with masked static-shape KKT + refinement.
+def _polish(P, q, A, l, u, x, y, fin_l, fin_u, eq_mask=None, iters=3,
+            delta=1e-11, rounds=2):
+    """Iterated active-set polish with top-k gathered KKT + refinement.
 
     The active set is detected from BOTH the dual signs and primal proximity
     (|Ax − bound| below a row-scaled tolerance): on nearly-flat QPs (condensed
@@ -246,17 +283,28 @@ def _polish(P, q, A, l, u, x, y, fin_l, fin_u, iters=3, delta=1e-11,
     polished point, which empirically recovers the exact optimum (OSQP §5.2
     polish, generalized to multiple rounds).
 
+    At a nondegenerate optimum at most ``n`` rows are active, so the KKT is
+    built from the ``k = min(m, n + 8)`` highest-activity rows gathered with
+    ``top_k`` (equality rows always selected) — an (n+k)² factorization
+    instead of the previous (n+m)²: at condensed-MPC shapes (n≈33, m≈900)
+    this is ~1000× less factorization work per polish.  A degenerate optimum
+    with > k active rows polishes a subset; the best-of-rounds score below
+    then keeps the plain ADMM point if the subset polish is worse.
+
     For float32 inputs the refinement residual is accumulated in float64
     (classic mixed-precision IR): the hot factorization stays f32/TPU-native,
     but the polished solution reaches near-f64 accuracy.
     """
     n, m = q.shape[0], l.shape[0]
     dt = q.dtype
+    k = min(m, n + 8)
     hi = jnp.float64 if (dt == jnp.float32 and
                          jax.config.jax_enable_x64) else dt
     P_h, q_h = P.astype(hi), q.astype(hi)
     prox = 1e-5 if dt == jnp.float32 else 1e-7
     absA = jnp.abs(A)
+    if eq_mask is None:
+        eq_mask = (u - l) < 1e-12
 
     def one_round(x, y):
         z = A @ x
@@ -267,16 +315,27 @@ def _polish(P, q, A, l, u, x, y, fin_l, fin_u, iters=3, delta=1e-11,
         act_low = act_low & ~act_up
         act = act_low | act_up
         b = jnp.where(act_low, l, u)
-        actf = act.astype(dt)
-        Am = A * actf[:, None]
-        # K = [[P+δI, Amᵀ], [Am, -δI - diag(1-act)]]
+        # rank rows by activity: equalities first, then |dual| + proximity
+        margin = jnp.minimum(jnp.abs(z - l), jnp.abs(u - z)) / row_scale
+        score = (act.astype(dt) * (1.0 + jnp.abs(y) + 1.0 / (margin + 1e-6))
+                 + jnp.where(eq_mask, jnp.asarray(_BIG, dt), 0.0))
+        _, idx = jax.lax.top_k(score, k)
+        Ak = A[idx]
+        actk = act[idx] | eq_mask[idx]
+        bk = jnp.where(eq_mask[idx], l[idx], b[idx])
+        actf = actk.astype(dt)
+        Am = Ak * actf[:, None]
+        # K = [[P+δI, Amᵀ], [Am, -δI - diag(1-act)]]  on the gathered rows
         K = jnp.block([
             [P + delta * jnp.eye(n, dtype=dt), Am.T],
-            [Am, -delta * jnp.eye(m, dtype=dt) - jnp.diag(1.0 - actf)],
+            [Am, -delta * jnp.eye(k, dtype=dt) - jnp.diag(1.0 - actf)],
         ])
-        lu = jax.scipy.linalg.lu_factor(K)
-        rhs = jnp.concatenate([-q, actf * b])
-        Am_h, actf_h, b_h = Am.astype(hi), actf.astype(hi), b.astype(hi)
+        # explicit inverse: each lu_solve is two serial triangular solves on
+        # TPU; Kinv @ rhs is one matmul, and the f64 refinement below absorbs
+        # the inverse's extra rounding
+        Kinv = jnp.linalg.inv(K)
+        rhs = jnp.concatenate([-q, actf * bk])
+        Am_h, actf_h, b_h = Am.astype(hi), actf.astype(hi), bk.astype(hi)
 
         def refine(i, sol):
             # residual of the UNregularized system, in high precision
@@ -284,13 +343,12 @@ def _polish(P, q, A, l, u, x, y, fin_l, fin_u, iters=3, delta=1e-11,
             res_top = P_h @ xs + Am_h.T @ nu + q_h
             res_bot = Am_h @ xs - (1.0 - actf_h) * nu - actf_h * b_h
             res = -jnp.concatenate([res_top, res_bot]).astype(dt)
-            dsol = jax.scipy.linalg.lu_solve(lu, res)
-            return sol + dsol
+            return sol + Kinv @ res
 
-        sol0 = jax.scipy.linalg.lu_solve(lu, rhs)
+        sol0 = Kinv @ rhs
         sol = jax.lax.fori_loop(0, iters, refine, sol0)
         x_r, nu = sol[:n], sol[n:]
-        y_r = jnp.where(act, nu, 0.0)
+        y_r = jnp.zeros(m, dt).at[idx].set(jnp.where(actk, nu, 0.0))
         ok = jnp.all(jnp.isfinite(x_r)) & jnp.all(jnp.isfinite(y_r))
         x_r = jnp.where(ok, x_r, x)
         y_r = jnp.where(ok, y_r, y)
@@ -301,7 +359,16 @@ def _polish(P, q, A, l, u, x, y, fin_l, fin_u, iters=3, delta=1e-11,
         viol = jnp.maximum(jnp.max(Ax - u), jnp.max(l - Ax))
         viol = jnp.maximum(viol, 0.0)
         rd = jnp.linalg.norm(P @ xx + q + A.T @ yy, jnp.inf)
-        return jnp.where(jnp.all(jnp.isfinite(xx)), viol + rd, jnp.inf)
+        # complementarity residual: a mis-detected active set yields
+        # wrong-signed / non-complementary multipliers that stationarity
+        # alone can miss (the vertex looks "optimal" without it)
+        y_p, y_n = jnp.maximum(yy, 0.0), jnp.minimum(yy, 0.0)
+        comp = (jnp.max(jnp.abs(y_p * jnp.where(fin_u, u - Ax, 0.0)),
+                        initial=0.0)
+                + jnp.max(jnp.abs(y_n * jnp.where(fin_l, Ax - l, 0.0)),
+                          initial=0.0))
+        return jnp.where(jnp.all(jnp.isfinite(xx)), viol + rd + comp,
+                         jnp.inf)
 
     # best-of-rounds: a later round re-detecting a worse active set must
     # not discard an earlier, strictly better polish

@@ -148,7 +148,9 @@ class BatchedLinMPC:
                                         self.params["H"].dtype)
                 jax.block_until_ready(self._dzero)
             d = self._dzero
-        u, n_conv, self.state = self._step(self.params, self.eparams, self.state,
-                                           jnp.asarray(ym), jnp.asarray(ry),
-                                           jnp.asarray(d))
+        dt = self.params["H"].dtype   # fleet dtype: f64 host inputs must not
+        u, n_conv, self.state = self._step(self.params, self.eparams,  # leak
+                                           self.state, jnp.asarray(ym, dt),
+                                           jnp.asarray(ry, dt),
+                                           jnp.asarray(d, dt))
         return u, n_conv

@@ -24,11 +24,18 @@ class BatchedMHE:
     vmapped jitted call.  ``direct=True`` (filter form) only.
     """
 
-    def __init__(self, template: MovingHorizonEstimator, batch: int):
+    def __init__(self, template: MovingHorizonEstimator, batch: int,
+                 mesh=None):
         if not template.direct:
             raise ValueError("BatchedMHE supports the direct (p=0) form")
         self.t = template
         self.B = int(batch)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._shard_b = NamedSharding(mesh, PartitionSpec("batch"))
+            self._shard_r = NamedSharding(mesh, PartitionSpec())
+        else:
+            self._shard_b = self._shard_r = None
         He, nym = template.He, template.nym
         nu, nd = template.model.nu, template.model.nd
         nx = template.nx_hat
@@ -99,7 +106,7 @@ class BatchedMHE:
         mask_v = (mask_w[None, :, None] > 0) & np.isfinite(self.Y0m)
         # one device_put for the whole tree: per-leaf eager uploads cost a
         # full network round trip each on a tunneled TPU
-        p = jax.device_put(dict(
+        tree = dict(
             U=self.U0, D=self.D0, Y0m=np.nan_to_num(self.Y0m),
             mask_w=mask_w, mask_v=mask_v,
             invP=self.invP_arr, invQ=np.asarray(t.invQ),
@@ -116,8 +123,18 @@ class BatchedMHE:
             **({"A_hat": np.asarray(t.A_hat), "Bu_hat": np.asarray(t.Bu_hat),
                 "Bd_hat": np.asarray(t.Bd_hat),
                 "Cm_hat": np.asarray(t.Cm_hat),
-                "Ddm_hat": np.asarray(t.Ddm_hat)} if self._lin else {})))
-        Zt, x_new, X, Ym, J, ok = self._solve(p, jnp.asarray(self.Z))
+                "Ddm_hat": np.asarray(t.Ddm_hat)} if self._lin else {}))
+        Z0 = jnp.asarray(self.Z)
+        if self._shard_b is not None:
+            # batch-axis leaves shard over the mesh, shared leaves replicate
+            batched = {"U", "D", "Y0m", "mask_v", "x_arr_prior"}
+            p = {k: jax.device_put(v, self._shard_b if k in batched
+                                   else self._shard_r)
+                 for k, v in tree.items()}
+            Z0 = jax.device_put(Z0, self._shard_b)
+        else:
+            p = jax.device_put(tree)
+        Zt, x_new, X, Ym, J, ok = self._solve(p, Z0)
         self.Z = np.array(Zt)
         self.x0_hat = np.array(x_new)
         # update_cov! predict once the window is full (updatestate cadence)

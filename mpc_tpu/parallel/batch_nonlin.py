@@ -26,12 +26,23 @@ class BatchedNonLinMPC:
     UKF feedback is vmapped alongside.
     """
 
-    def __init__(self, template: NonLinMPC, batch: int, dtype=None):
+    def __init__(self, template: NonLinMPC, batch: int, dtype=None,
+                 mesh=None):
         """``dtype=jnp.float32`` runs the fleet in TPU-native f32 (f64
-        LuDecomposition is unimplemented on TPU)."""
+        LuDecomposition is unimplemented on TPU).  ``mesh``: a
+        ``jax.sharding.Mesh`` with a ``batch`` axis — the scenario batch is
+        sharded over it (params replicated; no cross-shard collectives in
+        the solve)."""
         self.t = template
         self.B = int(batch)
         self._dt = dtype
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._shard_b = NamedSharding(mesh, PartitionSpec("batch"))
+            self._shard_r = NamedSharding(mesh, PartitionSpec())
+        else:
+            self._shard_b = self._shard_r = None
         estim = template.estim
         self.nu = template.estim.model.nu
         dt = dtype if dtype is not None else (
@@ -45,6 +56,8 @@ class BatchedNonLinMPC:
             lastu0=jnp.zeros((batch, self.nu), dt),
             Z_tilde=jnp.zeros((batch, template.nZt), dt),
         )
+        if self._shard_b is not None:
+            self.state = jax.device_put(self.state, self._shard_b)
         self._solve = jit32(self._make())
 
     def _make(self):
@@ -106,11 +119,15 @@ class BatchedNonLinMPC:
             np_dt = np.dtype(self._dt) if self._dt is not None else None
             cast = (lambda a: a.astype(np_dt) if np_dt is not None and
                     np.issubdtype(a.dtype, np.floating) else a)
-            self._p_cache = jax.device_put(
-                {k: cast(np.asarray(v)) for k, v in self.t.params.items()})
+            tree = {k: cast(np.asarray(v)) for k, v in self.t.params.items()}
+            self._p_cache = (jax.device_put(tree, self._shard_r)
+                             if self._shard_r is not None
+                             else jax.device_put(tree))
             self._p_ver = ver
         ja = ((lambda a: jnp.asarray(a, self._dt)) if self._dt is not None
               else jnp.asarray)
-        u, J, self.state = self._solve(self._p_cache, self.state,
-                                       ja(ym), ja(ry), ja(d))
+        ym, ry, d = ja(ym), ja(ry), ja(d)
+        if self._shard_b is not None:
+            ym, ry, d = jax.device_put((ym, ry, d), self._shard_b)
+        u, J, self.state = self._solve(self._p_cache, self.state, ym, ry, d)
         return u, J

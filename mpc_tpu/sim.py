@@ -59,32 +59,72 @@ class SimResult:
         hi = np.where(np.abs(hi) < big, hi, np.inf)
         return lo, hi
 
-    def plot(self, file=None, plotry=True, plotymax=True, plotymin=True,
-             plotumax=True, plotumin=True, ymax=None, ymin=None,
-             umax=None, umin=None):
+    @staticmethod
+    def _indices(flag, n):
+        """Reference ``get_indices``: True → all, False/None → none,
+        index collection → that per-signal selection (plot_sim.jl:377-380)."""
+        if flag is True:
+            return list(range(n))
+        if flag is False or flag is None:
+            return []
+        return [int(i) for i in np.atleast_1d(flag)]
+
+    def plot(self, file=None, *, ploty=True, plotu=True, plotd=False,
+             plotx=False, plotyhat=None, plotxhat=False, plotxwithxhat=False,
+             plotry=True, plotymax=True, plotymin=True,
+             plotumax=True, plotumin=True, plotxhatmin=True, plotxhatmax=True,
+             ymax=None, ymin=None, umax=None, umin=None):
+        """Render the simulation — panels and options mirror the reference's
+        Plots recipes (plot_sim.jl:362,484,745): ``ploty``/``plotu``/``plotd``/
+        ``plotx``/``plotxhat`` accept True/False or an index list for
+        per-signal selection; ``plotxwithxhat`` overlays x̂ on the plant
+        states; bound overlays come from the simulated object's constraints.
+        """
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         N, ny = self.Y_data.shape
         nu = self.U_data.shape[1]
+        is_mpc = isinstance(self.obj, PredictiveController)
+        if plotyhat is None:            # reference default: ŷ on estimator runs
+            plotyhat = self.Y_est_data is not None and not is_mpc
+        iy = self._indices(ploty, ny)
+        iu = self._indices(plotu, nu)
+        nd = self.D_data.shape[1] if self.D_data is not None else 0
+        idd = self._indices(plotd, nd) if nd else []
+        nx = self.X_data.shape[1] if self.X_data is not None else 0
+        ix = self._indices(plotx or plotxwithxhat, nx) if nx else []
+        nxh = self.X_est_data.shape[1] if self.X_est_data is not None else 0
+        ixh = self._indices(plotxhat, nxh) if nxh else []
         auto_ymin, auto_ymax = self._auto_bounds("y", ny)
         auto_umin, auto_umax = self._auto_bounds("u", nu)
         ymin = ymin if ymin is not None else auto_ymin
         ymax = ymax if ymax is not None else auto_ymax
         umin = umin if umin is not None else auto_umin
         umax = umax if umax is not None else auto_umax
-        fig, axes = plt.subplots(ny + nu, 1, figsize=(7, 2 * (ny + nu)),
+        # estimator x̂ bounds (MHE setconstraint; plot_sim.jl:468-470)
+        xh_lo = xh_hi = None
+        est = self.obj.estim if is_mpc else self.obj
+        if ixh and hasattr(est, "X_min") and hasattr(est, "xop_hat"):
+            big = 1e17
+            lo = np.asarray(est.X_min)[:nxh] + np.asarray(est.xop_hat)
+            hi = np.asarray(est.X_max)[:nxh] + np.asarray(est.xop_hat)
+            xh_lo = np.where(np.abs(lo) < big, lo, -np.inf)
+            xh_hi = np.where(np.abs(hi) < big, hi, np.inf)
+        n_pan = len(iy) + len(iu) + len(idd) + len(ix) + len(ixh)
+        if n_pan == 0:
+            raise ValueError("nothing to plot: all panels deselected")
+        fig, axes = plt.subplots(n_pan, 1, figsize=(7, 2 * n_pan),
                                  sharex=True)
         axes = np.atleast_1d(axes)
-        for i in range(ny):
-            ax = axes[i]
+        k = 0
+        for i in iy:
+            ax = axes[k]; k += 1
             ax.plot(self.T_data, self.Y_data[:, i], label=f"$y_{{{i+1}}}$")
             if plotry and self.Ry_data is not None:
                 ax.plot(self.T_data, self.Ry_data[:, i], "--",
                         label=f"$r_{{{i+1}}}$")
-            if (self.Y_est_data is not None
-                    and not isinstance(self.obj, PredictiveController)):
-                # estimator run: overlay the output estimate ŷ
+            if plotyhat and self.Y_est_data is not None:
                 ax.plot(self.T_data, self.Y_est_data[:, i], ":",
                         label=f"$\\hat{{y}}_{{{i+1}}}$")
             if plotymax and ymax is not None and np.isfinite(ymax[i]):
@@ -92,14 +132,34 @@ class SimResult:
             if plotymin and ymin is not None and np.isfinite(ymin[i]):
                 ax.axhline(ymin[i], color="r", ls=":")
             ax.legend(loc="best")
-        for j in range(nu):
-            ax = axes[ny + j]
+        for j in iu:
+            ax = axes[k]; k += 1
             ax.step(self.T_data, self.U_data[:, j], where="post",
                     label=f"$u_{{{j+1}}}$")
             if plotumax and umax is not None and np.isfinite(umax[j]):
                 ax.axhline(umax[j], color="r", ls=":")
             if plotumin and umin is not None and np.isfinite(umin[j]):
                 ax.axhline(umin[j], color="r", ls=":")
+            ax.legend(loc="best")
+        for j in idd:
+            ax = axes[k]; k += 1
+            ax.plot(self.T_data, self.D_data[:, j], label=f"$d_{{{j+1}}}$")
+            ax.legend(loc="best")
+        for j in ix:
+            ax = axes[k]; k += 1
+            ax.plot(self.T_data, self.X_data[:, j], label=f"$x_{{{j+1}}}$")
+            if plotxwithxhat and self.X_est_data is not None and j < nxh:
+                ax.plot(self.T_data, self.X_est_data[:, j], ":",
+                        label=f"$\\hat{{x}}_{{{j+1}}}$")
+            ax.legend(loc="best")
+        for j in ixh:
+            ax = axes[k]; k += 1
+            ax.plot(self.T_data, self.X_est_data[:, j],
+                    label=f"$\\hat{{x}}_{{{j+1}}}$")
+            if plotxhatmin and xh_lo is not None and np.isfinite(xh_lo[j]):
+                ax.axhline(xh_lo[j], color="r", ls=":")
+            if plotxhatmax and xh_hi is not None and np.isfinite(xh_hi[j]):
+                ax.axhline(xh_hi[j], color="r", ls=":")
             ax.legend(loc="best")
         axes[-1].set_xlabel("time (s)")
         fig.tight_layout()

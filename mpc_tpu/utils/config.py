@@ -27,6 +27,31 @@ BIG = 1e20
 _DTYPE = np.float64 if os.environ.get("MPC_TPU_X64", "1") == "1" else np.float32
 
 
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache — the analogue of the reference's
+    precompile workload (src/precompile.jl:33-122): the first process pays the
+    compile, later processes reload compiled executables from disk.  Opt out
+    with MPC_TPU_NO_COMPILE_CACHE=1; relocate with MPC_TPU_COMPILE_CACHE."""
+    if os.environ.get("MPC_TPU_NO_COMPILE_CACHE", "") == "1":
+        return
+    import jax
+    cache_dir = os.environ.get(
+        "MPC_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mpc_tpu_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache even fast compiles: fleet/loop graphs are built from many
+        # small jits and the tunneled-TPU compiler round trips dominate
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except (OSError, AttributeError):  # read-only FS / older jax: best-effort
+        pass
+
+
+_setup_compilation_cache()
+
+
 def set_dtype(dtype) -> None:
     """Set the runtime dtype for jax parameter pytrees (f64 needs jax x64)."""
     global _DTYPE

@@ -47,3 +47,20 @@ def test_example_runs(path):
     r = subprocess.run([sys.executable, str(path)], capture_output=True,
                        text=True, timeout=240)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.mark.parametrize("path", DOCS, ids=lambda p: p.name)
+def test_doc_code_blocks_execute(path, tmp_path, monkeypatch):
+    """Docs-as-spec, executed (the reference runs every docstring example,
+    test/6_test_doctest.jl): all python blocks of a doc run top-to-bottom in
+    one shared namespace, like the reference's sequential manual examples."""
+    import matplotlib
+    matplotlib.use("Agg")
+    monkeypatch.chdir(tmp_path)   # docs write artifacts (plots, mpc.c)
+    blocks = _blocks(path)
+    if not blocks:
+        pytest.skip("no python blocks")
+    ns = {"__name__": f"docs_{path.stem}"}
+    for i, src in enumerate(blocks):
+        code = compile(src, f"{path.name}[block {i}]", "exec")
+        exec(code, ns)

@@ -50,3 +50,28 @@ def test_sim_measured_disturbance_plant():
     res = mpc.sim(ctrl, 40, [1.0], d=[0.2], d_step=[0.1])
     assert abs(res.Y_data[-1, 0] - 1.0) < 1e-2
     assert res.D_data.shape[1] == 1
+
+
+def test_plot_recipe_options(tmp_path):
+    """Reference recipe options (plot_sim.jl:362,484,745): per-signal
+    selection, state/estimate panels, x̂-with-x overlay, x̂ bounds."""
+    import mpc_tpu as mpc
+    model = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    estim = mpc.KalmanFilter(model)
+    res = mpc.sim(estim, 12, y_noise=[0.1], x_0=[2.0])
+    # estimator run: ŷ overlay by default, x̂ panels on request
+    fig = res.plot(str(tmp_path / "a.png"), plotxhat=True, plotxwithxhat=True,
+                   plotx=True)
+    assert len(fig.axes) == 1 + 1 + 1 + 2   # y + u + x + x̂(2)
+    # per-signal selection: only output 0, no inputs
+    fig2 = res.plot(str(tmp_path / "b.png"), ploty=[0], plotu=False)
+    assert len(fig2.axes) == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        res.plot(ploty=False, plotu=False)
+    # MHE run with x̂ bounds drawn
+    mhe = mpc.MovingHorizonEstimator(model, He=4)
+    mhe.setconstraint(xhatmin=[-30, -30], xhatmax=[30, 30])
+    res3 = mpc.sim(mhe, 8, y_noise=[0.1])
+    fig3 = res3.plot(str(tmp_path / "c.png"), plotxhat=True)
+    assert len(fig3.axes) == 1 + 1 + 2
