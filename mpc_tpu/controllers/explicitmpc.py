@@ -51,19 +51,36 @@ class ExplicitMPC(PredictiveController):
         self._last = {}
 
     def _build(self):
+        from ..estimators import InternalModel
+        from .linmpc import _init_stochpred
         model, estim = self.estim.model, self.estim
         Hp, Hc, nb = self.Hp, self.Hc, self.nb
-        nu, nx_hat = model.nu, estim.nx_hat
+        nu, ny, nx_hat = model.nu, model.ny, estim.nx_hat
+        if isinstance(estim, InternalModel):
+            # deterministic model predictions + stochastic output predictions
+            # Ŷs via Ks/Ps (init_stochpred, construct.jl:1236-1267) — exactly
+            # the LinMPC InternalModel path
+            A_hat, Bu_hat, C_hat = model.A, model.Bu, model.C
+            Bd_hat, Dd_hat = model.Bd, model.Dd
+            xop_hat, fop_hat = model.xop, model.fop
+            Ks, Ps = _init_stochpred(estim, Hp)
+        else:
+            A_hat, Bu_hat, C_hat = estim.A_hat, estim.Bu_hat, estim.C_hat
+            Bd_hat, Dd_hat = estim.Bd_hat, estim.Dd_hat
+            xop_hat, fop_hat = estim.xop_hat, estim.fop_hat
+            Ks = np.zeros((ny * Hp, getattr(estim, "nxs", 0)))
+            Ps = np.zeros((ny * Hp, ny))
         (E, G, J, K, V, B, ex, gx, jx, kx, vx, bx) = init_predmat(
-            self.transcription, estim.A_hat, estim.Bu_hat, estim.C_hat,
-            estim.Bd_hat, estim.Dd_hat, estim.xop_hat, estim.fop_hat, Hp, Hc, nb)
-        PDu = init_ZtoDU(self.transcription, nu, nx_hat, Hp, Hc)
-        Pu, Tu = init_ZtoU(self.transcription, nu, nx_hat, Hp, Hc, nb)
+            self.transcription, A_hat, Bu_hat, C_hat,
+            Bd_hat, Dd_hat, xop_hat, fop_hat, Hp, Hc, nb)
+        nx_pred = A_hat.shape[0]
+        PDu = init_ZtoDU(self.transcription, nu, nx_pred, Hp, Hc)
+        Pu, Tu = init_ZtoU(self.transcription, nu, nx_pred, Hp, Hc, nb)
         H = init_quadprog(E, PDu, Pu, self.weights)
         self.nZ = self.nZt = E.shape[1]
         self._p_cache = None  # invalidate uploaded copy
         self.params = dict(H_chol=sla.cho_factor(H)[0], E=E, G=G, J=J, K=K,
-                           V=V, B=B, Pu=Pu, Tu=Tu,
+                           V=V, B=B, Pu=Pu, Tu=Tu, Ks=Ks, Ps=Ps,
                            M_Hp=self.weights.M_Hp, L_Hp=self.weights.L_Hp,
                            Uop=np.tile(model.uop, Hp), Yop=np.tile(model.yop, Hp))
         self._H = H
@@ -112,9 +129,16 @@ class ExplicitMPC(PredictiveController):
             self._p_cache = jax.device_put(
                 {k: np.asarray(v) for k, v in self.params.items()})
         p = self._p_cache
+        from ..estimators import InternalModel
+        if isinstance(estim, InternalModel):
+            xs_hat, ys_full = estim.xs_hat, estim.ys_hat
+        else:
+            xs_hat = np.zeros(self.params["Ks"].shape[1])
+            ys_full = np.zeros(model.ny)
         u, Z, F = self._step(p, jnp.asarray(estim.x0_hat), jnp.asarray(self.lastu0),
                              jnp.asarray(d0), jnp.asarray(D0),
-                             jnp.asarray(R_hat_y), jnp.asarray(R_hat_u))
+                             jnp.asarray(R_hat_y), jnp.asarray(R_hat_u),
+                             jnp.asarray(xs_hat), jnp.asarray(ys_full))
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Z)
         self._last = dict(F=np.asarray(F), d=d, D_hat=D_hat,
@@ -158,10 +182,13 @@ class ExplicitMPC(PredictiveController):
 
 def _build_step(nu, nd):
     @jit32
-    def step(p, x0_hat, lastu0, d0, D0, R_hat_y, R_hat_u):
+    def step(p, x0_hat, lastu0, d0, D0, R_hat_y, R_hat_u, xs_hat, ys_full):
         F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0
         if nd:
             F = F + p["G"] @ d0 + p["J"] @ D0
+        # InternalModel stochastic output predictions (predictstoch!,
+        # execute.jl:321-327); zero matrices otherwise
+        F = F + p["Ks"] @ xs_hat + p["Ps"] @ ys_full
         Cy = F + p["Yop"] - R_hat_y
         Cu = p["Tu"] @ lastu0 + p["Uop"] - R_hat_u
         q = 2.0 * (p["E"].T @ (p["M_Hp"] @ Cy) + p["Pu"].T @ (p["L_Hp"] @ Cu))

@@ -310,3 +310,165 @@ def test_manual_estimator_mhe_pipeline_golden():
         y_data, [0.0, 0.239713, 0.227556, 0.157837, 0.098629], atol=2e-6)
     np.testing.assert_allclose(
         yhat_data, [-0.0, 0.238713, 0.226556, 0.156837, 0.097629], atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# reference test-suite oracle values (computed against real OSQP/Ipopt on the
+# reference's CI — test/3_test_predictive_control.jl)
+# ---------------------------------------------------------------------------
+
+def _yop10():
+    m = mpc.LinModel(mpc.tf(5, [2, 1]), 3.0)
+    m.setop(yop=[10.0])
+    return m
+
+
+def test_linmpc_moves_item():
+    """3_test_predictive_control.jl:92-138 'LinMPC moves and getinfo'."""
+    mpc1 = mpc.LinMPC(_yop10(), Nwt=[0], Hp=1000, Hc=1)
+    mpc1.preparestate([10.0])
+    u = mpc1.moveinput([15.0])
+    np.testing.assert_allclose(u, [1.0], atol=1e-2)          # :100
+    u = mpc1([15.0], lastu=[-1.0])
+    np.testing.assert_allclose(u, [1.0], atol=1e-2)          # :102
+    info = mpc1.getinfo()
+    np.testing.assert_allclose(info["u"], u, atol=1e-9)
+    assert info["Yhat"][-1] == pytest.approx(15.0, abs=1e-2)
+    np.testing.assert_allclose(info["DeltaU"], [2.0], atol=1e-2)
+    # input-target-only tuning tracks R̂u (:113-114)
+    mpc3 = mpc.LinMPC(_yop10(), Mwt=[0], Nwt=[0], Lwt=[1])
+    mpc3.preparestate([10.0])
+    u = mpc3.moveinput([0.0], R_hat_u=np.full(mpc3.Hp, 12.0))
+    np.testing.assert_allclose(u, [12.0], atol=1e-2)
+    # MultipleShooting agrees (:120-127; Hp=100 here — same steady state,
+    # bounded matrix sizes for the dense in-repo QP)
+    mpc5 = mpc.LinMPC(_yop10(), Nwt=[0], Hp=100, Hc=1,
+                      transcription=mpc.MultipleShooting())
+    mpc5.preparestate([10.0])
+    u = mpc5.moveinput([15.0])
+    np.testing.assert_allclose(u, [1.0], atol=1e-2)
+    info5 = mpc5.getinfo()
+    # 2e-2 (not the reference's 1e-2): Hp shortened 1000→100 and the dense
+    # MS QP carries 201 variables through ADMM+polish
+    assert info5["Yhat"][-1] == pytest.approx(15.0, abs=2e-2)
+
+
+def test_linmpc_feedforward_item():
+    """:128-134 — measured disturbance reaching the setpoint needs u=0."""
+    G = np.array([[mpc.tf(5, [2000, 1]), mpc.tf(7, [8000, 1])]], dtype=object)
+    m = mpc.LinModel(G, 3000.0, i_d=[1])
+    c = mpc.LinMPC(m, Nwt=[0], Hp=1000, Hc=1)
+    c.preparestate([0.0], [0.0])
+    u = c.moveinput([0.7], [0.1])
+    np.testing.assert_allclose(u, [0.0], atol=1e-2)
+
+
+def test_linmpc_move_blocking_pattern_item():
+    """:135-141 — vector Hc=[1,2,3,4]: held moves are exactly held."""
+    c = mpc.LinMPC(_yop10(), Hp=10, Hc=[1, 2, 3, 4], Nwt=[10])
+    c.preparestate([10.0])
+    c.moveinput([15.0])
+    dU = np.diff(c.getinfo()["U"])
+    np.testing.assert_allclose(dU[[1, 3, 4, 6, 7, 8]], np.zeros(6), atol=1e-9)
+
+
+@pytest.mark.parametrize("kind", ["internal_model", "nint_u", "nint_ym"])
+def test_linmpc_step_disturbance_rejection_item(kind):
+    """:159-207 — unmeasured output-disturbance rejection is offset-free for
+    all three augmentation schemes; endpoint u≈2, ym≈15 (OSQP oracle)."""
+    plant = _yop10()
+    r, outdist = 15.0, 5.0
+    if kind == "internal_model":
+        ctrl = mpc.LinMPC(mpc.InternalModel(_yop10()))
+    elif kind == "nint_u":
+        ctrl = mpc.LinMPC(mpc.SteadyKalmanFilter(_yop10(), nint_u=[1]))
+    else:
+        ctrl = mpc.LinMPC(mpc.SteadyKalmanFilter(_yop10(), nint_ym=[1]))
+    plant.setstate(np.zeros(1))
+    u = np.zeros(1)
+    for _ in range(25):
+        ym = plant.evaloutput() - outdist
+        ctrl.preparestate(ym)
+        u = ctrl.moveinput([r])
+        ctrl.updatestate(u, ym)
+        plant.updatestate(u)
+    np.testing.assert_allclose(u, [2.0], atol=1e-2)
+    np.testing.assert_allclose(ym, [r], atol=1e-2)
+
+
+def test_explicitmpc_moves_item():
+    """:640-668 'ExplicitMPC moves and getinfo' + disturbance rejection."""
+    m = mpc.LinModel(mpc.tf(5, [2, 1]), 3.0)
+    m.setop(yop=[10.0])
+    e1 = mpc.ExplicitMPC(m, Nwt=[0], Hp=1000, Hc=1)
+    e1.preparestate([10.0])
+    u = e1.moveinput([15.0])
+    np.testing.assert_allclose(u, [1.0], atol=1e-2)
+    u = e1([15.0], lastu=[-1.0])
+    np.testing.assert_allclose(u, [1.0], atol=1e-2)
+    info = e1.getinfo()
+    np.testing.assert_allclose(info["u"], u, atol=1e-9)
+    assert info["Yhat"][-1] == pytest.approx(15.0, abs=1e-2)
+    np.testing.assert_allclose(info["DeltaU"], [2.0], atol=1e-2)
+    e3 = mpc.ExplicitMPC(m, Mwt=[0], Nwt=[0], Lwt=[1])
+    e3.preparestate([10.0])
+    u = e3.moveinput([0.0], R_hat_u=np.full(e3.Hp, 12.0))
+    np.testing.assert_allclose(u, [12.0], atol=1e-2)
+    # offset-free rejection through the InternalModel (:936-953)
+    plant = _yop10()
+    ctrl = mpc.ExplicitMPC(mpc.InternalModel(_yop10()))
+    plant.setstate(np.zeros(1))
+    u = np.zeros(1)
+    for _ in range(25):
+        ym = plant.evaloutput() - 5.0
+        ctrl.preparestate(ym)
+        u = ctrl.moveinput([15.0])
+        ctrl.updatestate(u, ym)
+        plant.updatestate(u)
+    np.testing.assert_allclose(u, [2.0], atol=1e-2)
+    np.testing.assert_allclose(ym, [15.0], atol=1e-2)
+
+
+def test_nonlinmpc_linmodel_moves_item():
+    """:908-935 'NonLinMPC moves and getinfo (LinModel)' — the hybrid path."""
+    m = mpc.LinModel(mpc.tf(5, [2000, 1]), 3000.0)
+    m.setop(yop=[10.0])
+    Hp = 100
+    n1 = mpc.NonLinMPC(m, Nwt=[0], Hp=Hp, Hc=1)
+    n1.preparestate([10.0])
+    u = n1.moveinput([15.0])
+    np.testing.assert_allclose(u, [1.0], atol=5e-2)
+    u = n1([15.0], lastu=[-1.0])
+    np.testing.assert_allclose(u, [1.0], atol=5e-2)
+    info = n1.getinfo()
+    np.testing.assert_allclose(np.asarray(info["u"], float), u, atol=1e-9)
+    assert info["Yhat"][-1] == pytest.approx(15.0, abs=5e-2)
+    np.testing.assert_allclose(info["DeltaU"], [2.0], atol=5e-2)
+    # input-target tuning via setmodel weight swap (:921-923)
+    n1.setmodel(Mwt=[0], Lwt=[1])
+    u = n1.moveinput(R_hat_u=np.full(Hp, 4.0))
+    np.testing.assert_allclose(u, [4.0], atol=5e-2)
+    # economic-only tracking (:924-934): JE recreates the tracking cost
+    import jax.numpy as jnp
+
+    def JE(Ue, Ye, De, p, eps):
+        Wy, ry, Wu, ru = p
+        return (Wy * jnp.sum((ry - Ye[1:]) ** 2)
+                + Wu * jnp.sum((ru - Ue[:-1]) ** 2))
+
+    n2 = mpc.NonLinMPC(m, Mwt=[0], Nwt=[0], Cwt=None, Ewt=1.0, JE=JE,
+                       p=(1.0, 15.0, 0.0, 4.0), Hp=Hp, Hc=1)
+    n2.preparestate([10.0])
+    u = n2.moveinput()
+    np.testing.assert_allclose(u, [1.0], atol=5e-2)
+    n3 = mpc.NonLinMPC(m, Mwt=[0], Nwt=[0], Cwt=None, Ewt=1.0, JE=JE,
+                       p=(0.0, 15.0, 1.0, 4.0), Hp=Hp, Hc=1)
+    n3.preparestate([10.0])
+    u = n3.moveinput()
+    np.testing.assert_allclose(u, [4.0], atol=5e-2)
+    # MultipleShooting variant (:941-946)
+    n9 = mpc.NonLinMPC(m, Nwt=[0], Hp=Hp, Hc=1,
+                       transcription=mpc.MultipleShooting())
+    n9.preparestate([10.0])
+    u = n9.moveinput([20.0])
+    np.testing.assert_allclose(u, [2.0], atol=5e-2)
