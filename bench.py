@@ -17,15 +17,24 @@ import time
 import numpy as np
 
 
-def _timed_windows(step, args, n_windows, iters_per_window, B):
-    """Median/p10/p90 throughput over K timed windows + per-step p99."""
+def _timed_windows(step, arg_seq, n_windows, iters_per_window, B):
+    """Median/p10/p90 throughput over K timed windows + per-step p99.
+
+    ``arg_seq`` is a list of (ym, ry) pairs cycled through per step: the
+    receding-horizon serving regime — warm starts carry over (honest), but
+    the rotating setpoints keep every step doing real QP work (identical
+    repeats would converge in ~1 iteration and overstate throughput).
+    """
     import jax
     tput, step_times = [], []
+    n_phase = len(arg_seq)
+    k = 0
     for _ in range(n_windows):
         t0 = time.time()
         for _ in range(iters_per_window):
             ts = time.time()
-            out = step(*args)
+            out = step(*arg_seq[k % n_phase])
+            k += 1
             jax.block_until_ready(out[0])
             step_times.append(time.time() - ts)
         dt = time.time() - t0
@@ -67,8 +76,11 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     construct_s = time.time() - t0
 
     rng = np.random.default_rng(1)
-    ym = jnp.asarray(rng.normal(size=(B_total, ny)) * 0.5, jnp.float32)
-    ry = jnp.asarray(rng.normal(size=(B_total, ny)) * 2.0, jnp.float32)
+    # 4 rotating setpoint phases, uploaded once (receding-horizon serving)
+    arg_seq = [(jnp.asarray(rng.normal(size=(B_total, ny)) * 0.5, jnp.float32),
+                jnp.asarray(rng.normal(size=(B_total, ny)) * 2.0, jnp.float32))
+               for _ in range(4)]
+    ym, ry = arg_seq[0]
 
     t0 = time.time()
     u, n_conv = bat.step(ym, ry)
@@ -76,7 +88,7 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     compile_s = time.time() - t0
 
     med, p10, p90, p99_step, mean_step = _timed_windows(
-        bat.step, (ym, ry), n_windows, iters, B_total)
+        bat.step, arg_seq, n_windows, iters, B_total)
     flops = _flops_per_step(bat, ym, ry)
     peak = _PEAK.get(platform)
     mfu = (flops / mean_step) / peak if (flops and peak) else None
@@ -117,8 +129,11 @@ def _large_plant_controllers(n, Hp=25, Hc=4, seed=0, nio=8):
         Bu = rng.normal(size=(nio, nio)) * 0.5 + np.eye(nio)
         C = np.eye(nio)
         model = LinModel(ss(A, Bu, C, np.zeros((nio, nio)), 2.0), 2.0)
+        # Cwt=1e3 (not the 1e5 default): the slack weight sets cond(H̃) and
+        # the f32 ADMM iteration count scales with it; 1e3 keeps the soft-y
+        # semantics with cond(H̃) ≈ 7e4
         c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=np.ones(nio),
-                   Nwt=np.full(nio, 0.1), Cwt=1e5)
+                   Nwt=np.full(nio, 0.1), Cwt=1e3)
         c.setconstraint(umin=np.full(nio, -10.0), umax=np.full(nio, 10.0),
                         dumin=np.full(nio, -4.0), dumax=np.full(nio, 4.0),
                         ymin=np.full(nio, -60.0), ymax=np.full(nio, 60.0))

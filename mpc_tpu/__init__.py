@@ -18,7 +18,7 @@ from .estimators import (StateEstimator, SteadyKalmanFilter, KalmanFilter,
                          UnscentedKalmanFilter, ExtendedKalmanFilter,
                          Luenberger, InternalModel, ManualEstimator,
                          MovingHorizonEstimator, default_nint)
-from .controllers import (PredictiveController, LinMPC, ExplicitMPC,
+from .controllers import (PredictiveController, LinMPC, ExplicitMPC, info2debugstr,
                           NonLinMPC, SLMPC, SingleShooting, MultipleShooting,
                           TrapezoidalCollocation, OrthogonalCollocation)
 from .sim import sim, SimResult

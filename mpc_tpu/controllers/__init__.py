@@ -1,4 +1,4 @@
-from .base import PredictiveController, default_Hp
+from .base import PredictiveController, default_Hp, info2debugstr
 from .transcription import (SingleShooting, MultipleShooting,
                             TrapezoidalCollocation, OrthogonalCollocation,
                             move_blocking, init_predmat, init_defectmat)

@@ -29,6 +29,27 @@ def estimate_delays(model):
     return 0
 
 
+def info2debugstr(info):
+    """Format a ``getinfo`` dict for debug logs (general.jl:64-81): one
+    ``key => value`` line each, ASCII aliases and the solution summary
+    collapsed."""
+    import numpy as np
+    lines = ["Content of getinfo dictionary:"]
+    for k, v in info.items():
+        if k == "sol":
+            continue
+        if any(ord(c) > 127 for c in k):
+            continue  # Unicode duplicate of an ASCII key
+        if isinstance(v, np.ndarray):
+            v = np.array2string(np.asarray(v), precision=4, threshold=12)
+        lines.append(f"  :{k} => {v}")
+    if "sol" in info:
+        lines.append("  :sol =>")
+        for sk, sv in dict(info["sol"]).items():
+            lines.append(f"    {sk}: {sv}")
+    return "\n".join(lines) + "\n"
+
+
 def default_Hp(model):
     if not isinstance(model, LinModel):
         raise ValueError("Prediction horizon Hp must be explicitly specified "

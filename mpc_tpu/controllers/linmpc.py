@@ -439,9 +439,12 @@ class LinMPC(PredictiveController):
         self._solved_once = True
         u = np.asarray(u)
         if not self._last["converged"]:
+            import logging
             import warnings
             warnings.warn("MPC solver did not converge; applying shifted warm "
                           "start (graceful degradation)")
+            from .base import info2debugstr
+            logging.getLogger("mpc_tpu").debug(info2debugstr(self.getinfo()))
         self.lastu0 = u - model.uop
         return u
 

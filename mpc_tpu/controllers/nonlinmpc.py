@@ -979,6 +979,9 @@ class NonLinMPC(PredictiveController):
             u0 = np.clip(u0, self.U0min[:model.nu], self.U0max[:model.nu])
             u = u0 + model.uop
             self._last["failed"] = True
+            import logging
+            from .base import info2debugstr
+            logging.getLogger("mpc_tpu").debug(info2debugstr(self.getinfo()))
         self.lastu0 = u - model.uop
         return u
 

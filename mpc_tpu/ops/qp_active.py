@@ -72,7 +72,10 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
     cho = jax.scipy.linalg.cho_factor(P)
     x0 = -jax.scipy.linalg.cho_solve(cho, q)        # unconstrained minimum
     HinvAT = jax.scipy.linalg.cho_solve(cho, A.T)   # (n, m): P⁻¹ aᵢ columns
-    G = A @ HinvAT                                  # (m, m): aᵢᵀP⁻¹aⱼ
+    # Gram entries aᵢᵀP⁻¹aⱼ are gathered on the fly from HinvAT — the full
+    # (m, m) G precompute is O(m²) memory, which at condensed-MPC shapes
+    # like m≈900 × B=512 lanes is gigabytes of HBM for entries GI never
+    # touches (it only ever needs an (n_active × n_active) block per pivot)
 
     has_lo = l > -_BIG
     has_up = u < _BIG
@@ -144,10 +147,11 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
             s = jnp.where(valid, side, 0).astype(dt)       # (n,) slot signs
             spf = sp.astype(dt)
             # gathered NᵀP⁻¹N system (n×n) for the dual direction r
-            Gsub = G[idx[:, None], idx[None, :]] * jnp.outer(s, s)
+            A_idx = A[idx]                               # (n, nvar)
+            Gsub = (A_idx @ HinvAT[:, idx]) * jnp.outer(s, s)
             Mm = jnp.where(jnp.eye(n, dtype=bool),
                            jnp.where(valid, jnp.diag(Gsub), 1.0), Gsub)
-            rhs = s * spf * G[idx, p]
+            rhs = s * spf * (A_idx @ HinvAT[:, p])
             r = jnp.linalg.solve(Mm, rhs)
             r = jnp.where(valid, r, 0.0)
             # primal direction z = P⁻¹(ν⁺ − Σ r_j ν_j), ν_j = −s_j a_{idx_j}
