@@ -76,9 +76,17 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     construct_s = time.time() - t0
 
     rng = np.random.default_rng(1)
-    # 4 rotating setpoint phases, uploaded once (receding-horizon serving)
-    arg_seq = [(jnp.asarray(rng.normal(size=(B_total, ny)) * 0.5, jnp.float32),
-                jnp.asarray(rng.normal(size=(B_total, ny)) * 2.0, jnp.float32))
+    # 4 rotating setpoint phases, uploaded once (receding-horizon serving):
+    # a base profile plus per-phase deltas — warm starts carry over but each
+    # step still moves every lane's QP (identical repeats would converge in
+    # ~1 iteration; full ±2σ re-randomization every step is not a serving
+    # regime and drives first-order ADMM to cold-start iteration counts)
+    ym0 = rng.normal(size=(B_total, ny)) * 0.5
+    ry0 = rng.normal(size=(B_total, ny)) * 2.0
+    arg_seq = [(jnp.asarray(ym0 + rng.normal(size=(B_total, ny)) * 0.1,
+                            jnp.float32),
+                jnp.asarray(ry0 + rng.normal(size=(B_total, ny)) * 0.2,
+                            jnp.float32))
                for _ in range(4)]
     ym, ry = arg_seq[0]
 

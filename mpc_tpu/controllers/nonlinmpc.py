@@ -44,6 +44,23 @@ from .transcription import (CollocationMethod, MultipleShooting,
                             init_ZtoDU, init_ZtoU, move_blocking)
 
 
+def _numeric_p(p):
+    """Return p as a device-able numeric pytree, or None if any leaf is not
+    numeric (then p stays a baked closure constant)."""
+    if p is None:
+        return None
+    try:
+        leaves = jax.tree.leaves(p)
+        if not leaves:
+            return None
+        arrs = [np.asarray(x) for x in leaves]
+        if not all(np.issubdtype(a.dtype, np.number) for a in arrs):
+            return None
+        return jax.tree.map(lambda x: np.asarray(x, float), p)
+    except (TypeError, ValueError):
+        return None
+
+
 class NonLinMPC(PredictiveController):
     def __init__(self, model_or_estim, Hp=None, Hc=2,
                  Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
@@ -198,6 +215,13 @@ class NonLinMPC(PredictiveController):
             fop_m_xop=estim.fop_hat - estim.xop_hat,
             yop=model.yop, uop=model.uop, dop=model.dop,
         )
+        # user parameter p travels in params when it is a numeric pytree
+        # (reference: nmpc.p is mutable at runtime, nonlinmpc.jl test :930);
+        # non-numeric p (e.g. a model object) stays a baked closure constant
+        p_num = _numeric_p(self.p)
+        self._p_traced = p_num is not None
+        if self._p_traced:
+            self.params["p_user"] = p_num
         if rebuild_step or getattr(self, "_step", None) is None:
             # the jitted step bakes in f/h and shapes; weight/covariance
             # swaps travel in params and must NOT retrace (CLAUDE.md)
@@ -455,7 +479,12 @@ class NonLinMPC(PredictiveController):
             neq = 0
         nK = self.nZ - nDU - nx_hat * Hp if self.is_ms else 0  # ortho K block
         nw, nW = self.nw, self.nW
-        JE, gc, p_user = self.JE, self.gc, self.p
+        JE, gc = self.JE, self.gc
+        if self._p_traced:
+            getp = lambda p: p["p_user"]
+        else:
+            p_static = self.p
+            getp = lambda p: p_static
         Cwt = self.weights.Cwt
         Ewt = self.weights.Ewt
         rollout = self._rollout_fns()
@@ -483,7 +512,7 @@ class NonLinMPC(PredictiveController):
             J = ey @ p["M_Hp"] @ ey + DUt @ p["Nt_Hc"] @ DUt + eu @ p["L_Hp"] @ eu
             if Ewt != 0.0:
                 Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
-                J = J + Ewt * JE(Ue, Ye, De, p_user, eps)
+                J = J + Ewt * JE(Ue, Ye, De, getp(p), eps)
             return J
 
         def constraint_data(p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk):
@@ -505,7 +534,7 @@ class NonLinMPC(PredictiveController):
                     Z_, eps_ = split(Zt_)
                     Y0_, _, _, U0_ = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
                     Ue, Ye, De = extended(p, U0_, Y0_, d, D_hat, yk)
-                    return jnp.asarray(gc(Ue, Ye, De, p_user, eps_))
+                    return jnp.asarray(gc(Ue, Ye, De, getp(p), eps_))
                 gcv = gfun(Zt)
                 Jgc = jax.jacfwd(gfun)(Zt)
             return Y0, xend, S, Jy, Jx, Js, gcv, Jgc
@@ -547,7 +576,7 @@ class NonLinMPC(PredictiveController):
                 Z_, eps_ = split(Zt)
                 Y0_, _, _, U0_ = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
                 Ue, Ye, De = extended(p, U0_, Y0_, d, D_hat, yk)
-                return Ewt * JE(Ue, Ye, De, p_user, eps_)
+                return Ewt * JE(Ue, Ye, De, getp(p), eps_)
 
             Tu_lastu0 = p["Tu"] @ lastu0
 
@@ -584,7 +613,7 @@ class NonLinMPC(PredictiveController):
                 if nc:
                     Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
                     parts.append(jnp.maximum(
-                        jnp.asarray(gc(Ue, Ye, De, p_user, eps_)), 0))
+                        jnp.asarray(gc(Ue, Ye, De, getp(p), eps_)), 0))
                 if n_eps:
                     parts.append(jnp.maximum(-eps_, 0)[None])
                 return jnp.concatenate(parts)
@@ -846,7 +875,7 @@ class NonLinMPC(PredictiveController):
                       xend - p["x0max"] - p["c_xmax"] * eps_]
             if nc:
                 Ue, Ye, De = extended(p, U0, Y0, d, D_hat, yk)
-                g_rows.append(jnp.asarray(gc(Ue, Ye, De, p_user, eps_)))
+                g_rows.append(jnp.asarray(gc(Ue, Ye, De, getp(p), eps_)))
             return obj(Zt), gJ, jnp.concatenate(g_rows), S
 
         return step, diag
@@ -902,6 +931,22 @@ class NonLinMPC(PredictiveController):
             getattr(self, k)[:] = v
         return self
 
+    def setparam(self, p):
+        """Swap the user parameter ``p`` of JE/gc at runtime (the reference
+        mutates ``mpc.p`` in place, test :930).  Numeric pytrees swap as
+        params data (same structure → no retrace); anything else rebuilds
+        the jitted step."""
+        self.p = p
+        p_num = _numeric_p(p)
+        if self._p_traced and p_num is not None and \
+                jax.tree.structure(p_num) == jax.tree.structure(
+                    self.params["p_user"]):
+            self.params["p_user"] = p_num
+            self._params_version += 1
+        else:
+            self._build(rebuild_step=True)
+        return self
+
     def initstate(self, u, ym, d=None):
         x = super().initstate(u, ym, d)
         self._solved_once = False   # re-enable the MS/collocation cold start
@@ -936,7 +981,7 @@ class NonLinMPC(PredictiveController):
         if getattr(self, "_p_ver", None) != self._params_version:
             # one device_put per params version, not ~40 eager uploads/step
             self._p_cache = jax.device_put(
-                {k: np.asarray(v) for k, v in self.params.items()})
+                jax.tree.map(np.asarray, self.params))  # p_user may be a tree
             self._p_ver = self._params_version
         p = self._p_cache
         if self.is_ms and not self._solved_once:

@@ -119,7 +119,8 @@ class BatchedNonLinMPC:
             np_dt = np.dtype(self._dt) if self._dt is not None else None
             cast = (lambda a: a.astype(np_dt) if np_dt is not None and
                     np.issubdtype(a.dtype, np.floating) else a)
-            tree = {k: cast(np.asarray(v)) for k, v in self.t.params.items()}
+            tree = jax.tree.map(lambda v: cast(np.asarray(v)),
+                                self.t.params)  # p_user may be a sub-tree
             self._p_cache = (jax.device_put(tree, self._shard_r)
                              if self._shard_r is not None
                              else jax.device_put(tree))

@@ -74,7 +74,7 @@ class CompiledClosedLoop:
         self.nu, self.ny, self.nd = plant.nu, plant.ny, plant.nd
         self.i_ym = np.asarray(estim.i_ym, int)
         # controller params (host numpy; ONE device_put in run())
-        self._p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+        self._p = jax.tree.map(np.asarray, ctrl.params)
         e = estim
         self._ep = dict(
             A_hat=np.asarray(e.A_hat),
@@ -688,7 +688,7 @@ class CompiledMHEMPCLoop:
         self.mhe, self.ctrl, self.plant = mhe, ctrl, plant
         self.nu, self.ny, self.nd = plant.nu, plant.ny, plant.nd
         self.i_ym = np.asarray(mhe.i_ym, int)
-        self._p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+        self._p = jax.tree.map(np.asarray, ctrl.params)
         model = mhe.model
         self._mp = dict(uop=np.asarray(model.uop), dop=np.asarray(model.dop),
                         yop_m=np.asarray(model.yop)[self.i_ym])
@@ -905,7 +905,7 @@ class CompiledNonLinLoop:
         dks = np.tile(d, (N, 1)) if nd else np.zeros((N, 0))
         if x_0 is not None:
             plant.setstate(np.asarray(x_0, float))
-        p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+        p = jax.tree.map(np.asarray, ctrl.params)
         st0 = dict(x0_p=np.asarray(plant.x0, float),
                    x0_hat=np.asarray(estim.x0_hat, float),
                    P_hat=np.asarray(estim.P_hat, float),
@@ -969,7 +969,7 @@ def _nonlin_run_fleet(self, B, N, ry=None, *, x_0=None, y_noise=None,
         x0p = np.tile(np.asarray(plant.x0, float), (B, 1))
     else:
         x0p = np.asarray(x_0, float) - plant.xop
-    p = {k: np.asarray(v) for k, v in ctrl.params.items()}
+    p = jax.tree.map(np.asarray, ctrl.params)
     st0 = dict(x0_p=x0p,
                x0_hat=np.tile(np.asarray(estim.x0_hat, float), (B, 1)),
                P_hat=np.tile(np.asarray(estim.P_hat, float), (B, 1, 1)),

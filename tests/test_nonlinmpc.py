@@ -394,3 +394,27 @@ def test_nonlinmpc_getinfo_derivative_dumps():
     assert info["sol"]["defect_norm"] < 1e-6  # MS defects closed
     assert info["sol"]["failed"] is False
     assert info["sol"]["iterations"] == info["iters"]
+
+
+def test_nonlinmpc_setparam_swaps_without_retrace():
+    """Runtime p swap (reference mutates nmpc.p, test :930): numeric pytree
+    p travels in params — same structure swaps never rebuild the step."""
+    import jax.numpy as jnp
+    m = mpc.LinModel(mpc.tf(5, [2000, 1]), 3000.0)
+    m.setop(yop=[10.0])
+
+    def JE(Ue, Ye, De, p, eps):
+        Wy, ry, Wu, ru = p
+        return (Wy * jnp.sum((ry - Ye[1:]) ** 2)
+                + Wu * jnp.sum((ru - Ue[:-1]) ** 2))
+
+    c = mpc.NonLinMPC(m, Mwt=[0], Nwt=[0], Cwt=None, Ewt=1.0, JE=JE,
+                      p=(1.0, 15.0, 0.0, 4.0), Hp=60, Hc=1)
+    c.preparestate([10.0])
+    u = c.moveinput()
+    np.testing.assert_allclose(u, [1.0], atol=5e-2)   # output tracking
+    step_before = c._step
+    c.setparam((0.0, 15.0, 1.0, 4.0))                 # input tracking now
+    assert c._step is step_before                     # no retrace
+    u = c.moveinput()
+    np.testing.assert_allclose(u, [4.0], atol=5e-2)
