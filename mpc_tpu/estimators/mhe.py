@@ -873,4 +873,16 @@ class MovingHorizonEstimator(StateEstimator):
             info["nablaJ"] = info["∇J"] = np.asarray(g)
         except Exception:
             pass
+        # solution summary (the reference attaches JuMP.solution_summary)
+        info["sol"] = dict(
+            solver=("time-varying QP (ADMM)" if self._is_lin_qp()
+                    else "GN-SQP (ADMM subproblems)"),
+            objective=self._last.get("J"),
+            window_fill=f"{Nk}/{self.He}",
+            transcription=type(self.transcription).__name__,
+            nZt=self.nZt)
         return info
+
+    def _is_lin_qp(self):
+        from ..models import LinModel
+        return isinstance(self.model, LinModel)

@@ -180,15 +180,21 @@ def sim(obj, N, ry=None, d=None, *, plant=None, u=None,
       kwargs mirroring the reference's ``sim!``.
     """
     if isinstance(obj, SimModel):
-        return _sim_model(obj, N, u, d)
+        # open-loop bump test accepts (N, u, d, x_0) like the reference
+        # (plot_sim.jl:123 doctest); ry doubles as u positionally
+        if u is None and ry is not None:
+            u = ry
+        return _sim_model(obj, N, u, d, x_0)
     return _sim_closedloop(obj, N, ry, d, plant, u_step, u_noise, y_step,
                            y_noise, d_step, d_noise, x_noise, x_0, x_hat_0,
                            lastu, seed)
 
 
-def _sim_model(model: SimModel, N, u, d):
+def _sim_model(model: SimModel, N, u, d, x_0=None):
     u = np.ones(model.nu) if u is None else np.asarray(u, float).ravel()
     d = model.dop.copy() if d is None else np.asarray(d, float).ravel()
+    if x_0 is not None:
+        model.setstate(np.asarray(x_0, float))
     T = np.arange(N) * model.Ts
     Y = np.zeros((N, model.ny))
     U = np.tile(u, (N, 1))

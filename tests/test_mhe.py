@@ -540,3 +540,19 @@ def test_mhe_setmodel_linmodel_does_not_retrace():
         mhe.preparestate(y)
         mhe.updatestate([0.5], y)
     assert np.all(np.isfinite(mhe.x0_hat))
+
+
+def test_mhe_getinfo_key_parity():
+    """getinfo key set matches the reference's documented dictionary
+    (mhe/execute.jl:86-203 + non-Unicode aliases)."""
+    m = mpc.LinModel(mpc.ss(0.5, 1.0, 1.0, 0.0, 1.0), 1.0)
+    est = mpc.MovingHorizonEstimator(m, He=3)
+    for k in range(4):
+        est.preparestate([0.1 * k])
+        est.updatestate([0.0], [0.1 * k])
+    info = est.getinfo()
+    for key in ("What", "epsilon", "Xhat", "xhat", "Vhat", "Pbar", "xbar",
+                "Yhat", "Yhatm", "xhatarr", "J", "Ym", "U", "D", "sol",
+                "nablaJ"):
+        assert key in info, key
+    assert info["sol"]["window_fill"] == "3/3"

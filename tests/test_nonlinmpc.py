@@ -418,3 +418,37 @@ def test_nonlinmpc_setparam_swaps_without_retrace():
     assert c._step is step_before                     # no retrace
     u = c.moveinput()
     np.testing.assert_allclose(u, [4.0], atol=5e-2)
+
+
+def test_nonlinmpc_gradJ_matches_finite_differences():
+    """AD correctness vs numeric differentiation (the reference cross-checks
+    its AD backends with FiniteDiff, Project.toml test deps)."""
+    import jax.numpy as jnp
+    f = lambda x, u, d, p: 0.5 * x + jnp.tanh(u)
+    h = lambda x, d, p: 2.0 * x
+    nm = mpc.NonLinModel(f, h, 1.0, 1, 1, 1, solver=None)
+    c = mpc.NonLinMPC(nm, Hp=6, Hc=2, sqp_iters=6)
+    c.preparestate([0.3])
+    c.moveinput([1.0])
+    info = c.getinfo()
+    gJ = np.asarray(info["gradJ"])
+
+    # rebuild J(Z̃) numerically through the diag objective
+    import jax
+    L = c._last
+    args = (c._p_cache, jnp.asarray(L["x0_hat"]),
+            jnp.asarray(c.lastu0_at_solve), jnp.asarray(L["d0"]),
+            jnp.asarray(L["D0"]), jnp.asarray(c.R_hat_y),
+            jnp.asarray(c.R_hat_u), jnp.asarray(L["yk"]),
+            jnp.asarray(L["ry"]))
+    def J_of(Z):
+        Ja, _, _, _ = c._diag(*args, jnp.asarray(Z))
+        return float(Ja)
+    Z0 = c.Z_tilde.copy()
+    fd = np.zeros_like(gJ)
+    eps = 1e-6
+    for i in range(Z0.size):
+        zp, zm = Z0.copy(), Z0.copy()
+        zp[i] += eps; zm[i] -= eps
+        fd[i] = (J_of(zp) - J_of(zm)) / (2 * eps)
+    np.testing.assert_allclose(gJ, fd, rtol=1e-4, atol=1e-6)

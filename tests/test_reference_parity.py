@@ -472,3 +472,14 @@ def test_nonlinmpc_linmodel_moves_item():
     n9.preparestate([10.0])
     u = n9.moveinput([20.0])
     np.testing.assert_allclose(u, [2.0], atol=5e-2)
+
+
+def test_sim_model_x0_golden():
+    """plot_sim.jl:123 — open-loop sim with x_0: x⁺=0.1x+u+d, y=2x."""
+    import jax.numpy as jnp
+    plant = mpc.NonLinModel(lambda x, u, d, p: 0.1 * x + u + d,
+                            lambda x, d, p: 2 * x, 5.0, 1, 1, 1, 1,
+                            solver=None)
+    res = mpc.sim(plant, 15, [0.0], [0.0], x_0=[1.0])
+    expect = 2.0 * 0.1 ** np.arange(15)
+    np.testing.assert_allclose(res.y_data.ravel(), expect, atol=1e-12)
