@@ -121,7 +121,8 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     return res
 
 
-def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8):
+def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8,
+                             transcription=None):
     """Randomized stable nio×nio MIMO plants — big enough prediction
     matrices (ny·Hp=120 rows, 897 constraint rows) that the vmapped QP runs
     MXU-shaped matmuls.  Hp=15/Nwt=1 keeps the dense condensed QP in ADMM's
@@ -145,7 +146,8 @@ def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8):
         # the f32 ADMM iteration count scales with it; 1e3 keeps the soft-y
         # semantics with cond(H̃) ≈ 7e4
         c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=np.ones(nio),
-                   Nwt=np.full(nio, 1.0), Cwt=1e3)
+                   Nwt=np.full(nio, 1.0), Cwt=1e3,
+                   transcription=transcription)
         c.setconstraint(umin=np.full(nio, -10.0), umax=np.full(nio, 10.0),
                         dumin=np.full(nio, -4.0), dumax=np.full(nio, 4.0),
                         ymin=np.full(nio, -60.0), ymax=np.full(nio, 60.0))

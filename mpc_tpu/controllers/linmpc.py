@@ -429,12 +429,13 @@ class LinMPC(PredictiveController):
                          ja(xs_hat), ja(ys_full),
                          ja(self.Z_tilde), ja(self.y_dual),
                          ja(ry), ja(y_now))
-        u, Z_t, y_dual, converged, F, obj = out
+        u, Z_t, y_dual, converged, F, obj, iters = out
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Z_t)
         self.y_dual = np.asarray(y_dual)
         self._last = dict(F=np.asarray(F), converged=bool(converged),
                           obj=float(obj), d=d, D_hat=D_hat,
+                          iters=int(iters),
                           x0_hat=estim.x0_hat.copy())
         self._solved_once = True
         u = np.asarray(u)
@@ -493,6 +494,9 @@ class LinMPC(PredictiveController):
             info["xhatend"] = info["x̂end"] = (
                 np.asarray(p["ex_t"]) @ Z_t + fx + estim.xop_hat)
         info["converged"] = self._last["converged"]
+        # QP iteration count (the reference's solution_summary carries the
+        # solver's iteration statistics, controller/execute.jl:145-198)
+        info["iters"] = self._last.get("iters")
         return info
 
     def __repr__(self):
@@ -649,6 +653,6 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                       p["U0min"][:nu] - p["C_umin_u"] * eps_f,
                       p["U0max"][:nu] + p["C_umax_u"] * eps_f)
         u = u0 + p["Uop"][:nu]
-        return u, Z_t, sol.y, sol.converged, F, sol.obj + r_const
+        return u, Z_t, sol.y, sol.converged, F, sol.obj + r_const, sol.iters
 
     return step

@@ -115,7 +115,7 @@ class BatchedLinMPC:
             R_hat_y = jnp.tile(ry, self.Hp)
             R_hat_u = p["Uop"]
             nxs = p["Ks"].shape[1]
-            u, Z_t, y_dual, conv, F, obj = step_raw(
+            u, Z_t, y_dual, conv, F, obj, iters = step_raw(
                 p, x0c, st["lastu0"], d0, D_hat_0, R_hat_y, R_hat_u,
                 jnp.zeros(nxs, x0.dtype), jnp.zeros(ep["yop_m"].shape[0] +
                                                     (c0.estim.nyu), x0.dtype),
@@ -127,15 +127,18 @@ class BatchedLinMPC:
                 x0n = x0n + ep["Bd_hat"] @ d0
             x0n = x0n + ep["fop_m_xop"]
             new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t, y_dual=y_dual)
-            return u, conv, obj, new_st
+            return u, conv, obj, iters, new_st
 
         vone = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
 
         def stepfn(params, eparams, state, ym, ry, d):
-            u, conv, obj, new_state = vone(params, eparams, state, ym, ry, d)
-            # cross-shard reduction: global convergence diagnostic only
+            u, conv, obj, iters, new_state = vone(params, eparams, state,
+                                                  ym, ry, d)
+            # cross-shard reductions: global convergence diagnostics only
             n_conv = jnp.sum(conv.astype(jnp.int32))
-            return u, n_conv, new_state
+            it_stats = jnp.stack([jnp.max(iters),
+                                  jnp.sum(iters) // iters.shape[0]])
+            return u, n_conv, it_stats, new_state
 
         return stepfn
 
@@ -149,8 +152,8 @@ class BatchedLinMPC:
                 jax.block_until_ready(self._dzero)
             d = self._dzero
         dt = self.params["H"].dtype   # fleet dtype: f64 host inputs must not
-        u, n_conv, self.state = self._step(self.params, self.eparams,  # leak
-                                           self.state, jnp.asarray(ym, dt),
-                                           jnp.asarray(ry, dt),
-                                           jnp.asarray(d, dt))
+        u, n_conv, it_stats, self.state = self._step(  # leak into the graph
+            self.params, self.eparams, self.state, jnp.asarray(ym, dt),
+            jnp.asarray(ry, dt), jnp.asarray(d, dt))
+        self.last_iters = it_stats    # [max, mean] QP iterations (device)
         return u, n_conv

@@ -138,7 +138,7 @@ class CompiledClosedLoop:
             R_hat_y = jnp.tile(ry, Hp)
             R_hat_u = p["Uop"]
             nxs = p["Ks"].shape[1]
-            u, Z_t, y_dual, conv, _, obj = step_raw(
+            u, Z_t, y_dual, conv, _, obj, _it = step_raw(
                 p, x0c, st["lastu0"], d0, D_hat_0, R_hat_y, R_hat_u,
                 jnp.zeros(nxs, x0.dtype),
                 jnp.zeros(ep["yop_m"].shape[0] + nyu, x0.dtype),
@@ -726,7 +726,7 @@ class CompiledMHEMPCLoop:
             # --- LinMPC solve from the MHE estimate ---
             D_hat_0 = jnp.tile(d0, Hp)
             R_hat_y = jnp.tile(ry, Hp)
-            u, Z_t, y_dual, conv, _, obj = step_raw(
+            u, Z_t, y_dual, conv, _, obj, _it = step_raw(
                 p, x_new, st["lastu0"], d0, D_hat_0, R_hat_y, p["Uop"],
                 jnp.zeros(p["Ks"].shape[1], x_new.dtype),
                 jnp.zeros(y0m.shape[0] + nyu, x_new.dtype),

@@ -35,9 +35,20 @@ def _setup_compilation_cache() -> None:
     if os.environ.get("MPC_TPU_NO_COMPILE_CACHE", "") == "1":
         return
     import jax
+    # Namespace the cache by a host-CPU fingerprint: XLA:CPU AOT entries bake
+    # in the compile machine's feature set (avx512 variants, scatter/gather
+    # preferences) and loading them on a different host logs errors and can
+    # SIGILL — a moved home directory must get a fresh cache, not a stale one.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+        fp = hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        fp = "default"
     cache_dir = os.environ.get(
         "MPC_TPU_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "mpc_tpu_jax"))
+        os.path.join(os.path.expanduser("~"), ".cache", "mpc_tpu_jax", fp))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
