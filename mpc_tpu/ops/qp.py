@@ -202,7 +202,8 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
 
     def body(carry):
         # run `check_every` ADMM steps then test residuals + infeasibility
-        x0_, z0_, y0_, it0, done0, infeas0, j0_ = carry
+        (x0_, z0_, y0_, it0, done0, infeas0, j0_, best0, stall0,
+         _res_ok0) = carry
         rhov = jnp.take(rhovs_lad, j0_, axis=0)
         Lm = jnp.take(Minvs_lad, j0_, axis=0)
         def inner(i, c):
@@ -228,11 +229,39 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         j_new = jnp.clip(j0_ + dj, 0, N_LAD - 1)
         adapt = (~done) & ~infeas & move
         j_next = jnp.where(adapt, j_new, j0_)
-        return (x, z, y, it, done | infeas, infeas, j_next)
+        # ---- plateau detection (f32 ONLY) -------------------------------
+        # f32 ADMM has an arithmetic floor: on equality-heavy problems
+        # (MultipleShooting defect rows) the dual residual floors ORDERS
+        # above the tolerance, and certain right-hand sides put the f32
+        # iteration into a genuine limit cycle (the same QP converges in
+        # ~30 iterations in f64) — either way the loop would spin to
+        # max_iter while the iterates stopped moving.  Exit once the worst
+        # relative residual has not improved ≥2% over five consecutive
+        # checks — the mixed-precision polish (f64 refinement) supplies
+        # the final accuracy, and `converged` is assessed on the
+        # post-polish KKT residuals either way.  The counter resets on a
+        # ρ-rung change (residuals jump after one).  f64 keeps exact
+        # OSQP termination semantics: its slow-but-descending phases must
+        # not be mistaken for the (f32-specific) floor.
+        if dt == jnp.float32:
+            score = jnp.maximum(rp, rd)
+            improved = score < 0.98 * best0
+            best = jnp.minimum(score, best0)
+            stall = jnp.where(improved | (j_next != j0_), 0, stall0 + 1)
+            plateau = stall >= 5
+        else:
+            best, stall = best0, stall0
+            plateau = jnp.array(False)
+        # carry slot 4 is the EXIT flag; `done` (the actual residual pass)
+        # travels separately — a plateau exit must not report convergence
+        return (x, z, y, it, done | infeas | plateau, infeas, j_next,
+                best, stall, done)
 
-    x, z, y, iters, done, infeasible, j_fin = jax.lax.while_loop(
+    (x, z, y, iters, _exit, infeasible, j_fin, _, _,
+     done) = jax.lax.while_loop(
         cond, body, (x, z, y, jnp.array(0), jnp.array(False), jnp.array(False),
-                     j0))
+                     j0, jnp.asarray(jnp.inf, dt), jnp.array(0),
+                     jnp.array(False)))
 
     if polish:
         x, y, z = _polish(P, q, A, l, u, x, y, fin_l, fin_u, eq_mask,
