@@ -116,6 +116,10 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         tol = max(tol, 3e-5)
         tol_final = max(tol_final, 3e-4)
         polish_delta = max(polish_delta, 1e-6)
+        # the f32 KKT inverse (3-pass-bf16 matmuls on TPU) converges the
+        # mixed-precision refinement slowly on big active sets — extra IR
+        # sweeps are matvec-cheap and rescue lanes the 3-sweep default lost
+        polish_iters = max(polish_iters, 8)
     x = jnp.zeros(n, dt) if x0 is None else x0
     y = jnp.zeros(m, dt) if y0 is None else y0
     if m == 0:
