@@ -20,7 +20,7 @@ from ..utils.config import jit32
 
 from ..estimators import InternalModel, StateEstimator, SteadyKalmanFilter
 from ..models import LinModel
-from ..ops.qp import solve_qp
+from ..ops.qp import build_solver_cache, solve_qp
 from ..ops.qp_active import solve_qp_active
 from ..utils.config import BIG
 from .base import PredictiveController, default_Hp, estimate_delays
@@ -230,6 +230,7 @@ class LinMPC(PredictiveController):
             Wmin_b=self.Wmin_b, Wmax_b=self.Wmax_b,
             dop_w=model.dop, Dop_w=np.tile(model.dop, Hp),
         )
+        self._rebuild_qp_cache()
         # (re)create the jitted step only when the shapes changed — setmodel
         # swaps data every control period in successive-linearization MPC and
         # must NOT trigger a retrace (a silent 1000× slowdown otherwise)
@@ -246,6 +247,31 @@ class LinMPC(PredictiveController):
             self._step = jit32(self._step_raw)
             self._step_shape_key = shape_key
         self._solved_once = False
+
+    # ------------------------------------------------------------------
+    def _rebuild_qp_cache(self):
+        """Step-invariant ADMM setup (Ruiz diagonals + ρ-ladder inverses)
+        for the current (H̃, A_stack) and bound classification — built
+        host-side in f64 (ops.qp.build_solver_cache) and shipped inside the
+        params tree, so per-period solves skip the whole in-solve setup.
+        Row classes follow the A_stack layout in _build; they only change
+        when a bound crosses ±BIG, which re-enters here via setconstraint."""
+        if self.qp_solver != "admm":
+            return
+        TH = 1e18   # ops.qp._BIG: rows at/beyond this are "infinite"
+        loose = np.concatenate([
+            self.U0min <= -TH, self.U0max >= TH,
+            self.DUmin <= -TH, self.DUmax >= TH,
+            self.Y0min <= -TH, self.Y0max >= TH,
+            self.Wmin_b <= -TH, self.Wmax_b >= TH,
+            self.x0min <= -TH, self.x0max >= TH,
+            np.zeros(self.n_eps, bool),
+            np.zeros(self.n_eq, bool)])
+        eq = np.zeros(self.A_stack.shape[0], bool)
+        if self.n_eq:
+            eq[-self.n_eq:] = True
+        self.params.update(build_solver_cache(
+            self.params["H"], self.A_stack, eq, loose))
 
     # ------------------------------------------------------------------
     def setconstraint(self, **kw):
@@ -342,6 +368,9 @@ class LinMPC(PredictiveController):
             for name in ("U0min", "U0max", "DUmin", "DUmax", "Y0min", "Y0max",
                          "x0min", "x0max", "Wmin_b", "Wmax_b"):
                 self.params[name] = getattr(self, name)
+            # a bound crossing ±BIG changes the ADMM row classification
+            # (and with it the cached ρ-ladder) — rebuild the cache
+            self._rebuild_qp_cache()
             self._params_version += 1
         return self
 
@@ -642,7 +671,10 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                                   y0=y_prev)
         else:
             sol = solve_qp(p["H"], q, p["A_stack"], l, u_vec, x0=Zs,
-                           y0=y_prev)
+                           y0=y_prev,
+                           cache={k: p[k] for k in
+                                  ("qpc_D", "qpc_E", "qpc_c", "qpc_eq",
+                                   "qpc_loose", "qpc_rhovs", "qpc_Minvs")})
         Z_t = jnp.where(sol.converged, sol.x, Zs)
         # --- receding horizon input (getinput!, execute.jl:536-546),
         # clamped to the (soft-relaxed) actuator box for hard safety ---

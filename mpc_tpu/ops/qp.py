@@ -83,15 +83,78 @@ def _ruiz_equilibrate(P, q, A, iters=10):
     return P, q, A, D, E, c
 
 
+def build_solver_cache(P, A, eq_mask, loose_mask, *,
+                       sigma=1e-6, rho=0.1, scaling=10):
+    """Precompute the step-invariant part of ``solve_qp`` (host NumPy, f64).
+
+    MPC solves the same (P=H̃, A=A_stack) every control period — only
+    (q, l, u) move.  The Ruiz equilibration (10 data sweeps) and the
+    ρ-ladder of Newton-refined normal-matrix inverses depend ONLY on
+    (P, A) and the row-classification masks, yet were rebuilt inside every
+    solve: at bench shapes they dominate the per-solve setup FLOPs.  Build
+    once per controller configuration (masks from the bound structure —
+    one-sided rows stay one-sided, defect rows stay equalities; the
+    reference's matching restriction is that ±Inf bounds cannot be toggled
+    after construction, mhe/construct.jl:1036-1038) and pass the result as
+    ``solve_qp(..., cache=...)``.  f64 host construction also gives
+    f32 runs a rounded-f64 inverse, slightly better than an f32-computed
+    one.  Returns a dict of plain NumPy arrays (pytree-friendly: travels
+    inside a controller's params dict, stacks across fleets, ships in the
+    single device_put).
+    """
+    import numpy as np
+    P = np.asarray(P, np.float64)
+    A = np.asarray(A, np.float64)
+    eq = np.asarray(eq_mask, bool)
+    loose = np.asarray(loose_mask, bool)
+    n = P.shape[0]
+    m = A.shape[0]
+    # --- Ruiz equilibration of [[P, Aᵀ],[A, 0]] with q_ref = 0 ------------
+    D = np.ones(n)
+    E = np.ones(m)
+    c = 1.0
+    Ps, As = P.copy(), A.copy()
+    for _ in range(int(scaling)):
+        col = np.max(np.abs(Ps), axis=0)
+        if m:
+            col = np.maximum(col, np.max(np.abs(As), axis=0))
+        d = np.where(col < 1e-10, 1.0, 1.0 / np.sqrt(np.clip(col, 1e-12, 1e12)))
+        row = np.max(np.abs(As), axis=1) if m else np.zeros(0)
+        e = np.where(row < 1e-10, 1.0, 1.0 / np.sqrt(np.clip(row, 1e-12, 1e12)))
+        Ps = (d[:, None] * Ps) * d[None, :]
+        As = (e[:, None] * As) * d[None, :]
+        gamma = 1.0 / np.clip(np.mean(np.max(np.abs(Ps), axis=0)), 1e-12, 1e12)
+        Ps *= gamma
+        D *= d
+        E *= e
+        c *= gamma
+    # --- ρ-ladder of Newton-refined inverses ------------------------------
+    N_LAD = 9
+    lad = rho * np.logspace(-2.0, 2.0, N_LAD)
+    rhovs = np.stack([np.where(eq, 1e3 * r, np.where(loose, 1e-6 * r, r))
+                      for r in lad])
+    Ms = Ps[None] + sigma * np.eye(n)[None] + \
+        np.einsum("ji,kj,jl->kil", As, rhovs, As)
+    Minvs = np.linalg.inv(Ms)
+    Minvs = Minvs @ (2.0 * np.eye(n)[None] - Ms @ Minvs)
+    return dict(qpc_D=D, qpc_E=E, qpc_c=np.float64(c),
+                qpc_eq=eq, qpc_loose=loose,
+                qpc_rhovs=rhovs, qpc_Minvs=Minvs)
+
+
 def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
              sigma=1e-6, rho=0.1, alpha=1.6,
              max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
              scaling=10, polish=True, polish_iters=3, polish_delta=1e-11,
-             polish_rounds=2):
+             polish_rounds=2, cache=None):
     """Solve one dense QP.  jit- and vmap-compatible (static shapes only).
 
     Matmuls run at full float32 precision: the TPU MXU's default reduced
     precision (~bf16 mantissa) breaks the ADMM residual tests.
+
+    ``cache``: output of :func:`build_solver_cache` for this (P, A) — skips
+    the in-solve equilibration and ρ-ladder factorization (the whole
+    step-invariant setup) for receding-horizon serving.
     """
     with jax.default_matmul_precision("float32"):
         return _solve_qp_impl(P, q, A, l, u, x0, y0, sigma=sigma, rho=rho,
@@ -100,14 +163,14 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
                               scaling=scaling, polish=polish,
                               polish_iters=polish_iters,
                               polish_delta=polish_delta,
-                              polish_rounds=polish_rounds)
+                              polish_rounds=polish_rounds, cache=cache)
 
 
 def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                    sigma=1e-6, rho=0.1, alpha=1.6,
                    max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
                    scaling=10, polish=True, polish_iters=3, polish_delta=1e-11,
-                   polish_rounds=2):
+                   polish_rounds=2, cache=None):
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
@@ -129,46 +192,68 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                           jnp.array(0), 0.5 * xs @ P @ xs + q @ xs)
 
     P_orig, q_orig, A_orig, l_orig, u_orig = P, q, A, l, u
-    eq_mask = (u - l) < 1e-12
-    loose_mask = (u >= _BIG) & (l <= -_BIG)
     fin_l = l > -_BIG
     fin_u = u < _BIG
-    if scaling:
-        P, q, A, D, Esc, c = _ruiz_equilibrate(P, q, A, iters=scaling)
+    if cache is not None:
+        # step-invariant setup precomputed by build_solver_cache: scale the
+        # data with the cached diagonals (one elementwise pass — ~1/30th of
+        # the 10-sweep Ruiz loop) and reuse the cached ladder inverses
+        eq_mask = cache["qpc_eq"]
+        loose_mask = cache["qpc_loose"]
+        D = jnp.asarray(cache["qpc_D"], dt)
+        Esc = jnp.asarray(cache["qpc_E"], dt)
+        c = jnp.asarray(cache["qpc_c"], dt)
+        P = (c * D[:, None]) * P * D[None, :]
+        q = c * D * q
+        A = (Esc[:, None] * A) * D[None, :]
         l = jnp.clip(Esc * l, -2e18, 2e18)
         u = jnp.clip(Esc * u, -2e18, 2e18)
         x = x / D
         y = c * y / Esc
+        rhovs_lad = jnp.asarray(cache["qpc_rhovs"], dt)
+        Minvs_lad = jnp.asarray(cache["qpc_Minvs"], dt)
+        N_LAD = rhovs_lad.shape[0]
     else:
-        D = jnp.ones(n, dt)
-        Esc = jnp.ones(m, dt)
-        c = jnp.asarray(1.0, dt)
+        eq_mask = (u - l) < 1e-12
+        loose_mask = (u >= _BIG) & (l <= -_BIG)
+        if scaling:
+            P, q, A, D, Esc, c = _ruiz_equilibrate(P, q, A, iters=scaling)
+            l = jnp.clip(Esc * l, -2e18, 2e18)
+            u = jnp.clip(Esc * u, -2e18, 2e18)
+            x = x / D
+            y = c * y / Esc
+        else:
+            D = jnp.ones(n, dt)
+            Esc = jnp.ones(m, dt)
+            c = jnp.asarray(1.0, dt)
+
+        # ---- ρ-ladder of precomputed inverses ---------------------------
+        # TPU redesign of OSQP's adaptive-ρ refactorization: a cached
+        # Cholesky costs two SERIAL triangular solves per iteration, and a
+        # refactorization under vmapped lax.cond executes on every residual
+        # check regardless.  Instead, ρ adaptation SNAPS to a geometric
+        # ladder whose normal-matrix inverses are all precomputed up front
+        # (batched matmuls + one batched inv, Newton-refined to f32-safe
+        # accuracy) — the ADMM loop then contains only matmuls and gathers,
+        # nothing serial.
+        N_LAD = 9
+        lad = jnp.asarray(rho, dt) * jnp.logspace(-2.0, 2.0, N_LAD).astype(dt)
+
+        def _build_ladder():
+            rhovs = jax.vmap(lambda r: _rho_vec(eq_mask, loose_mask, r))(lad)
+            Ms = P[None] + sigma * jnp.eye(n, dtype=dt)[None] + \
+                jnp.einsum("ji,kj,jl->kil", A, rhovs, A)
+            Minvs = jnp.linalg.inv(Ms)
+            # one Newton step X ← X(2I − MX): squares the inverse's
+            # residual, which keeps f32 lanes from stalling on
+            # ill-conditioned problems
+            Minvs = Minvs @ (2.0 * jnp.eye(n, dtype=dt)[None] - Ms @ Minvs)
+            return rhovs, Minvs
+
+        rhovs_lad, Minvs_lad = _build_ladder()
 
     Dinv, Einv, cinv = 1.0 / D, 1.0 / Esc, 1.0 / c
-
-    # ---- ρ-ladder of precomputed inverses -------------------------------
-    # TPU redesign of OSQP's adaptive-ρ refactorization: a cached Cholesky
-    # costs two SERIAL triangular solves per iteration, and a refactorization
-    # under vmapped lax.cond executes on every residual check regardless.
-    # Instead, ρ adaptation SNAPS to a geometric ladder whose normal-matrix
-    # inverses are all precomputed up front (batched matmuls + one batched
-    # inv, Newton-refined to f32-safe accuracy) — the ADMM loop then contains
-    # only matmuls and gathers, nothing serial.
-    N_LAD = 9
-    lad = jnp.asarray(rho, dt) * jnp.logspace(-2.0, 2.0, N_LAD).astype(dt)
     log_step = 4.0 / (N_LAD - 1)
-
-    def _build_ladder():
-        rhovs = jax.vmap(lambda r: _rho_vec(eq_mask, loose_mask, r))(lad)
-        Ms = P[None] + sigma * jnp.eye(n, dtype=dt)[None] + \
-            jnp.einsum("ji,kj,jl->kil", A, rhovs, A)
-        Minvs = jnp.linalg.inv(Ms)
-        # one Newton step X ← X(2I − MX): squares the inverse's residual,
-        # which keeps f32 lanes from stalling on ill-conditioned problems
-        Minvs = Minvs @ (2.0 * jnp.eye(n, dtype=dt)[None] - Ms @ Minvs)
-        return rhovs, Minvs
-
-    rhovs_lad, Minvs_lad = _build_ladder()
     j0 = jnp.asarray((N_LAD - 1) // 2, jnp.int32)   # lad[j0] == rho
 
     z = jnp.clip(A @ x, l, u)
