@@ -6,8 +6,10 @@ BASELINE.json config 3: 4096 randomized LinModel scenarios solved in lockstep
 v5e chip.  Prints ONE JSON line with the headline value plus stability and
 utilization diagnostics (round-1 verdict: the single-window number varied 15×
 with shared-TPU load, so the artifact now carries the median of K windows and
-the p10–p90 spread, an XLA-cost-model MFU estimate, and a second large-problem
-config that actually exercises the MXU).
+the p10–p90 spread, an iteration-aware analytic MFU estimate, a second
+large-problem config, and a shared-plant scenario-fleet config — the stacked
+per-lane matrices are HBM-bandwidth-bound, sharing them across the batch is
+what actually feeds the MXU).
 """
 import json
 import os
@@ -17,16 +19,22 @@ import time
 import numpy as np
 
 
-def _timed_windows(step, arg_seq, n_windows, iters_per_window, B):
+def _timed_windows(step, arg_seq, n_windows, iters_per_window, B,
+                   get_iters=None):
     """Median/p10/p90 throughput over K timed windows + per-step p99.
 
     ``arg_seq`` is a list of (ym, ry) pairs cycled through per step: the
     receding-horizon serving regime — warm starts carry over (honest), but
     the rotating setpoints keep every step doing real QP work (identical
     repeats would converge in ~1 iteration and overstate throughput).
+
+    ``get_iters()`` (optional) reads the fleet's batch-mean QP iteration
+    count after each step — the analytic-MFU path needs it because XLA's
+    cost model counts the while_loop body ONCE, underestimating the real
+    FLOPs by the iteration count.
     """
     import jax
-    tput, step_times = [], []
+    tput, step_times, iter_handles = [], [], []
     n_phase = len(arg_seq)
     k = 0
     for _ in range(n_windows):
@@ -37,27 +45,22 @@ def _timed_windows(step, arg_seq, n_windows, iters_per_window, B):
             k += 1
             jax.block_until_ready(out[0])
             step_times.append(time.time() - ts)
+            if get_iters is not None:
+                # keep the DEVICE handle — np.asarray here would be a
+                # host sync costing a full tunnel round trip per step
+                iter_handles.append(get_iters())
         dt = time.time() - t0
         tput.append(B * iters_per_window / dt)
     tput = np.asarray(tput)
+    stats = [np.asarray(h) for h in iter_handles]
+    iter_means = [float(s[1]) for s in stats]
+    iter_maxes = [float(s[0]) for s in stats]
     return (float(np.median(tput)), float(np.percentile(tput, 10)),
             float(np.percentile(tput, 90)),
             float(np.percentile(step_times, 99)),
-            float(np.mean(step_times)))
-
-
-def _flops_per_step(bat, ym, ry):
-    """XLA cost-model FLOPs of one batched step executable."""
-    try:
-        d = bat._dzero
-        lowered = bat._step.lower(bat.params, bat.eparams, bat.state,
-                                  ym, ry, d)
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+            float(np.mean(step_times)),
+            float(np.mean(iter_means)) if iter_means else None,
+            float(np.max(iter_maxes)) if iter_maxes else None)
 
 
 # peak FLOP/s used for the MFU denominator (per chip).  v5e MXU peak is
@@ -95,10 +98,21 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     jax.block_until_ready(u)
     compile_s = time.time() - t0
 
-    med, p10, p90, p99_step, mean_step = _timed_windows(
-        bat.step, arg_seq, n_windows, iters, B_total)
-    flops = _flops_per_step(bat, ym, ry)
+    def get_iters():
+        return bat.last_iters   # device handle; [max, mean] QP iterations
+
+    med, p10, p90, p99_step, mean_step, mean_iters, max_iters = \
+        _timed_windows(bat.step, arg_seq, n_windows, iters, B_total,
+                       get_iters=get_iters)
     peak = _PEAK.get(platform)
+    # analytic FLOPs: per-lane per-ADMM-iteration cost of the solver loop
+    # (A@x + Aᵀ@(ρz−y): 4mn, Minv@rhs: 2n², vector ops) × measured mean
+    # iterations — the XLA cost model counts the while_loop body once and
+    # underestimates by the trip count
+    n_dec = bat.params["H"].shape[-1]
+    m_rows = bat.params["A_stack"].shape[-2]
+    iter_flops = 4 * m_rows * n_dec + 2 * n_dec * n_dec + 10 * (m_rows + n_dec)
+    flops = (B_total * mean_iters * iter_flops) if mean_iters else None
     mfu = (flops / mean_step) / peak if (flops and peak) else None
     res = {
         "metric": label,
@@ -110,6 +124,10 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         "n_windows": n_windows,
         "mfu_est": round(mfu, 4) if mfu is not None else None,
         "flops_per_step": flops,
+        "qp_iters_mean": round(mean_iters, 1) if mean_iters else None,
+        # the vmapped while_loop runs the whole batch until the SLOWEST
+        # lane exits — wall time is set by this, not the mean
+        "qp_iters_max": round(max_iters, 1) if max_iters else None,
         "converged": int(n_conv),
         "batch": B_total,
     }
@@ -203,7 +221,33 @@ def main():
         headline["large_config"] = {k: large[k] for k in
                                     ("metric", "value", "p10_solves_per_s",
                                      "p90_solves_per_s", "mfu_est",
-                                     "flops_per_step", "converged")}
+                                     "flops_per_step", "qp_iters_mean",
+                                     "converged")}
+
+    # shared-plant scenario fleet: ONE controller config, B states/setpoints
+    # (Monte-Carlo / multi-zone serving).  Params are vmap in_axes=None, so
+    # each QP iteration is a true matmul with A/H̃ read from HBM once per
+    # step instead of once per lane — the stacked layout above is
+    # HBM-bandwidth-bound on per-lane matrix copies
+    if os.environ.get("MPC_BENCH_SHARED", "1") == "1":
+        def make_shared():
+            ctrls = _large_plant_controllers(1)
+            bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=B_total,
+                                share_params=True)
+            bat.step(jnp.zeros((B_total, 8), jnp.float32),
+                     jnp.zeros((B_total, 8), jnp.float32))
+            return bat, 8
+
+        shared = _bench_config(
+            make_shared, B_total, max(2, n_windows - 2), n_iters,
+            f"shared-plant LinMPC scenario fleet 8x8 Hp=15 (B={B_total}, "
+            f"{platform})", target=10000.0, platform=platform)
+        headline["shared_plant_config"] = {k: shared[k] for k in
+                                           ("metric", "value",
+                                            "p10_solves_per_s",
+                                            "p90_solves_per_s", "mfu_est",
+                                            "flops_per_step", "qp_iters_mean",
+                                            "converged")}
 
     print(json.dumps(headline))
 

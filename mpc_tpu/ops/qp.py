@@ -183,6 +183,13 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         # mixed-precision refinement slowly on big active sets — extra IR
         # sweeps are matvec-cheap and rescue lanes the 3-sweep default lost
         polish_iters = max(polish_iters, 8)
+        # f32 iterations past a few hundred cannot buy accuracy the
+        # arithmetic floor already denies (and the polish supplies) — but a
+        # single oscillating lane that dodges the plateau detector makes a
+        # lockstep vmapped fleet run the FULL batch to max_iter (measured:
+        # batch mean 62 iterations, one lane at the 2000 cap).  Cap the f32
+        # loop; `converged` stays an honest post-polish KKT assessment.
+        max_iter = min(max_iter, 600)
     x = jnp.zeros(n, dt) if x0 is None else x0
     y = jnp.zeros(m, dt) if y0 is None else y0
     if m == 0:
@@ -336,7 +343,15 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
             score = jnp.maximum(rp, rd)
             improved = score < 0.98 * best0
             best = jnp.minimum(score, best0)
-            stall = jnp.where(improved | (j_next != j0_), 0, stall0 + 1)
+            # a ρ-rung change resets the counter (residuals jump after one)
+            # — but only EARLY: a lane whose rung keeps oscillating would
+            # reset forever and ride to max_iter, and in a vmapped fleet
+            # the lockstep while_loop makes every lane pay for that tail
+            # (measured: batch mean 62 iterations, one lane at the 2000
+            # cap → the whole B=4096 step ran 2000).  Past iteration 300
+            # only genuine improvement resets the counter.
+            reset = improved | ((j_next != j0_) & (it < 300))
+            stall = jnp.where(reset, 0, stall0 + 1)
             plateau = stall >= 5
         else:
             best, stall = best0, stall0

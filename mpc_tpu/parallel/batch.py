@@ -58,18 +58,37 @@ class BatchedLinMPC:
     """
 
     def __init__(self, controllers: list[LinMPC], mesh: Mesh | None = None,
-                 dtype=None, reps: int = 1):
+                 dtype=None, reps: int = 1, share_params: bool = False):
         """``reps`` tiles every scenario ``reps`` times along the batch axis
         (host-side, before the single device upload) — the cheap way to build
-        a large lockstep fleet from few distinct scenarios."""
+        a large lockstep fleet from few distinct scenarios.
+
+        ``share_params=True`` builds a SHARED-PLANT scenario fleet: one
+        controller configuration, ``reps`` independent states/setpoints.
+        The params/eparams trees are NOT stacked (vmap ``in_axes=None``), so
+        every per-iteration op in the QP becomes a true matmul with the
+        matrix read from HBM once per step instead of once per lane — the
+        stacked layout is HBM-bandwidth-bound on per-lane copies of A/H̃ at
+        production batch sizes, which caps MXU utilization regardless of
+        batch.  Use for Monte-Carlo / multi-zone serving where the plant
+        model is common across scenarios."""
         c0 = controllers[0]
-        self.B = len(controllers) * reps
+        self.share_params = bool(share_params)
+        if self.share_params and len(controllers) != 1:
+            raise ValueError("share_params=True expects exactly one "
+                             "controller (the shared configuration); set "
+                             "reps=B for the fleet size")
+        self.B = len(controllers) * reps if not self.share_params else reps
         self.nu = c0.estim.model.nu
         self.nym = c0.estim.nym
         self.nd = c0.estim.model.nd
         self.Hp = c0.Hp
-        params = stack_params(controllers)
-        eparams = estimator_params(controllers)
+        if self.share_params:
+            params = {k: np.asarray(v) for k, v in c0.params.items()}
+            eparams = {k: v[0] for k, v in estimator_params(controllers).items()}
+        else:
+            params = stack_params(controllers)
+            eparams = estimator_params(controllers)
         # cast + tile on host: every eager device op on a tunneled TPU costs
         # a network round trip, so all shaping happens in NumPy and the trees
         # ship in ONE device_put below
@@ -77,7 +96,7 @@ class BatchedLinMPC:
         def prep(a):
             if np_dt is not None and np.issubdtype(a.dtype, np.floating):
                 a = a.astype(np_dt)
-            if reps > 1:
+            if reps > 1 and not self.share_params:
                 a = np.tile(a, (reps,) + (1,) * (a.ndim - 1))
             return a
         params = {k: prep(v) for k, v in params.items()}
@@ -92,8 +111,16 @@ class BatchedLinMPC:
         self.mesh = mesh
         if mesh is not None:
             shard = NamedSharding(mesh, P("batch"))
-            self.params, self.eparams, self.state = jax.device_put(
-                (params, eparams, state), shard)
+            if self.share_params:
+                # shared config: replicate params on every device, shard
+                # only the per-scenario state along the batch axis
+                repl = NamedSharding(mesh, P())
+                self.params, self.eparams = jax.device_put(
+                    (params, eparams), repl)
+                self.state = jax.device_put(state, shard)
+            else:
+                self.params, self.eparams, self.state = jax.device_put(
+                    (params, eparams, state), shard)
         else:
             self.params, self.eparams, self.state = jax.device_put(
                 (params, eparams, state))
@@ -129,7 +156,8 @@ class BatchedLinMPC:
             new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t, y_dual=y_dual)
             return u, conv, obj, iters, new_st
 
-        vone = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
+        p_ax = None if self.share_params else 0
+        vone = jax.vmap(one, in_axes=(p_ax, p_ax, 0, 0, 0, 0))
 
         def stepfn(params, eparams, state, ym, ry, d):
             u, conv, obj, iters, new_state = vone(params, eparams, state,
