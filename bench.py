@@ -122,7 +122,12 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         "p10_solves_per_s": round(p10, 1),
         "p90_solves_per_s": round(p90, 1),
         "n_windows": n_windows,
+        # analytic LOWER BOUND on MXU utilization: counts only the ADMM
+        # inner-loop FLOPs (no polish KKT, residual checks, ladder gathers,
+        # estimator update) and assumes the cached-setup path — do not read
+        # round-over-round changes as absolute utilization
         "mfu_est": round(mfu, 4) if mfu is not None else None,
+        "mfu_note": "analytic lower bound (ADMM inner loop only)",
         "flops_per_step": flops,
         "qp_iters_mean": round(mean_iters, 1) if mean_iters else None,
         # the vmapped while_loop runs the whole batch until the SLOWEST

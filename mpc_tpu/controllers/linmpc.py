@@ -40,7 +40,8 @@ class LinMPC(PredictiveController):
                  Mwt=None, Nwt=None, Lwt=None, M_Hp=None, N_Hc=None, L_Hp=None,
                  Cwt=1e5, transcription: TranscriptionMethod | None = None,
                  Wy=None, Wu=None, Wd=None, Wr=None,
-                 optim=None, dtype=None, qp_solver="admm", **estim_kwargs):
+                 optim=None, dtype=None, qp_solver="admm",
+                 limit_solve_time=False, **estim_kwargs):
         # dtype=jnp.float32 runs the jitted step in TPU-native f32 (construct
         # math stays f64 on host); None inherits the jax default (x64-aware).
         # f32 matches f64 traces ~1e-5 on well-conditioned weights; weakly
@@ -68,11 +69,8 @@ class LinMPC(PredictiveController):
                 "use NonLinMPC for collocation methods")
         if qp_solver not in ("admm", "active_set"):
             raise ValueError("qp_solver must be 'admm' or 'active_set'")
-        if qp_solver == "active_set" and not isinstance(
-                self.transcription, SingleShooting):
-            # MS defect equalities would cost ~nx̂·Hp pivots/solve — use the
-            # ADMM path (which handles equality rows with 1000× ρ) instead
-            raise ValueError("qp_solver='active_set' requires SingleShooting")
+        # (both solvers support MultipleShooting: the defect equalities are
+        # eliminated at construct time via QR nullspace, see _build)
         self.qp_solver = qp_solver
         Hp = default_Hp(model) if Hp is None else int(Hp)
         nk_delays = estimate_delays(model)
@@ -92,6 +90,17 @@ class LinMPC(PredictiveController):
         self.Wy, self.Wu, self.Wd, self.Wr, self.nw = _validate_custom_lincon(
             model, Wy, Wu, Wd, Wr)
         self.optim_kwargs = optim or {}
+        # Ts-deadline solve policy (the reference caps every solve at the
+        # sampling time, limit_solve_time ∈ general.jl:109-121): when
+        # enabled, the ADMM iteration budget for the NEXT period is derived
+        # from Ts and an EWMA of the measured per-iteration wall cost, and
+        # a finished step that overran Ts raises the `deadline_miss` flag
+        # in getinfo.  Opt-in: iteration budgets only bind on a saturated
+        # real-time host, and the flag is the honest signal either way.
+        self.limit_solve_time = bool(limit_solve_time)
+        self._iter_cost = None      # EWMA seconds per ADMM iteration
+        self._deadline_miss = False
+        self._solve_time = None
         self._build(rebuild_weights=False)
         # runtime state
         self.Uop = np.tile(model.uop, Hp)
@@ -99,6 +108,7 @@ class LinMPC(PredictiveController):
         self.Dop = np.tile(model.dop, Hp)
         self.Z_tilde = np.zeros(self.nZt)
         self.y_dual = np.zeros(self.A_stack.shape[0])
+        self.rho_rung = 4      # ρ-ladder rung, carried across periods
         self.lastu0 = np.zeros(nu)
         self.d0 = np.zeros(nd)
         self.D_hat_0 = np.zeros(nd * Hp)
@@ -194,6 +204,28 @@ class LinMPC(PredictiveController):
         self.A_stack = np.vstack([A_ineq, eps_row, ES_t])
         self.n_ineq = A_ineq.shape[0]
         self.n_eq = ES_t.shape[0]
+        # --- construct-time equality elimination (MultipleShooting) -------
+        # The MS defect rows ES̃ Z̃ = beq are LINEAR for a LinModel, so they
+        # are eliminated here via a QR nullspace (Z̃ = Z̃p + N v, ES̃ N = 0):
+        # the QP the device solves has SingleShooting SIZE and the
+        # conditioning of an ORTHONORMAL basis (better than the Â-power
+        # stack), while the sparse MS form is used only at construct time.
+        # This is the TPU answer to the reference's sparse-KKT long-horizon
+        # remedy (transcription.jl:56-119 + OSQP's f64 sparse factorization):
+        # TPU f32 ADMM on the equality-heavy MS rows hits an arithmetic
+        # floor (PARITY.md round-2 horizon study); the reduced form removes
+        # the equality rows from the iteration entirely.  Equalities are
+        # satisfied to assembly precision by construction (Z̃p = ES̃⁺ beq).
+        self.elim_eq = self.n_eq > 0
+        if self.elim_eq:
+            Q, R = np.linalg.qr(ES_t.T, mode="complete")
+            N = Q[:, self.n_eq:]                     # orthonormal null basis
+            Aeq_dag = Q[:, :self.n_eq] @ np.linalg.inv(R[:self.n_eq, :]).T
+            A_ie = np.vstack([A_ineq, eps_row])      # rows kept in the QP
+            self._elim = dict(Nnull=N, Aeq_dag=Aeq_dag, NTH=N.T @ H,
+                              H_r=N.T @ H @ N, A_r=A_ie @ N)
+        else:
+            self._elim = {}
         # default bounds (deviation form), kept as data
         if not hasattr(self, "U0min"):
             self.U0min = np.full(nu * Hp, -BIG)
@@ -229,6 +261,7 @@ class LinMPC(PredictiveController):
             Wy_bar=Wy_bar, Wu_bar=Wu_bar, Wd_bar=Wd_bar, Wr_bar=Wr_bar,
             Wmin_b=self.Wmin_b, Wmax_b=self.Wmax_b,
             dop_w=model.dop, Dop_w=np.tile(model.dop, Hp),
+            **self._elim,
         )
         self._rebuild_qp_cache()
         # (re)create the jitted step only when the shapes changed — setmodel
@@ -255,8 +288,18 @@ class LinMPC(PredictiveController):
         host-side in f64 (ops.qp.build_solver_cache) and shipped inside the
         params tree, so per-period solves skip the whole in-solve setup.
         Row classes follow the A_stack layout in _build; they only change
-        when a bound crosses ±BIG, which re-enters here via setconstraint."""
+        when a bound crosses ±BIG, which re-enters here via setconstraint.
+
+        With equality elimination (MultipleShooting) the caches are built on
+        the REDUCED problem (H_r, A_r) — SS-sized, inequality-only."""
+        if getattr(self, "elim_eq", False):
+            Hm, Am = self.params["H_r"], self.params["A_r"]
+        else:
+            Hm, Am = self.params["H"], self.A_stack
         if self.qp_solver != "admm":
+            # GI active set: only P⁻¹-derived tables are step-invariant
+            from ..ops.qp_active import build_gi_cache
+            self.params.update(build_gi_cache(Hm, Am))
             return
         TH = 1e18   # ops.qp._BIG: rows at/beyond this are "infinite"
         loose = np.concatenate([
@@ -265,13 +308,13 @@ class LinMPC(PredictiveController):
             self.Y0min <= -TH, self.Y0max >= TH,
             self.Wmin_b <= -TH, self.Wmax_b >= TH,
             self.x0min <= -TH, self.x0max >= TH,
-            np.zeros(self.n_eps, bool),
-            np.zeros(self.n_eq, bool)])
-        eq = np.zeros(self.A_stack.shape[0], bool)
-        if self.n_eq:
+            np.zeros(self.n_eps, bool)])
+        if not getattr(self, "elim_eq", False):
+            loose = np.concatenate([loose, np.zeros(self.n_eq, bool)])
+        eq = np.zeros(Am.shape[0], bool)
+        if self.n_eq and not getattr(self, "elim_eq", False):
             eq[-self.n_eq:] = True
-        self.params.update(build_solver_cache(
-            self.params["H"], self.A_stack, eq, loose))
+        self.params.update(build_solver_cache(Hm, Am, eq, loose))
 
     # ------------------------------------------------------------------
     def setconstraint(self, **kw):
@@ -452,22 +495,47 @@ class LinMPC(PredictiveController):
         p = self._p_cache
         ja = (lambda a: jnp.asarray(a, self._dt)) if self._dt is not None \
             else jnp.asarray
+        # Ts-deadline iteration budget for THIS solve, from the measured
+        # per-iteration cost (floor of 50: the budget must never forbid the
+        # warm-started typical case); 2**30 = "unlimited" keeps one trace
+        if self.limit_solve_time and self._iter_cost:
+            Ts = model.Ts
+            budget = int(np.clip(0.8 * Ts / self._iter_cost, 50, 2**30))
+        else:
+            budget = 2**30
+        import time as _time
+        t0_solve = _time.perf_counter()
         out = self._step(p, ja(estim.x0_hat), ja(self.lastu0),
                          ja(self.d0), ja(self.D_hat_0),
                          ja(R_hat_y), ja(R_hat_u),
                          ja(xs_hat), ja(ys_full),
                          ja(self.Z_tilde), ja(self.y_dual),
-                         ja(ry), ja(y_now))
-        u, Z_t, y_dual, converged, F, obj, iters = out
+                         ja(ry), ja(y_now),
+                         jnp.asarray(self.rho_rung, jnp.int32),
+                         jnp.asarray(budget, jnp.int32))
+        u, Z_t, y_dual, converged, F, obj, iters, rung = out
+        u = np.asarray(u)           # blocks: honest wall-clock for the solve
+        wall = _time.perf_counter() - t0_solve
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Z_t)
         self.y_dual = np.asarray(y_dual)
+        self.rho_rung = int(rung)
+        it = int(iters)
+        if self._solved_once and it > 0:
+            # EWMA of seconds/iteration, measured on warm (post-compile)
+            # steps only; the first call includes the jit compile
+            c = wall / it
+            self._iter_cost = c if self._iter_cost is None else \
+                0.7 * self._iter_cost + 0.3 * c
+        self._solve_time = wall
+        self._deadline_miss = bool(self.limit_solve_time
+                                   and self._solved_once
+                                   and wall > model.Ts)
         self._last = dict(F=np.asarray(F), converged=bool(converged),
                           obj=float(obj), d=d, D_hat=D_hat,
-                          iters=int(iters),
+                          iters=it, iter_budget=budget,
                           x0_hat=estim.x0_hat.copy())
         self._solved_once = True
-        u = np.asarray(u)
         if not self._last["converged"]:
             import logging
             import warnings
@@ -526,6 +594,12 @@ class LinMPC(PredictiveController):
         # QP iteration count (the reference's solution_summary carries the
         # solver's iteration statistics, controller/execute.jl:145-198)
         info["iters"] = self._last.get("iters")
+        # Ts-deadline policy diagnostics (the limit_solve_time analogue,
+        # general.jl:109-121): solve wall time, the iteration budget the
+        # policy derived for this solve, and whether the deadline was missed
+        info["solve_time"] = self._solve_time
+        info["iter_budget"] = self._last.get("iter_budget")
+        info["deadline_miss"] = self._deadline_miss
         return info
 
     def __repr__(self):
@@ -591,7 +665,8 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
     use_as = qp_solver == "active_set"
 
     def step(p, x0_hat, lastu0, d0, D_hat_0, R_hat_y, R_hat_u,
-             xs_hat, ys_hat, Z_prev, y_prev, ry=None, y_now=None):
+             xs_hat, ys_hat, Z_prev, y_prev, ry=None, y_now=None,
+             rung_prev=None, iter_budget=None):
         # --- stochastic + deterministic output predictions F (initpred!) ---
         Ys = p["Ks"] @ xs_hat + p["Ps"] @ ys_hat
         F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0 + Ys
@@ -663,18 +738,50 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
         if n_eps:
             Zs = Zs.at[-1].set(Z_prev[-1])
         # --- solve QP ---
-        if use_as:
+        admm_cache_keys = ("qpc_D", "qpc_E", "qpc_c", "qpc_eq",
+                           "qpc_loose", "qpc_rhovs", "qpc_Minvs")
+        if is_ms and n_eq:
+            # MultipleShooting via construct-time equality elimination:
+            # Z̃ = Z̃p + N v with ES̃ N = 0 — the device QP is SS-sized,
+            # inequality-only, and conditioned by an orthonormal basis
+            # (the TPU form of the reference's sparse long-horizon remedy)
+            n_ie = n_ineq + n_eps
+            Zp = p["Aeq_dag"] @ beq
+            q_r = p["Nnull"].T @ q + p["NTH"] @ Zp
+            shift = p["A_stack"][:n_ie] @ Zp
+            l_r = jnp.clip(l[:n_ie] - shift, -2e18, 2e18)
+            u_r = jnp.clip(u_vec[:n_ie] - shift, -2e18, 2e18)
+            v0 = p["Nnull"].T @ (Zs - Zp)
+            y0r = y_prev[:n_ie]
+            if use_as:
+                sol = solve_qp_active(p["H_r"], q_r, p["A_r"], l_r, u_r,
+                                      y0=y0r,
+                                      cache={k: p[k] for k in
+                                             ("gic_Pinv", "gic_HinvAT")})
+            else:
+                sol = solve_qp(p["H_r"], q_r, p["A_r"], l_r, u_r, x0=v0,
+                               y0=y0r, rung0=rung_prev,
+                               iter_budget=iter_budget,
+                               cache={k: p[k] for k in admm_cache_keys})
+            Z_sol = Zp + p["Nnull"] @ sol.x
+            y_full = jnp.concatenate(
+                [sol.y, jnp.zeros(n_eq, sol.y.dtype)])
+            HZp = p["H"] @ Zp
+            obj = sol.obj + 0.5 * Zp @ HZp + q @ Zp
+            sol = sol._replace(x=Z_sol, y=y_full, obj=obj)
+        elif use_as:
             # Goldfarb–Idnani exact dual active set, warm-started from the
             # previous period's duals (the DAQP role; the active set is
             # nearly stationary → typically one KKT solve + one scan)
             sol = solve_qp_active(p["H"], q, p["A_stack"], l, u_vec,
-                                  y0=y_prev)
+                                  y0=y_prev,
+                                  cache={k: p[k] for k in
+                                         ("gic_Pinv", "gic_HinvAT")})
         else:
             sol = solve_qp(p["H"], q, p["A_stack"], l, u_vec, x0=Zs,
-                           y0=y_prev,
-                           cache={k: p[k] for k in
-                                  ("qpc_D", "qpc_E", "qpc_c", "qpc_eq",
-                                   "qpc_loose", "qpc_rhovs", "qpc_Minvs")})
+                           y0=y_prev, rung0=rung_prev,
+                           iter_budget=iter_budget,
+                           cache={k: p[k] for k in admm_cache_keys})
         Z_t = jnp.where(sol.converged, sol.x, Zs)
         # --- receding horizon input (getinput!, execute.jl:536-546),
         # clamped to the (soft-relaxed) actuator box for hard safety ---
@@ -685,6 +792,8 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                       p["U0min"][:nu] - p["C_umin_u"] * eps_f,
                       p["U0max"][:nu] + p["C_umax_u"] * eps_f)
         u = u0 + p["Uop"][:nu]
-        return u, Z_t, sol.y, sol.converged, F, sol.obj + r_const, sol.iters
+        rung = sol.rung if sol.rung is not None else jnp.asarray(4, jnp.int32)
+        return (u, Z_t, sol.y, sol.converged, F, sol.obj + r_const,
+                sol.iters, rung)
 
     return step

@@ -35,6 +35,12 @@ class QPSolution(NamedTuple):
     converged: jax.Array  # bool scalar
     iters: jax.Array      # int scalar
     obj: jax.Array        # ½xᵀPx + qᵀx
+    # final ρ-ladder rung (ADMM only; None elsewhere).  Receding-horizon
+    # callers feed it back as ``rung0`` so the next warm-started solve
+    # starts on the rung the problem settled on instead of re-adapting
+    # from the ladder centre — the re-adaptation transient is what rode
+    # individual fleet lanes to the f32 iteration cap.
+    rung: jax.Array | None = None
 
 
 def _rho_vec(eq, loose, rho):
@@ -84,7 +90,7 @@ def _ruiz_equilibrate(P, q, A, iters=10):
 
 
 def build_solver_cache(P, A, eq_mask, loose_mask, *,
-                       sigma=1e-6, rho=0.1, scaling=10):
+                       sigma=1e-6, rho=0.1, scaling=10, q_scale=0.0):
     """Precompute the step-invariant part of ``solve_qp`` (host NumPy, f64).
 
     MPC solves the same (P=H̃, A=A_stack) every control period — only
@@ -101,6 +107,16 @@ def build_solver_cache(P, A, eq_mask, loose_mask, *,
     one.  Returns a dict of plain NumPy arrays (pytree-friendly: travels
     inside a controller's params dict, stacks across fleets, ships in the
     single device_put).
+
+    Caveat (vs the in-solve Ruiz): the cost normalization here uses
+    ``q_ref = q_scale`` (default 0 — gamma from the mean column norm of P
+    alone), while the uncached path folds the live max|q| into gamma.  For
+    problems whose |q| is persistently large relative to P this slows ADMM
+    convergence (never correctness: residual tests are unscaled); pass a
+    representative magnitude as ``q_scale`` to fold it into the cached
+    scaling.  ``sigma``/``rho`` are recorded in the cache and validated by
+    :func:`solve_qp` when it runs eagerly (a cache built for different
+    penalties would silently centre the ρ-ladder on the wrong rung).
     """
     import numpy as np
     P = np.asarray(P, np.float64)
@@ -123,7 +139,9 @@ def build_solver_cache(P, A, eq_mask, loose_mask, *,
         e = np.where(row < 1e-10, 1.0, 1.0 / np.sqrt(np.clip(row, 1e-12, 1e12)))
         Ps = (d[:, None] * Ps) * d[None, :]
         As = (e[:, None] * As) * d[None, :]
-        gamma = 1.0 / np.clip(np.mean(np.max(np.abs(Ps), axis=0)), 1e-12, 1e12)
+        gamma = 1.0 / np.clip(
+            max(np.mean(np.max(np.abs(Ps), axis=0)), c * q_scale),
+            1e-12, 1e12)
         Ps *= gamma
         D *= d
         E *= e
@@ -139,22 +157,38 @@ def build_solver_cache(P, A, eq_mask, loose_mask, *,
     Minvs = Minvs @ (2.0 * np.eye(n)[None] - Ms @ Minvs)
     return dict(qpc_D=D, qpc_E=E, qpc_c=np.float64(c),
                 qpc_eq=eq, qpc_loose=loose,
-                qpc_rhovs=rhovs, qpc_Minvs=Minvs)
+                qpc_rhovs=rhovs, qpc_Minvs=Minvs,
+                qpc_sigma=np.float64(sigma), qpc_rho=np.float64(rho))
 
 
 def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
              sigma=1e-6, rho=0.1, alpha=1.6,
-             max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
+             max_iter=None, tol=1e-6, tol_final=1e-7, check_every=10,
              scaling=10, polish=True, polish_iters=3, polish_delta=1e-11,
-             polish_rounds=2, cache=None):
+             polish_rounds=2, cache=None, rung0=None, iter_budget=None):
     """Solve one dense QP.  jit- and vmap-compatible (static shapes only).
 
     Matmuls run at full float32 precision: the TPU MXU's default reduced
     precision (~bf16 mantissa) breaks the ADMM residual tests.
 
+    ``max_iter=None`` (the default) means 2000 iterations, CLAMPED to 600
+    for float32 inputs (iterations past the f32 arithmetic floor buy no
+    accuracy, and one straggler lane stalls a whole lockstep vmapped
+    fleet).  An explicitly passed ``max_iter`` is honoured as-is in every
+    dtype.
+
     ``cache``: output of :func:`build_solver_cache` for this (P, A) — skips
     the in-solve equilibration and ρ-ladder factorization (the whole
     step-invariant setup) for receding-horizon serving.
+
+    ``rung0``: initial ρ-ladder rung (int scalar, traced OK), typically the
+    ``rung`` field of the previous control period's solution — warm-starts
+    the ρ adaptation the way ``x0/y0`` warm-start the iterates.
+
+    ``iter_budget``: optional RUNTIME iteration cap (int scalar, traced OK)
+    ANDed with ``max_iter`` — the Ts-deadline policy feeds a measured
+    per-iteration cost through here without retracing (``max_iter`` is a
+    static trace constant, this is data).
     """
     with jax.default_matmul_precision("float32"):
         return _solve_qp_impl(P, q, A, l, u, x0, y0, sigma=sigma, rho=rho,
@@ -163,17 +197,21 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
                               scaling=scaling, polish=polish,
                               polish_iters=polish_iters,
                               polish_delta=polish_delta,
-                              polish_rounds=polish_rounds, cache=cache)
+                              polish_rounds=polish_rounds, cache=cache,
+                              rung0=rung0, iter_budget=iter_budget)
 
 
 def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
                    sigma=1e-6, rho=0.1, alpha=1.6,
-                   max_iter=2000, tol=1e-6, tol_final=1e-7, check_every=10,
+                   max_iter=None, tol=1e-6, tol_final=1e-7, check_every=10,
                    scaling=10, polish=True, polish_iters=3, polish_delta=1e-11,
-                   polish_rounds=2, cache=None):
+                   polish_rounds=2, cache=None, rung0=None, iter_budget=None):
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
+    default_iters = max_iter is None
+    if default_iters:
+        max_iter = 2000
     if dt == jnp.float32:
         # f32 (TPU-native) cannot reach f64 tolerances — loosen to its floor
         tol = max(tol, 3e-5)
@@ -188,8 +226,11 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         # single oscillating lane that dodges the plateau detector makes a
         # lockstep vmapped fleet run the FULL batch to max_iter (measured:
         # batch mean 62 iterations, one lane at the 2000 cap).  Cap the f32
-        # loop; `converged` stays an honest post-polish KKT assessment.
-        max_iter = min(max_iter, 600)
+        # loop — only for the DEFAULT budget: an explicit max_iter is the
+        # caller's informed choice; `converged` stays an honest post-polish
+        # KKT assessment either way.
+        if default_iters:
+            max_iter = min(max_iter, 600)
     x = jnp.zeros(n, dt) if x0 is None else x0
     y = jnp.zeros(m, dt) if y0 is None else y0
     if m == 0:
@@ -204,7 +245,23 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     if cache is not None:
         # step-invariant setup precomputed by build_solver_cache: scale the
         # data with the cached diagonals (one elementwise pass — ~1/30th of
-        # the 10-sweep Ruiz loop) and reuse the cached ladder inverses
+        # the 10-sweep Ruiz loop) and reuse the cached ladder inverses.
+        # Validate the cache was built for THESE penalties when the values
+        # are concrete (inside jit they are traced and the check is free to
+        # skip — the builder-side APIs always pair cache and call): a cache
+        # built with a different rho centres the ladder on the wrong rung
+        # and pairs Minv with the wrong sigma — wrong iterates that only
+        # the post-solve KKT check would catch, with no error raised.
+        sc, rc = cache.get("qpc_sigma"), cache.get("qpc_rho")
+        if (sc is not None and not isinstance(sc, jax.core.Tracer)
+                and not isinstance(rc, jax.core.Tracer)):
+            if (abs(float(sc) - sigma) > 1e-12 * max(1.0, abs(sigma))
+                    or abs(float(rc) - rho) > 1e-12 * max(1.0, abs(rho))):
+                raise ValueError(
+                    f"solver cache was built with sigma={float(sc)}, "
+                    f"rho={float(rc)} but solve_qp was called with "
+                    f"sigma={sigma}, rho={rho}; rebuild the cache with "
+                    "matching penalties")
         eq_mask = cache["qpc_eq"]
         loose_mask = cache["qpc_loose"]
         D = jnp.asarray(cache["qpc_D"], dt)
@@ -262,6 +319,18 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
     Dinv, Einv, cinv = 1.0 / D, 1.0 / Esc, 1.0 / c
     log_step = 4.0 / (N_LAD - 1)
     j0 = jnp.asarray((N_LAD - 1) // 2, jnp.int32)   # lad[j0] == rho
+    if rung0 is not None:
+        # carry the rung across control periods like the duals: the centre
+        # restart forces every period to re-walk the ladder to the
+        # problem's preferred rung, and that re-adaptation transient (each
+        # rung change resets the f32 plateau counter early on) is what
+        # rode single fleet lanes to the iteration cap
+        j0 = jnp.clip(jnp.asarray(rung0, jnp.int32), 0, N_LAD - 1)
+    if iter_budget is not None:
+        # runtime (traced) cap — the Ts-deadline policy; max_iter stays the
+        # static compile-time bound
+        max_iter = jnp.minimum(jnp.asarray(iter_budget, jnp.int32),
+                               max_iter)
 
     z = jnp.clip(A @ x, l, u)
 
@@ -401,7 +470,7 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         (sgn_bad < tol_c)
     converged = (kkt_ok | done) & ~infeasible
     obj = 0.5 * x @ P_orig @ x + q_orig @ x
-    return QPSolution(x, y, z, converged, iters, obj)
+    return QPSolution(x, y, z, converged, iters, obj, rung=j_fin)
 
 
 def _polish(P, q, A, l, u, x, y, fin_l, fin_u, eq_mask=None, iters=3,

@@ -37,7 +37,30 @@ import jax.numpy as jnp
 from .qp import QPSolution, _BIG
 
 
-def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9):
+def build_gi_cache(P, A):
+    """Precompute the step-invariant part of :func:`solve_qp_active`.
+
+    Receding-horizon MPC solves the same (P=H̃, A=A_stack) every control
+    period; GI's only P-dependent work is the unconstrained minimum
+    ``x0 = −P⁻¹q`` and the column table ``P⁻¹Aᵀ`` — both built from P⁻¹.
+    Computing them in-solve needs a Cholesky factorization plus triangular
+    solves, which are SERIAL on TPU (the latency killer in a jitted loop);
+    with the cache the per-solve setup is two matmuls.  Host NumPy f64 with
+    one Newton refinement step, so f32 runs get a rounded-f64 inverse.
+    Returns a dict of plain NumPy arrays (pytree-friendly: travels inside a
+    controller's params dict, stacks across fleets).
+    """
+    import numpy as np
+    P = np.asarray(P, np.float64)
+    A = np.asarray(A, np.float64)
+    n = P.shape[0]
+    Pinv = np.linalg.inv(P)
+    Pinv = Pinv @ (2.0 * np.eye(n) - P @ Pinv)   # Newton: squares residual
+    return dict(gic_Pinv=Pinv, gic_HinvAT=Pinv @ A.T)
+
+
+def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
+                    cache=None):
     """Solve one dense QP by dual active set.  jit- and vmap-compatible.
 
     Exact at termination (up to the small gathered-KKT solves' accuracy) —
@@ -53,12 +76,17 @@ def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9):
     usual GI pivoting continues.  In receding-horizon use the active set is
     nearly stationary, so a warm solve is typically one KKT solve + one
     optimality scan (~2 "pivots").
+
+    ``cache``: output of :func:`build_gi_cache` for this (P, A) — skips the
+    in-solve Cholesky setup (serial triangular solves on TPU) in favour of
+    two matmuls against a precomputed f64-refined P⁻¹.
     """
     with jax.default_matmul_precision("float32"):
-        return _gi_impl(P, q, A, l, u, y0, max_pivots=max_pivots, tol=tol)
+        return _gi_impl(P, q, A, l, u, y0, max_pivots=max_pivots, tol=tol,
+                        cache=cache)
 
 
-def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
+def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None):
     dt = q.dtype
     n = q.shape[0]
     m = A.shape[0]
@@ -69,9 +97,14 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol):
     eps = jnp.asarray(tol, dt)
     inf = jnp.asarray(jnp.inf, dt)
 
-    cho = jax.scipy.linalg.cho_factor(P)
-    x0 = -jax.scipy.linalg.cho_solve(cho, q)        # unconstrained minimum
-    HinvAT = jax.scipy.linalg.cho_solve(cho, A.T)   # (n, m): P⁻¹ aᵢ columns
+    if cache is not None:
+        Pinv = jnp.asarray(cache["gic_Pinv"], dt)
+        x0 = -(Pinv @ q)                            # unconstrained minimum
+        HinvAT = jnp.asarray(cache["gic_HinvAT"], dt)  # (n, m): P⁻¹aᵢ cols
+    else:
+        cho = jax.scipy.linalg.cho_factor(P)
+        x0 = -jax.scipy.linalg.cho_solve(cho, q)    # unconstrained minimum
+        HinvAT = jax.scipy.linalg.cho_solve(cho, A.T)  # (n, m): P⁻¹aᵢ cols
     # Gram entries aᵢᵀP⁻¹aⱼ are gathered on the fly from HinvAT — the full
     # (m, m) G precompute is O(m²) memory, which at condensed-MPC shapes
     # like m≈900 × B=512 lanes is gigabytes of HBM for entries GI never

@@ -58,7 +58,8 @@ class BatchedLinMPC:
     """
 
     def __init__(self, controllers: list[LinMPC], mesh: Mesh | None = None,
-                 dtype=None, reps: int = 1, share_params: bool = False):
+                 dtype=None, reps: int = 1, share_params: bool = False,
+                 limit_solve_time: bool = False):
         """``reps`` tiles every scenario ``reps`` times along the batch axis
         (host-side, before the single device upload) — the cheap way to build
         a large lockstep fleet from few distinct scenarios.
@@ -71,8 +72,21 @@ class BatchedLinMPC:
         stacked layout is HBM-bandwidth-bound on per-lane copies of A/H̃ at
         production batch sizes, which caps MXU utilization regardless of
         batch.  Use for Monte-Carlo / multi-zone serving where the plant
-        model is common across scenarios."""
+        model is common across scenarios.
+
+        ``limit_solve_time=True`` enables the Ts-deadline policy (the
+        reference's limit_solve_time, general.jl:109-121): the fleet's
+        lockstep ADMM iteration budget for the next step is derived from
+        Ts and the measured per-iteration wall cost (EWMA), and every
+        ``step`` synchronizes + records ``last_step_time`` /
+        ``last_deadline_miss``.  Costs one device sync per step."""
         c0 = controllers[0]
+        self.Ts = float(c0.estim.model.Ts)
+        self.limit_solve_time = bool(limit_solve_time)
+        self._iter_cost = None
+        self.last_step_time = None
+        self.last_deadline_miss = False
+        self.deadline_miss_count = 0
         self.share_params = bool(share_params)
         if self.share_params and len(controllers) != 1:
             raise ValueError("share_params=True expects exactly one "
@@ -107,6 +121,7 @@ class BatchedLinMPC:
             lastu0=np.zeros((self.B, self.nu), dt),
             Z_tilde=np.zeros((self.B, c0.nZt), dt),
             y_dual=np.zeros((self.B, c0.A_stack.shape[0]), dt),
+            rho_rung=np.full(self.B, 4, np.int32),
         )
         self.mesh = mesh
         if mesh is not None:
@@ -130,7 +145,7 @@ class BatchedLinMPC:
         step_raw = c0._step_raw
         nd = self.nd
 
-        def one(p, ep, st, ym, ry, d):
+        def one(p, ep, st, ym, ry, d, it_budget):
             # --- estimator correction (SKF constant gain) ---
             d0 = d - ep["dop"] if nd else d
             y0m = ym - ep["yop_m"]
@@ -142,26 +157,28 @@ class BatchedLinMPC:
             R_hat_y = jnp.tile(ry, self.Hp)
             R_hat_u = p["Uop"]
             nxs = p["Ks"].shape[1]
-            u, Z_t, y_dual, conv, F, obj, iters = step_raw(
+            u, Z_t, y_dual, conv, F, obj, iters, rung = step_raw(
                 p, x0c, st["lastu0"], d0, D_hat_0, R_hat_y, R_hat_u,
                 jnp.zeros(nxs, x0.dtype), jnp.zeros(ep["yop_m"].shape[0] +
                                                     (c0.estim.nyu), x0.dtype),
-                st["Z_tilde"], st["y_dual"])
+                st["Z_tilde"], st["y_dual"], rung_prev=st["rho_rung"],
+                iter_budget=it_budget)
             lastu0 = u - ep["uop"]
             # --- estimator prediction ---
             x0n = ep["A_hat"] @ x0c + ep["Bu_hat"] @ lastu0
             if nd:
                 x0n = x0n + ep["Bd_hat"] @ d0
             x0n = x0n + ep["fop_m_xop"]
-            new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t, y_dual=y_dual)
+            new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t,
+                          y_dual=y_dual, rho_rung=rung)
             return u, conv, obj, iters, new_st
 
         p_ax = None if self.share_params else 0
-        vone = jax.vmap(one, in_axes=(p_ax, p_ax, 0, 0, 0, 0))
+        vone = jax.vmap(one, in_axes=(p_ax, p_ax, 0, 0, 0, 0, None))
 
-        def stepfn(params, eparams, state, ym, ry, d):
+        def stepfn(params, eparams, state, ym, ry, d, it_budget):
             u, conv, obj, iters, new_state = vone(params, eparams, state,
-                                                  ym, ry, d)
+                                                  ym, ry, d, it_budget)
             # cross-shard reductions: global convergence diagnostics only
             n_conv = jnp.sum(conv.astype(jnp.int32))
             it_stats = jnp.stack([jnp.max(iters),
@@ -180,8 +197,31 @@ class BatchedLinMPC:
                 jax.block_until_ready(self._dzero)
             d = self._dzero
         dt = self.params["H"].dtype   # fleet dtype: f64 host inputs must not
-        u, n_conv, it_stats, self.state = self._step(  # leak into the graph
+        if self.limit_solve_time and self._iter_cost:  # leak into the graph
+            budget = int(np.clip(0.8 * self.Ts / self._iter_cost, 50, 2**30))
+        else:
+            budget = 2**30
+        import time as _time
+        t0 = _time.perf_counter()
+        u, n_conv, it_stats, self.state = self._step(
             self.params, self.eparams, self.state, jnp.asarray(ym, dt),
-            jnp.asarray(ry, dt), jnp.asarray(d, dt))
+            jnp.asarray(ry, dt), jnp.asarray(d, dt),
+            jnp.asarray(budget, jnp.int32))
         self.last_iters = it_stats    # [max, mean] QP iterations (device)
+        self.last_iter_budget = budget
+        if self.limit_solve_time:
+            # sync for an honest wall clock; the lockstep fleet's cost per
+            # iteration is set by the max-iteration lane
+            jax.block_until_ready(u)
+            wall = _time.perf_counter() - t0
+            it_max = float(np.asarray(it_stats)[0])
+            if self.last_step_time is not None and it_max > 0:
+                c = wall / it_max
+                self._iter_cost = c if self._iter_cost is None else \
+                    0.7 * self._iter_cost + 0.3 * c
+            self.last_step_time = wall
+            self.last_deadline_miss = (self.last_step_time is not None
+                                       and wall > self.Ts)
+            if self.last_deadline_miss:
+                self.deadline_miss_count += 1
         return u, n_conv

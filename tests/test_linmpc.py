@@ -470,6 +470,26 @@ def test_linmpc_active_set_solver_matches_admm():
     assert np.allclose(ra.U_data, rb.U_data, atol=1e-9)
     with pytest.raises(ValueError):
         mpc.LinMPC(mpc.LinModel(G, 1.0), qp_solver="nope")
-    with pytest.raises(ValueError):
-        mpc.LinMPC(mpc.LinModel(G, 1.0), qp_solver="active_set",
-                   transcription=mpc.MultipleShooting())
+
+
+def test_linmpc_ms_equality_elimination_matches_ss():
+    """MultipleShooting LinMPC runs through the construct-time QR-nullspace
+    equality elimination (the defect rows never reach the device QP) and
+    reproduces the SingleShooting closed loop for BOTH solvers — the TPU
+    form of the reference's sparse long-horizon remedy
+    (src/transcription.jl:56-119, controller/transcription.jl:196-240)."""
+    G = mpc.tf_matrix([[mpc.tf(2, [10, 1]) * mpc.delay(20)],
+                       [mpc.tf(10, [4, 1])]])
+
+    def run(qp, tr):
+        m = mpc.LinModel(G, 1.0)
+        c = mpc.LinMPC(m, Mwt=[1, 0], Nwt=[0.1], qp_solver=qp,
+                       transcription=tr)
+        c.setconstraint(ymax=[np.inf, 35])
+        return mpc.sim(c, 25, [5, 0])
+
+    ra = run("admm", mpc.SingleShooting())
+    rb = run("admm", mpc.MultipleShooting())
+    rc = run("active_set", mpc.MultipleShooting())
+    assert np.allclose(ra.U_data, rb.U_data, atol=1e-8)
+    assert np.allclose(ra.U_data, rc.U_data, atol=1e-8)
