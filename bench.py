@@ -135,6 +135,10 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         "qp_iters_max": round(max_iters, 1) if max_iters else None,
         "converged": int(n_conv),
         "batch": B_total,
+        # Ts-deadline policy stats (limit_solve_time fleets only): number
+        # of timed steps whose wall clock exceeded the sampling time
+        "deadline_misses": getattr(bat, "deadline_miss_count", None),
+        "Ts_s": getattr(bat, "Ts", None),
     }
     print(f"# {label}: construct={construct_s:.1f}s compile={compile_s:.1f}s "
           f"step={mean_step * 1000:.2f}ms p99={p99_step * 1000:.2f}ms "
@@ -145,13 +149,15 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
 
 
 def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8,
-                             transcription=None):
+                             transcription=None, qp_solver="active_set"):
     """Randomized stable nio×nio MIMO plants — big enough prediction
-    matrices (ny·Hp=120 rows, 897 constraint rows) that the vmapped QP runs
-    MXU-shaped matmuls.  Hp=15/Nwt=1 keeps the dense condensed QP in ADMM's
-    comfort zone (~250 f32 iterations cold); Hp=25 drove the median to ~800
-    — dense condensed long horizons are inherently ADMM-adverse, which is
-    exactly why the reference switches to MultipleShooting there."""
+    matrices (ny·Hp=120 rows, 897 constraint rows) to be a real large-shape
+    workload.  Default solver is the Goldfarb–Idnani active set with
+    cross-period operator carry (round 3): at this shape ADMM needs ~90
+    HBM-bound sweeps per step (1.2k solves/s at B=4096) while warm GI needs
+    a mean of ~2 pivots (20k+ solves/s) — the same trade the reference
+    makes when its benchmarks switch from OSQP to DAQP on condensed MPC
+    QPs (benchmark/3_bench_predictive_control.jl:166-215)."""
     from mpc_tpu import LinModel, LinMPC, ss
     rng = np.random.default_rng(seed)
     ctrls = []
@@ -170,7 +176,7 @@ def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8,
         # semantics with cond(H̃) ≈ 7e4
         c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=np.ones(nio),
                    Nwt=np.full(nio, 1.0), Cwt=1e3,
-                   transcription=transcription)
+                   transcription=transcription, qp_solver=qp_solver)
         c.setconstraint(umin=np.full(nio, -10.0), umax=np.full(nio, 10.0),
                         dumin=np.full(nio, -4.0), dumax=np.full(nio, 4.0),
                         ymin=np.full(nio, -60.0), ymax=np.full(nio, 60.0))
@@ -213,8 +219,11 @@ def main():
         def make_large():
             n_distinct = min(32, B_total)
             ctrls = _large_plant_controllers(n_distinct)
+            # limit_solve_time: record p99-vs-Ts compliance (the reference
+            # caps every solve at Ts, general.jl:109-121)
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32,
-                                reps=B_total // n_distinct)
+                                reps=B_total // n_distinct,
+                                limit_solve_time=True)
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8
@@ -227,7 +236,8 @@ def main():
                                     ("metric", "value", "p10_solves_per_s",
                                      "p90_solves_per_s", "mfu_est",
                                      "flops_per_step", "qp_iters_mean",
-                                     "converged")}
+                                     "converged", "deadline_misses",
+                                     "Ts_s")}
 
     # shared-plant scenario fleet: ONE controller config, B states/setpoints
     # (Monte-Carlo / multi-zone serving).  Params are vmap in_axes=None, so

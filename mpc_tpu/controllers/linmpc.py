@@ -226,6 +226,8 @@ class LinMPC(PredictiveController):
                               H_r=N.T @ H @ N, A_r=A_ie @ N)
         else:
             self._elim = {}
+        # size of the QP the device actually solves (post-elimination)
+        self.n_qp = self.nZt - self.n_eq if self.elim_eq else self.nZt
         # default bounds (deviation form), kept as data
         if not hasattr(self, "U0min"):
             self.U0min = np.full(nu * Hp, -BIG)
@@ -279,6 +281,16 @@ class LinMPC(PredictiveController):
                 qp_solver=self.qp_solver)
             self._step = jit32(self._step_raw)
             self._step_shape_key = shape_key
+        # GI cross-period operator state: valid only for the CURRENT (H, A)
+        # — any rebuild resets it (fresh empty active set)
+        if self.qp_solver == "active_set":
+            from ..ops.qp_active import gi_state_init
+            self._qp_state = gi_state_init(
+                self.n_qp, like=np.float32 if self._dt is not None and
+                np.dtype(self._dt) == np.float32 else np.float64)
+        else:
+            self._qp_state = None
+        self._rung_dev = None       # re-upload the rung seed after rebuilds
         self._solved_once = False
 
     # ------------------------------------------------------------------
@@ -503,6 +515,16 @@ class LinMPC(PredictiveController):
             budget = int(np.clip(0.8 * Ts / self._iter_cost, 50, 2**30))
         else:
             budget = 2**30
+        # device scalars cached across periods (each per-step jnp.asarray
+        # of a host scalar costs one tunnel round trip): the rung carries
+        # as the device handle the step returned; the budget re-ships only
+        # when its value changes
+        if getattr(self, "_budget_dev", (None,))[0] != budget:
+            self._budget_dev = (budget, jax.device_put(
+                np.asarray(budget, np.int32)))
+        if getattr(self, "_rung_dev", None) is None:
+            self._rung_dev = jax.device_put(
+                np.asarray(self.rho_rung, np.int32))
         import time as _time
         t0_solve = _time.perf_counter()
         out = self._step(p, ja(estim.x0_hat), ja(self.lastu0),
@@ -511,15 +533,17 @@ class LinMPC(PredictiveController):
                          ja(xs_hat), ja(ys_full),
                          ja(self.Z_tilde), ja(self.y_dual),
                          ja(ry), ja(y_now),
-                         jnp.asarray(self.rho_rung, jnp.int32),
-                         jnp.asarray(budget, jnp.int32))
-        u, Z_t, y_dual, converged, F, obj, iters, rung = out
+                         self._rung_dev,
+                         self._budget_dev[1],
+                         self._qp_state)
+        u, Z_t, y_dual, converged, F, obj, iters, rung, qp_state = out
+        self._qp_state = qp_state
+        self._rung_dev = rung       # device handle, no host sync
         u = np.asarray(u)           # blocks: honest wall-clock for the solve
         wall = _time.perf_counter() - t0_solve
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Z_t)
         self.y_dual = np.asarray(y_dual)
-        self.rho_rung = int(rung)
         it = int(iters)
         if self._solved_once and it > 0:
             # EWMA of seconds/iteration, measured on warm (post-compile)
@@ -666,7 +690,7 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
 
     def step(p, x0_hat, lastu0, d0, D_hat_0, R_hat_y, R_hat_u,
              xs_hat, ys_hat, Z_prev, y_prev, ry=None, y_now=None,
-             rung_prev=None, iter_budget=None):
+             rung_prev=None, iter_budget=None, qp_state=None):
         # --- stochastic + deterministic output predictions F (initpred!) ---
         Ys = p["Ks"] @ xs_hat + p["Ps"] @ ys_hat
         F = p["B"] + p["K"] @ x0_hat + p["V"] @ lastu0 + Ys
@@ -754,10 +778,15 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
             v0 = p["Nnull"].T @ (Zs - Zp)
             y0r = y_prev[:n_ie]
             if use_as:
+                # GI with cross-period operator carry when the caller
+                # supplies qp_state (P/A step-invariant → the carried
+                # inverse Gram is exact); dual-seed warm start otherwise
                 sol = solve_qp_active(p["H_r"], q_r, p["A_r"], l_r, u_r,
-                                      y0=y0r,
+                                      y0=None if qp_state is not None
+                                      else y0r,
+                                      state0=qp_state,
                                       cache={k: p[k] for k in
-                                             ("gic_Pinv", "gic_HinvAT")})
+                                             ("gic_Pinv",)})
             else:
                 sol = solve_qp(p["H_r"], q_r, p["A_r"], l_r, u_r, x0=v0,
                                y0=y0r, rung0=rung_prev,
@@ -770,13 +799,17 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
             obj = sol.obj + 0.5 * Zp @ HZp + q @ Zp
             sol = sol._replace(x=Z_sol, y=y_full, obj=obj)
         elif use_as:
-            # Goldfarb–Idnani exact dual active set, warm-started from the
-            # previous period's duals (the DAQP role; the active set is
-            # nearly stationary → typically one KKT solve + one scan)
+            # Goldfarb–Idnani exact dual active set (the DAQP role): carry
+            # the active-set operators across periods when the caller
+            # supplies qp_state (the active set is nearly stationary in
+            # receding horizon → a quiet period costs ~2 lockstep pivots);
+            # dual-seed warm start otherwise
             sol = solve_qp_active(p["H"], q, p["A_stack"], l, u_vec,
-                                  y0=y_prev,
+                                  y0=None if qp_state is not None
+                                  else y_prev,
+                                  state0=qp_state,
                                   cache={k: p[k] for k in
-                                         ("gic_Pinv", "gic_HinvAT")})
+                                         ("gic_Pinv",)})
         else:
             sol = solve_qp(p["H"], q, p["A_stack"], l, u_vec, x0=Zs,
                            y0=y_prev, rung0=rung_prev,
@@ -794,6 +827,6 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
         u = u0 + p["Uop"][:nu]
         rung = sol.rung if sol.rung is not None else jnp.asarray(4, jnp.int32)
         return (u, Z_t, sol.y, sol.converged, F, sol.obj + r_const,
-                sol.iters, rung)
+                sol.iters, rung, sol.gi_state)
 
     return step

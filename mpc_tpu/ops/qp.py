@@ -41,6 +41,11 @@ class QPSolution(NamedTuple):
     # from the ladder centre — the re-adaptation transient is what rode
     # individual fleet lanes to the f32 iteration cap.
     rung: jax.Array | None = None
+    # GI active-set operator state (qp_active only; None for ADMM).
+    # Receding-horizon callers feed it back as ``state0=`` — (P, A) are
+    # step-invariant, so the carried inverse Gram stays exactly valid and
+    # a quiet period costs ~2 lockstep pivots.
+    gi_state: dict | None = None
 
 
 def _rho_vec(eq, loose, rho):

@@ -6,28 +6,50 @@ the low-latency alternative to OSQP for small condensed MPC QPs
 TPU-native equivalent: a fixed-shape, jit/vmap-able Goldfarb–Idnani method.
 
 Why it exists alongside ``ops/qp.py``'s ADMM: first-order ADMM needs
-~100–500 sequential O(mn) sweeps to reach polish-grade accuracy, which is
-*latency*-bound for a single small problem (the SL-MPC per-step hot path).
-GI terminates in ~#active-set-changes pivots (typically 2–15 for MPC),
-each a small dense solve, and returns the **exact** optimum — no polish
-needed.  ADMM remains the batched-throughput workhorse (its per-iteration
-matmuls batch perfectly on the MXU); GI is the single-stream latency
-kernel.
+~100–500 sequential O(mn) sweeps to reach polish-grade accuracy; GI
+terminates in ~#active-set-changes pivots (typically 1–15 for warm-started
+MPC) and returns the **exact** optimum — no polish needed.  It is both the
+single-stream latency kernel and the batched large-problem kernel.
 
 Problem form matches ``solve_qp``:  min ½xᵀPx + qᵀx  s.t.  l ≤ Ax ≤ u
 with P strictly convex (SPD).  One-sided rows use ∓BIG bounds.  Equality
 rows (l == u) are supported but cost extra pivots (each side activates
 separately); condensed MPC QPs have none.
 
+TPU design notes (each of these was measured, not guessed):
+
+* **No linear solves inside the loop.**  A first version solved a gathered
+  KKT system per pivot with ``jnp.linalg.solve``; on TPU a batched
+  LAPACK-style LU is a serial row loop of small ops — ~25 ms per lockstep
+  pivot at B=1024 (worse than ADMM).  This implementation is the classic
+  Goldfarb–Idnani operator scheme: it carries the inverse Gram
+  ``Ginv = (N̄ᵀP⁻¹N̄)⁻¹`` of the signed active normals and updates it by
+  RANK-ONE bordering (add) / downdating (drop) — masked matmuls, gathers
+  and outer products only.
+* **One fused loop body, not a 4-way ``lax.switch``.**  Under ``vmap``
+  every switch branch executes for every lane at every iteration, so a
+  multi-phase solver pays the op-count of ALL phases per iteration — and
+  at B=4096 the per-iteration cost is op-count × small-op dispatch, not
+  bytes.  The body below is straight-line: warm-KKT work, violation scan,
+  and the add/drop pivot are computed once with mode masks, and a
+  selection and its first pivot step complete in the SAME iteration.
+* **Slot-local tables.**  The active rows ``A[idx]`` and ``(P⁻¹aᵢ)ᵀ`` live
+  in (n, nvar) state tables updated incrementally, so the loop never
+  re-gathers 33 rows from the (m, nvar) tables — only single-row gathers
+  of the new pivot row per add.
+* **Cross-period operator carry.**  In receding-horizon MPC, (P, A) are
+  step-invariant — the active-set operators (Ginv and the slot tables)
+  remain EXACTLY valid across control periods.  ``state0=`` re-enters the
+  solver at the warm-KKT point with the previous period's operators (one
+  Newton refresh of Ginv heals f32 drift), so a quiet period costs ~2
+  lockstep iterations total.
+
 Algorithm (Goldfarb & Idnani 1983, two-sided form): start at the
 unconstrained minimum (dual feasible, primal infeasible); repeatedly pick
 the most violated row/side, then take the largest step in the (primal,
 dual) direction that keeps dual feasibility, dropping blocking constraints
 until the new row activates.  GI maintains ≤ n linearly-independent active
-normals, so the active set lives in a **capacity-n slot buffer** (row
-index, side, multiplier per slot): every pivot gathers an n×n system from
-the precomputed G = A P⁻¹ Aᵀ instead of solving a masked m×m one — the
-per-pivot cost is O(n³ + nm), independent of the constraint count.
+normals, so the active set lives in a capacity-n slot buffer.
 """
 from __future__ import annotations
 
@@ -41,229 +63,453 @@ def build_gi_cache(P, A):
     """Precompute the step-invariant part of :func:`solve_qp_active`.
 
     Receding-horizon MPC solves the same (P=H̃, A=A_stack) every control
-    period; GI's only P-dependent work is the unconstrained minimum
-    ``x0 = −P⁻¹q`` and the column table ``P⁻¹Aᵀ`` — both built from P⁻¹.
-    Computing them in-solve needs a Cholesky factorization plus triangular
-    solves, which are SERIAL on TPU (the latency killer in a jitted loop);
-    with the cache the per-solve setup is two matmuls.  Host NumPy f64 with
-    one Newton refinement step, so f32 runs get a rounded-f64 inverse.
-    Returns a dict of plain NumPy arrays (pytree-friendly: travels inside a
-    controller's params dict, stacks across fleets).
+    period; GI's P-dependent tables are the inverse ``P⁻¹`` (for the
+    unconstrained minimum), the ROW-MAJOR column table ``A P⁻¹`` (row i =
+    (P⁻¹aᵢ)ᵀ — row-major so the in-loop pivot gather is a friendly
+    major-axis row gather), and ``diag(A P⁻¹ Aᵀ)``.  Computing them
+    in-solve needs a Cholesky factorization plus triangular solves, which
+    are SERIAL on TPU; with the cache the per-solve setup is matmuls.
+    Host NumPy f64 with one Newton refinement step, so f32 runs get a
+    rounded-f64 inverse.  Returns a dict of plain NumPy arrays
+    (pytree-friendly: travels inside a controller's params dict, stacks
+    across fleets).
     """
     import numpy as np
     P = np.asarray(P, np.float64)
-    A = np.asarray(A, np.float64)
     n = P.shape[0]
     Pinv = np.linalg.inv(P)
     Pinv = Pinv @ (2.0 * np.eye(n) - P @ Pinv)   # Newton: squares residual
-    return dict(gic_Pinv=Pinv, gic_HinvAT=Pinv @ A.T)
+    return dict(gic_Pinv=Pinv)
+
+
+def gi_state_init(n, like=None, batch=None):
+    """Fresh cross-period GI operator state (empty active set).
+
+    ``n``: decision-variable count; ``like``: dtype reference; ``batch``:
+    optional leading batch shape for fleets.  Pass the returned dict as
+    ``solve_qp_active(..., state0=...)`` and feed the solution's
+    ``gi_state`` back on the next control period.
+    """
+    import numpy as np
+    import jax
+    # Ginv dtype must match the solver's internal "hi" precision: f64
+    # whenever x64 is available (the mixed-precision slot space), f32 only
+    # in pure-f32 sessions.  ``like`` is kept for API compatibility.
+    del like
+    dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    b = () if batch is None else (int(batch),)
+    return dict(
+        gis_idx=np.zeros(b + (n,), np.int32),
+        gis_side=np.zeros(b + (n,), np.int32),
+        gis_vmask=np.zeros(b + (n,), bool),
+        gis_Ginv=np.broadcast_to(np.eye(n, dtype=dt), b + (n, n)).copy(),
+    )
 
 
 def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
-                    cache=None):
+                    cache=None, state0=None):
     """Solve one dense QP by dual active set.  jit- and vmap-compatible.
 
-    Exact at termination (up to the small gathered-KKT solves' accuracy) —
-    intended for float64 single-stream latency paths; works in float32 with
-    the usual caveats.  ``max_pivots`` bounds LOOP iterations (each
-    add costs one selection scan plus one or more add/drop steps, so the
-    effective pivot budget is roughly half); `converged` is False if the
-    bound is hit or the duals detect primal infeasibility.
+    Exact at termination (up to the rank-one-updated operators' accuracy) —
+    f64 matches reference solvers to ~1e-9; float32 works with the usual
+    roundoff-floor caveats.  ``max_pivots`` bounds LOOP iterations;
+    `converged` is False if the bound is hit or the duals detect primal
+    infeasibility.
 
     ``y0`` warm-starts the ACTIVE SET from a previous solve's duals (their
-    signs give the active sides): the warm phase solves the gathered KKT for
-    that set and drops wrong-sign multipliers one at a time, after which the
-    usual GI pivoting continues.  In receding-horizon use the active set is
-    nearly stationary, so a warm solve is typically one KKT solve + one
-    optimality scan (~2 "pivots").
+    signs give the active sides): the warm phase rebuilds the slot-space
+    inverse Gram by incremental bordering (one cheap lockstep iteration per
+    warm row, dependent rows skipped), jumps to the equality-KKT optimum of
+    that set, drops wrong-sign multipliers, then continues with the usual
+    GI pivoting.
+
+    ``state0`` (preferred for receding-horizon serving): the ``gi_state``
+    of the PREVIOUS period's solution for the SAME (P, A) — re-enters at
+    the warm-KKT point with the carried operators (no rebuild at all); one
+    Newton refresh of Ginv heals f32 drift.  Bounds may have changed: slot
+    bounds are re-gathered from the live (l, u).  Overrides ``y0``.
 
     ``cache``: output of :func:`build_gi_cache` for this (P, A) — skips the
-    in-solve Cholesky setup (serial triangular solves on TPU) in favour of
-    two matmuls against a precomputed f64-refined P⁻¹.
+    in-solve Cholesky setup (serial triangular solves on TPU).
+
+    The returned :class:`QPSolution` carries ``gi_state`` for the next
+    period.
     """
     with jax.default_matmul_precision("float32"):
         return _gi_impl(P, q, A, l, u, y0, max_pivots=max_pivots, tol=tol,
-                        cache=cache)
+                        cache=cache, state0=state0)
 
 
-def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None):
+def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
     dt = q.dtype
     n = q.shape[0]
     m = A.shape[0]
     if dt == jnp.float32:
-        # f32 roundoff on A@x sits ~1e-7; a 1e-9 test would re-pick
+        # f32 roundoff on a·x sits ~1e-7·‖a‖‖x‖; a 1e-9 test would re-pick
         # already-active rows forever (same floor policy as _solve_qp_impl)
         tol = max(tol, 3e-6)
-    eps = jnp.asarray(tol, dt)
-    inf = jnp.asarray(jnp.inf, dt)
+    # MIXED PRECISION (f32 inputs + x64 available): the (m, ·) violation
+    # scan runs in f32 (it touches the big A table and only RANKS rows),
+    # but ALL slot-space operators (x, λ, Ginv, Aact, Hrow) and pivot
+    # decisions run in f64 — slot tensors are (n, n)-tiny, f64 there is
+    # bandwidth-trivial, and it buys f64-grade pivoting: the measured f32
+    # failure modes (period-8 add/drop cycles, false infeasibility
+    # certificates on near-degenerate vertices) all disappear in f64
+    # (worst-lane pivots 150 → 11 on the fleet that exposed them).
+    hi = jnp.float64 if (dt == jnp.float32 and
+                         jax.config.jax_enable_x64) else dt
+    eps = jnp.asarray(tol, hi)
+    eps_d = jnp.asarray(tol, dt)
+    inf = jnp.asarray(jnp.inf, hi)
+    inf_d = jnp.asarray(jnp.inf, dt)
 
     if cache is not None:
-        Pinv = jnp.asarray(cache["gic_Pinv"], dt)
-        x0 = -(Pinv @ q)                            # unconstrained minimum
-        HinvAT = jnp.asarray(cache["gic_HinvAT"], dt)  # (n, m): P⁻¹aᵢ cols
+        Pinv = jnp.asarray(cache["gic_Pinv"], hi)
     else:
         cho = jax.scipy.linalg.cho_factor(P)
-        x0 = -jax.scipy.linalg.cho_solve(cho, q)    # unconstrained minimum
-        HinvAT = jax.scipy.linalg.cho_solve(cho, A.T)  # (n, m): P⁻¹aᵢ cols
-    # Gram entries aᵢᵀP⁻¹aⱼ are gathered on the fly from HinvAT — the full
-    # (m, m) G precompute is O(m²) memory, which at condensed-MPC shapes
-    # like m≈900 × B=512 lanes is gigabytes of HBM for entries GI never
-    # touches (it only ever needs an (n_active × n_active) block per pivot)
+        Pinv = jax.scipy.linalg.cho_solve(
+            cho, jnp.eye(n, dtype=dt)).astype(hi)
+    x_un = -jnp.sum(Pinv * q.astype(hi)[None, :], axis=1)  # uncon. min
+    # per-pivot column (P⁻¹aₚ)ᵀ comes from the SMALL f64 Pinv (one (n,n)
+    # matvec) instead of a precomputed (m, n) table: no big-table gather in
+    # the loop, no f32 rounding of the column, and the fleet params shrink
+    # by the whole table (≈500 MB at B=4096 condensed-MPC shapes)
 
     has_lo = l > -_BIG
     has_up = u < _BIG
     slot_id = jnp.arange(n)
+    # roundoff scale of each aᵢᵀx dot product: ‖aᵢ‖₂·‖x‖₂ (Cauchy–Schwarz)
+    row_nrm = jnp.linalg.norm(A, axis=1)
+    eye = jnp.eye(n, dtype=hi)
+    tiny = jnp.asarray(1e-30, hi)
 
-    # state: x; slot buffer idx/side/lam (capacity n) with fill count;
-    # row being added p (−1 = selection mode, −2 = warm-start KKT phase),
-    # its side sp, its multiplier lam_p; pivot counter; done/feasible flags
+    def bound_of(idx, side):
+        return jnp.where(side > 0, u[idx], l[idx]).astype(hi)
+
+    # hi-precision matvecs as ELEMENTWISE multiply + reduce: XLA:TPU
+    # emulates an f64 dot_general as a multi-pass while-loop over f32
+    # pieces with 8x temporaries and relayouts (measured ~50 ms per dot at
+    # B=4096); the broadcast+sum form lowers to plain emulated elementwise
+    # ops and a reduction, ~100x cheaper at slot shapes.
+    def mv(M, v):          # M @ v
+        return jnp.sum(M * v[None, :], axis=1)
+
+    def vm(v, M):          # v @ M
+        return jnp.sum(M * v[:, None], axis=0)
+
+    # ---------------- initial slot state -----------------------------------
+    # Slots are a FREE LIST (validity mask), not a compacted prefix: a drop
+    # clears one mask bit and restores the identity diagonal of Ginv — no
+    # swap-remove permutation.  (The one-hot permutation matmuls of the
+    # compacted design measured ~7–10 ms EACH per lockstep iteration in
+    # the f64 slot space on the v5e; the mask design deletes them, and the
+    # stale Aact/Hrow rows of freed slots are masked out of every product.)
+    if state0 is not None:
+        idx0 = jnp.asarray(state0["gis_idx"], jnp.int32)
+        side0 = jnp.asarray(state0["gis_side"], jnp.int32)
+        vmask0 = jnp.asarray(state0["gis_vmask"], bool)
+        Ginv0 = jnp.asarray(state0["gis_Ginv"], hi)
+        Aact0 = jnp.where(vmask0[:, None], A[idx0].astype(hi), 0.0)
+        # NOTE: no Newton refresh of the carried Ginv — all updates run in
+        # the f64 slot space, so cross-period drift is ~1e-16 per rank-one
+        # update (the refresh was an artifact of the f32-slot era, and its
+        # f64 matmuls would pay the dot-emulation cost at every solve)
+        widx = jnp.zeros(n, jnp.int32)
+        wside = jnp.zeros(n, jnp.int32)
+        wcnt = jnp.asarray(0, jnp.int32)
+        warm0 = jnp.asarray(True)
+    else:
+        idx0 = jnp.zeros(n, jnp.int32)
+        side0 = jnp.zeros(n, jnp.int32)
+        vmask0 = jnp.zeros(n, bool)
+        Ginv0 = eye
+        Aact0 = jnp.zeros((n, A.shape[1]), hi)
+        if y0 is None:
+            widx = jnp.zeros(n, jnp.int32)
+            wside = jnp.zeros(n, jnp.int32)
+            wcnt = jnp.asarray(0, jnp.int32)
+            warm0 = jnp.asarray(False)
+        else:
+            # seed the warm list from the previous duals: sign gives the
+            # side, magnitude ranks the candidates (≤ n can be active)
+            usable = jnp.where(y0 > 0, has_up, has_lo)
+            mag = jnp.where(usable, jnp.abs(y0), 0.0)
+            topv, topi = jax.lax.top_k(mag, min(n, m))
+            hot = topv > 1e-12
+            wcnt = jnp.sum(hot).astype(jnp.int32)
+            widx = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
+                topi.astype(jnp.int32))
+            wside = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
+                jnp.where(hot, jnp.where(y0[topi] > 0, 1, -1), 0)
+                .astype(jnp.int32))
+            warm0 = jnp.asarray(True)
+
+    # ---------------- mask-based slot-update primitives -------------------
+    # No scatters, no permutations, no dynamic indexing of hi arrays:
+    # everything is one-hot outer products and masked matmuls.
+
+    def onehot(i):
+        return (slot_id == i).astype(hi)
+
+    def add_update(Ginv, Aact, r, sc, app, arow):
+        e = onehot(app)
+        w = r - e
+        Gv = (Ginv + jnp.outer(w, w) / jnp.maximum(sc, tiny)
+              - jnp.outer(e, e))
+        Aacta = Aact * (1.0 - e)[:, None] + jnp.outer(e, arow)
+        return Gv, Aacta
+
+    def drop_update(Ginv, lam, k):
+        """Free slot k: rank-one downdate zeroes row/col k of Ginv; adding
+        e_k e_kᵀ restores the freed slot's identity diagonal.  Aact/Hrow
+        keep their (now-masked) stale rows."""
+        e_k = onehot(k)
+        ck = e_k @ Ginv                            # row k == column k (sym)
+        piv = jnp.maximum(ck @ e_k, tiny)
+        Gv = Ginv - jnp.outer(ck, ck) / piv + jnp.outer(e_k, e_k)
+        return Gv, lam * (1.0 - e_k)
+
+    # ---------------- warm loop (insert + KKT jump + wrong-sign drops) ----
+    # Hoisted OUT of the main loop: under vmap every lane executes every
+    # op of the body at every lockstep iteration, so warm-only work
+    # (slot-table rebuild, KKT multipliers) must not ride along for the
+    # pivot iterations of the slowest lane.
+
+    def warm_body(st):
+        idx, side, lam, vmask = (st["idx"], st["side"], st["lam"],
+                                 st["vmask"])
+        Ginv, Aact = st["Ginv"], st["Aact"]
+        s = jnp.where(vmask, side, 0).astype(hi)
+        free = ~jnp.all(vmask)
+        inserting = st["wpos"] < wcnt
+        # --- insert one pending warm row (bordering update) --------------
+        wsel = jnp.minimum(st["wpos"], n - 1)
+        cand = widx[wsel]
+        cspf = wside[wsel].astype(hi)
+        arow = A[cand].astype(hi)
+        col = mv(Pinv, arow)
+        g = jnp.where(vmask, mv(Aact, col) * s * cspf, 0.0)
+        gamma = jnp.sum(arow * col)
+        r = jnp.where(vmask, mv(Ginv, g), 0.0)
+        sc = gamma - jnp.sum(g * r)
+        ins_ok = inserting & (sc > eps * jnp.maximum(1.0, gamma)) & free
+        app = jnp.argmin(vmask)            # first free slot
+        Gv_add, Aact_add = add_update(Ginv, Aact, r, sc, app, arow)
+        # --- KKT jump of the current set + wrong-sign drop ---------------
+        bnd_act = bound_of(idx, side)
+        dvec = s * (mv(Aact, x_un) - bnd_act)
+        lamw = mv(Ginv, jnp.where(vmask, dvec, 0.0))
+        lam_chk = jnp.where(vmask, lamw, inf)
+        k_w = jnp.argmin(lam_chk)
+        negw = jnp.min(lam_chk) < -eps
+        kkt = ~inserting
+        adopt = kkt & ~negw
+        wdrop = kkt & negw
+        Gv_drop, lam_drop = drop_update(Ginv, lam, k_w)
+        e_w = slot_id == k_w
+
+        def pick(add_v, drop_v, keep_v):
+            return jnp.where(ins_ok, add_v, jnp.where(wdrop, drop_v, keep_v))
+
+        ii = slot_id == app
+        return dict(
+            x=jnp.where(adopt, x_un - mv(Pinv, vm(s * lamw, Aact)),
+                        st["x"]),
+            idx=jnp.where(ins_ok, jnp.where(ii, cand, idx), idx),
+            side=jnp.where(ins_ok, jnp.where(ii, wside[wsel], side), side),
+            lam=jnp.where(adopt,
+                          jnp.where(vmask, jnp.maximum(lamw, 0.0), 0.0), lam),
+            vmask=pick(vmask | ii, vmask & ~e_w, vmask),
+            Ginv=pick(Gv_add, Gv_drop, Ginv),
+            Aact=jnp.where(ins_ok, Aact_add, Aact),
+            wpos=st["wpos"] + inserting.astype(jnp.int32),
+            it=st["it"] + 1,
+            done=st["done"] | adopt,
+        )
+
+    def warm_cond(st):
+        return (~st["done"]) & (st["it"] < max_pivots)
+
+    stw = dict(x=x_un, idx=idx0, side=side0, lam=jnp.zeros(n, hi),
+               vmask=vmask0, Ginv=Ginv0, Aact=Aact0,
+               wpos=jnp.asarray(0, jnp.int32),
+               it=jnp.asarray(0, jnp.int32),
+               done=~(warm0 | (wcnt > 0)))
+    stw = jax.lax.while_loop(warm_cond, warm_body, stw)
+
+    # ---------------- main loop: fused select + pivot step ----------------
+    # One lockstep iteration = (selection scan if between pivots) + one
+    # add/drop step toward the selected row.  All rank-one updates are
+    # single outer-product identities; the only big-table work per
+    # iteration is the A@x violation scan and one f32 row gather.
+
+    def body(st):
+        idx, side, lam, vmask = (st["idx"], st["side"], st["lam"],
+                                 st["vmask"])
+        Ginv, Aact = st["Ginv"], st["Aact"]
+        x = st["x"]
+        s = jnp.where(vmask, side, 0).astype(hi)
+        free = ~jnp.all(vmask)
+
+        # --- violation scan in dt (touches the big A table; only RANKS) ---
+        x_d = x.astype(dt)
+        Ax = A @ x_d
+        scale = jnp.maximum(row_nrm * jnp.linalg.norm(x_d), 1.0)
+        vl = jnp.where(has_lo, l - Ax, -inf_d)
+        vu = jnp.where(has_up, Ax - u, -inf_d)
+        v = jnp.maximum(vl, vu)
+        j = jnp.argmax(v / scale)
+        opt = v[j] / scale[j] <= eps_d
+        j_side = jnp.where(vu[j] >= vl[j], 1, -1).astype(jnp.int32)
+
+        cont = st["p"] >= 0               # continuing a partial activation
+        fresh = ~cont & ~opt
+        stepping = cont | fresh
+        p_eff = jnp.where(cont, st["p"], j).astype(jnp.int32)
+        sp = jnp.where(cont, st["sp"], j_side).astype(jnp.int32)
+        spf = sp.astype(hi)
+        slack = jnp.where(cont, st["slack"],
+                          jnp.maximum(v[j], 0.0).astype(hi))
+        lam_p = jnp.where(cont, st["lam_p"], 0.0)
+
+        # --- Gram work for the pivot row (hi precision) -------------------
+        arow = A[p_eff].astype(hi)        # (nvar,) row gather
+        col = mv(Pinv, arow)              # (P⁻¹aₚ): exact from f64 Pinv
+        g = jnp.where(vmask, mv(Aact, col) * s * spf, 0.0)
+        gamma = jnp.sum(arow * col)
+        r = jnp.where(vmask, mv(Ginv, g), 0.0)
+        sc = gamma - jnp.sum(g * r)       # Schur complement = −sp·aᵀz
+
+        # --- step lengths --------------------------------------------------
+        t2 = jnp.where(sc > eps, slack / jnp.maximum(sc, tiny), inf)
+        ratio = jnp.where(vmask & (r > eps), lam / jnp.maximum(r, eps), inf)
+        k_b = jnp.argmin(ratio)
+        t1 = jnp.min(ratio)               # no dynamic read of an hi array
+        t = jnp.minimum(t1, t2)
+        infeas_raw = stepping & ~jnp.isfinite(t)
+        t = jnp.where(jnp.isfinite(t), t, 0.0)
+        z = mv(Pinv, vm(r * s, Aact)) - spf * col
+        x_step = x + t * z
+        lam_step = jnp.where(vmask, jnp.maximum(lam - t * r, 0.0), lam)
+        lam_p_new = lam_p + t
+        slack_new = jnp.maximum(slack - t * sc, 0.0)
+        full = (t2 <= t1) & jnp.isfinite(t2) & free
+        do_add = stepping & full & ~infeas_raw
+        do_drop = stepping & ~full & ~infeas_raw & jnp.isfinite(t1)
+
+        # --- f32 anti-cycling.  Exact GI cannot cycle (the dual objective
+        # strictly increases), but f32 DATA on near-degenerate vertices
+        # still produces measured add/drop cycles and false infeasibility
+        # certificates.  Detectors: (a) n+2 consecutive zero-length steps;
+        # (b) the freshly selected normalized violation fails to drop 30%
+        # for 8 consecutive selections; (c) an infeasibility certificate on
+        # the first try.  Escape = ONE cold restart from the unconstrained
+        # minimum (the cold pivot order avoids the degenerate vertex);
+        # post-restart certificates are honored and reported.
+        zero_run = jnp.where(stepping & (t <= tiny), st["zrun"] + 1, 0)
+        vn = v[j] / scale[j]
+        prog = vn < 0.7 * st["vbest"]
+        vbest = jnp.where(fresh & prog, vn, st["vbest"])
+        vstall = jnp.where(fresh, jnp.where(prog, 0, st["vstall"] + 1),
+                           st["vstall"])
+        restart = (~st["restarted"]) & ((zero_run > n + 2) | (vstall >= 8)
+                                        | infeas_raw)
+        infeasible = infeas_raw & st["restarted"]
+
+        app = jnp.argmin(vmask)            # first free slot
+        e_b = slot_id == k_b
+        ii = slot_id == app
+        e_app = ii.astype(hi)
+        # --- UNIFIED rank-one update: add, drop and keep are all
+        #   Ginv + c1·aaᵀ + c2·bbᵀ
+        # (add: a=w=r−e_app, c1=1/sc, b=e_app, c2=−1;  drop: a=row k of
+        # Ginv, c1=−1/piv, b=e_k, c2=+1;  keep: c1=c2=0).  One fused
+        # expression touches the (n,n) hi array ~4× per iteration instead
+        # of ~10 — on TPU the f64 slot arrays are the iteration's entire
+        # bandwidth bill, so the op count on them IS the step time.
+        e_bh = e_b.astype(hi)
+        ck = vm(e_bh, Ginv)                        # row k == column k (sym)
+        piv = jnp.maximum(jnp.sum(ck * e_bh), tiny)
+        w = r - e_app
+        a_vec = jnp.where(do_add, w, ck)
+        c1 = jnp.where(do_add, 1.0 / jnp.maximum(sc, tiny),
+                       jnp.where(do_drop, -1.0 / piv, 0.0))
+        b_vec = jnp.where(do_add, e_app, e_b.astype(hi))
+        c2 = jnp.where(do_add, -1.0, jnp.where(do_drop, 1.0, 0.0))
+        Ginv_n = (Ginv + c1 * jnp.outer(a_vec, a_vec)
+                  + c2 * jnp.outer(b_vec, b_vec))
+        am = jnp.where(do_add, e_app, 0.0)         # add-row write mask
+        Aact_n = Aact * (1.0 - am)[:, None] + jnp.outer(am, arow)
+
+        def pick(add_v, drop_v, keep_v):
+            return jnp.where(do_add, add_v, jnp.where(do_drop, drop_v,
+                                                      keep_v))
+
+        # keep path must NOT apply the step's dual update: on the final
+        # (optimal) iteration the scan can "select" an already-active row
+        # whose dependent direction r = e_slot would wrongly drain that
+        # slot's multiplier through lam_step
+        nxt = dict(
+            x=jnp.where(stepping & ~infeas_raw, x_step, x),
+            idx=jnp.where(do_add, jnp.where(ii, p_eff, idx), idx),
+            side=jnp.where(do_add, jnp.where(ii, sp, side), side),
+            lam=pick(jnp.where(ii, lam_p_new, lam_step),
+                     lam_step * (1.0 - e_b.astype(hi)),
+                     jnp.where(stepping, lam_step, lam)),
+            vmask=pick(vmask | ii, vmask & ~e_b, vmask),
+            Ginv=Ginv_n,
+            Aact=Aact_n,
+            p=jnp.where(do_drop, p_eff, -1).astype(jnp.int32),
+            sp=jnp.where(do_drop, sp, 0).astype(jnp.int32),
+            slack=jnp.where(do_drop, slack_new, 0.0),
+            lam_p=jnp.where(do_drop, lam_p_new, 0.0),
+            zrun=zero_run,
+            vbest=vbest, vstall=vstall,
+            it=st["it"] + 1,
+            done=st["done"] | infeasible | (~cont & opt),
+            feas=st["feas"] & ~infeasible,
+        )
+        # cold restart overrides everything except the iteration counter
+        return dict(
+            x=jnp.where(restart, x_un, nxt["x"]),
+            idx=jnp.where(restart, jnp.zeros(n, jnp.int32), nxt["idx"]),
+            side=jnp.where(restart, jnp.zeros(n, jnp.int32), nxt["side"]),
+            lam=jnp.where(restart, jnp.zeros(n, hi), nxt["lam"]),
+            vmask=jnp.where(restart, jnp.zeros(n, bool), nxt["vmask"]),
+            Ginv=jnp.where(restart, eye, nxt["Ginv"]),
+            Aact=jnp.where(restart, jnp.zeros_like(Aact), nxt["Aact"]),
+            p=jnp.where(restart, -1, nxt["p"]).astype(jnp.int32),
+            sp=jnp.where(restart, 0, nxt["sp"]).astype(jnp.int32),
+            slack=jnp.where(restart, 0.0, nxt["slack"]),
+            lam_p=jnp.where(restart, 0.0, nxt["lam_p"]),
+            zrun=jnp.where(restart, 0, nxt["zrun"]),
+            vbest=jnp.where(restart, inf_d, nxt["vbest"]),
+            vstall=jnp.where(restart, 0, nxt["vstall"]),
+            restarted=st["restarted"] | restart,
+            it=nxt["it"], done=nxt["done"], feas=nxt["feas"],
+        )
+
     def cond(st):
         return (~st["done"]) & (st["it"] < max_pivots)
 
-    def body(st):
-        def warm(st):
-            """Solve the gathered KKT for the warm active set; drop the most
-            wrong-signed multiplier, or adopt the point and start selecting."""
-            idx, side, cnt = st["idx"], st["side"], st["cnt"]
-            valid = slot_id < cnt
-            vf = valid.astype(dt)
-            Arows = A[idx] * vf[:, None]
-            bnd = jnp.where(side > 0, u[idx], l[idx]) * vf
-            K = jnp.block([[P, Arows.T],
-                           [Arows, jnp.diag(1.0 - vf)]])
-            sol = jnp.linalg.solve(K, jnp.concatenate([-q, bnd]))
-            xw, w = sol[:n], sol[n:]
-            lamw = side.astype(dt) * w          # λ = s·w must be ≥ 0
-            lam_chk = jnp.where(valid, lamw, inf)
-            k = jnp.argmin(lam_chk)
-            neg = lam_chk[k] < -eps
-            ok = jnp.all(jnp.isfinite(xw)) & jnp.all(jnp.isfinite(w))
-            # dependent warm normals → singular KKT → cold reset
-            last = jnp.maximum(cnt - 1, 0)
-            idx_d = idx.at[k].set(idx[last])
-            side_d = side.at[k].set(side[last])
-            drop = ok & neg
-            adopt = ok & ~neg
-            return dict(
-                x=jnp.where(adopt, xw, st["x"]),
-                idx=jnp.where(drop, idx_d, idx),
-                side=jnp.where(drop, side_d,
-                               jnp.where(ok, side, jnp.zeros_like(side))),
-                lam=jnp.where(adopt,
-                              jnp.where(valid, jnp.maximum(lamw, 0.0), 0.0),
-                              st["lam"]),
-                cnt=jnp.where(drop, cnt - 1,
-                              jnp.where(ok, cnt, 0)),
-                p=jnp.where(drop, -2, -1).astype(jnp.int32),
-                sp=jnp.asarray(0, jnp.int32),
-                lam_p=jnp.asarray(0.0, dt), it=st["it"] + 1,
-                done=st["done"], feas=st["feas"])
-
-        def select(st):
-            Ax = A @ st["x"]
-            vl = jnp.where(has_lo, l - Ax, -inf)
-            vu = jnp.where(has_up, Ax - u, -inf)
-            v = jnp.maximum(vl, vu)
-            j = jnp.argmax(v)
-            opt = v[j] <= eps
-            side = jnp.where(vu[j] >= vl[j], 1, -1).astype(jnp.int32)
-            return dict(st, p=jnp.where(opt, -1, j).astype(jnp.int32),
-                        sp=jnp.where(opt, 0, side).astype(jnp.int32),
-                        lam_p=jnp.asarray(0.0, dt), it=st["it"] + 1,
-                        done=opt)
-
-        def step(st):
-            x, idx, side, lam, cnt = (st["x"], st["idx"], st["side"],
-                                      st["lam"], st["cnt"])
-            p, sp, lam_p = st["p"], st["sp"], st["lam_p"]
-            valid = slot_id < cnt
-            s = jnp.where(valid, side, 0).astype(dt)       # (n,) slot signs
-            spf = sp.astype(dt)
-            # gathered NᵀP⁻¹N system (n×n) for the dual direction r
-            A_idx = A[idx]                               # (n, nvar)
-            Gsub = (A_idx @ HinvAT[:, idx]) * jnp.outer(s, s)
-            Mm = jnp.where(jnp.eye(n, dtype=bool),
-                           jnp.where(valid, jnp.diag(Gsub), 1.0), Gsub)
-            rhs = s * spf * (A_idx @ HinvAT[:, p])
-            r = jnp.linalg.solve(Mm, rhs)
-            r = jnp.where(valid, r, 0.0)
-            # primal direction z = P⁻¹(ν⁺ − Σ r_j ν_j), ν_j = −s_j a_{idx_j}
-            z = HinvAT[:, idx] @ (r * s) - spf * HinvAT[:, p]
-            nu_z = -spf * (A[p] @ z)
-            bnd_p = jnp.where(sp > 0, u[p], l[p])
-            slack = spf * (A[p] @ x - bnd_p)        # > 0 (p is violated)
-            # full step (activates p) and dual blocking step (drops a slot)
-            t2 = jnp.where(nu_z > eps, slack / jnp.maximum(nu_z, eps), inf)
-            ratio = jnp.where(valid & (r > eps),
-                              lam / jnp.maximum(r, eps), inf)
-            k = jnp.argmin(ratio)
-            t1 = ratio[k]
-            t = jnp.minimum(t1, t2)
-            infeasible = ~jnp.isfinite(t)
-            t = jnp.where(infeasible, 0.0, t)
-            x = x + t * z
-            lam = jnp.maximum(lam - t * r, 0.0)
-            lam_p = lam_p + t
-            full = (t2 <= t1) & jnp.isfinite(t2) & (cnt < n)
-            # full step → append p to the slots; else swap-remove slot k
-            # (GI invariant: cnt < n whenever a full step is possible —
-            # with n active independent normals, ν⁺ ∈ span(N) ⇒ z = 0)
-            last = jnp.maximum(cnt - 1, 0)
-            app = jnp.minimum(cnt, n - 1)
-            idx_f = idx.at[app].set(p)
-            side_f = side.at[app].set(sp)
-            lam_f = lam.at[app].set(lam_p)
-            idx_d = idx.at[k].set(idx[last])
-            side_d = side.at[k].set(side[last])
-            lam_d = lam.at[k].set(lam[last])
-            upd = ~infeasible   # infeasible exit must not corrupt the slots
-            return dict(
-                x=x,
-                idx=jnp.where(upd, jnp.where(full, idx_f, idx_d), idx),
-                side=jnp.where(upd, jnp.where(full, side_f, side_d), side),
-                lam=jnp.where(upd, jnp.where(full, lam_f, lam_d), lam),
-                cnt=jnp.where(upd, jnp.where(full, cnt + 1, cnt - 1), cnt),
-                p=jnp.where(full | infeasible, -1, p).astype(jnp.int32),
-                sp=jnp.where(full | infeasible, 0, sp).astype(jnp.int32),
-                lam_p=jnp.where(full, 0.0, lam_p),
-                it=st["it"] + 1,
-                done=st["done"] | infeasible,
-                feas=st["feas"] & ~infeasible)
-
-        phase = jnp.where(st["p"] == -2, 0, jnp.where(st["p"] == -1, 1, 2))
-        return jax.lax.switch(phase, [warm, select, step], st)
-
-    if y0 is None:
-        idx0 = jnp.zeros(n, jnp.int32)
-        side0 = jnp.zeros(n, jnp.int32)
-        cnt0 = jnp.asarray(0, jnp.int32)
-        p0 = jnp.asarray(-1, jnp.int32)
-    else:
-        # seed the active set from the previous duals: sign gives the side,
-        # magnitude ranks the candidates (≤ n can be active)
-        usable = jnp.where(y0 > 0, has_up, has_lo)
-        mag = jnp.where(usable, jnp.abs(y0), 0.0)
-        topv, topi = jax.lax.top_k(mag, min(n, m))
-        hot = topv > 1e-12
-        cnt0 = jnp.sum(hot).astype(jnp.int32)
-        idx0 = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
-            topi.astype(jnp.int32))
-        side0 = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
-            jnp.where(hot, jnp.where(y0[topi] > 0, 1, -1), 0)
-            .astype(jnp.int32))
-        p0 = jnp.asarray(-2, jnp.int32)
-
-    st0 = dict(x=x0, idx=idx0, side=side0, lam=jnp.zeros(n, dt),
-               cnt=cnt0,
-               p=p0, sp=jnp.asarray(0, jnp.int32),
-               lam_p=jnp.asarray(0.0, dt), it=jnp.asarray(0, jnp.int32),
+    st0 = dict(x=stw["x"], idx=stw["idx"], side=stw["side"], lam=stw["lam"],
+               vmask=stw["vmask"], Ginv=stw["Ginv"], Aact=stw["Aact"],
+               p=jnp.asarray(-1, jnp.int32), sp=jnp.asarray(0, jnp.int32),
+               slack=jnp.asarray(0.0, hi), lam_p=jnp.asarray(0.0, hi),
+               zrun=jnp.asarray(0, jnp.int32),
+               vbest=jnp.asarray(jnp.inf, dt),
+               vstall=jnp.asarray(0, jnp.int32),
+               restarted=jnp.asarray(False),
+               it=stw["it"],
                done=jnp.asarray(False), feas=jnp.asarray(True))
     st = jax.lax.while_loop(cond, body, st0)
     # duals back to row space, OSQP sign convention (+ at upper bound)
-    valid = slot_id < st["cnt"]
-    contrib = jnp.where(valid, st["side"].astype(dt) * st["lam"], 0.0)
+    contrib = jnp.where(st["vmask"], st["side"].astype(hi) * st["lam"],
+                        0.0).astype(dt)
     y = jnp.zeros(m, dt).at[st["idx"]].add(contrib)
-    x = st["x"]
+    x = st["x"].astype(dt)
+    gi_state = dict(gis_idx=st["idx"], gis_side=st["side"],
+                    gis_vmask=st["vmask"], gis_Ginv=st["Ginv"])
     return QPSolution(x=x, y=y, z=A @ x,
                       converged=st["done"] & st["feas"], iters=st["it"],
-                      obj=0.5 * x @ P @ x + q @ x)
+                      obj=0.5 * x @ P @ x + q @ x, gi_state=gi_state)

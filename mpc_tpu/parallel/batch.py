@@ -123,6 +123,12 @@ class BatchedLinMPC:
             y_dual=np.zeros((self.B, c0.A_stack.shape[0]), dt),
             rho_rung=np.full(self.B, 4, np.int32),
         )
+        if c0.qp_solver == "active_set":
+            # GI cross-period operator carry (per-lane active set + Ginv)
+            from ..ops.qp_active import gi_state_init
+            state["qp_state"] = gi_state_init(c0.n_qp, like=dt, batch=self.B)
+        else:
+            state["qp_state"] = None
         self.mesh = mesh
         if mesh is not None:
             shard = NamedSharding(mesh, P("batch"))
@@ -157,12 +163,12 @@ class BatchedLinMPC:
             R_hat_y = jnp.tile(ry, self.Hp)
             R_hat_u = p["Uop"]
             nxs = p["Ks"].shape[1]
-            u, Z_t, y_dual, conv, F, obj, iters, rung = step_raw(
+            u, Z_t, y_dual, conv, F, obj, iters, rung, qps = step_raw(
                 p, x0c, st["lastu0"], d0, D_hat_0, R_hat_y, R_hat_u,
                 jnp.zeros(nxs, x0.dtype), jnp.zeros(ep["yop_m"].shape[0] +
                                                     (c0.estim.nyu), x0.dtype),
                 st["Z_tilde"], st["y_dual"], rung_prev=st["rho_rung"],
-                iter_budget=it_budget)
+                iter_budget=it_budget, qp_state=st["qp_state"])
             lastu0 = u - ep["uop"]
             # --- estimator prediction ---
             x0n = ep["A_hat"] @ x0c + ep["Bu_hat"] @ lastu0
@@ -170,7 +176,7 @@ class BatchedLinMPC:
                 x0n = x0n + ep["Bd_hat"] @ d0
             x0n = x0n + ep["fop_m_xop"]
             new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t,
-                          y_dual=y_dual, rho_rung=rung)
+                          y_dual=y_dual, rho_rung=rung, qp_state=qps)
             return u, conv, obj, iters, new_st
 
         p_ax = None if self.share_params else 0
@@ -201,12 +207,17 @@ class BatchedLinMPC:
             budget = int(np.clip(0.8 * self.Ts / self._iter_cost, 50, 2**30))
         else:
             budget = 2**30
+        # device scalar cached by value: re-shipping it per step would cost
+        # one tunnel round trip (and break the zero-transfer discipline)
+        if getattr(self, "_budget_dev", (None,))[0] != budget:
+            self._budget_dev = (budget, jax.device_put(
+                np.asarray(budget, np.int32)))
         import time as _time
         t0 = _time.perf_counter()
         u, n_conv, it_stats, self.state = self._step(
             self.params, self.eparams, self.state, jnp.asarray(ym, dt),
             jnp.asarray(ry, dt), jnp.asarray(d, dt),
-            jnp.asarray(budget, jnp.int32))
+            self._budget_dev[1])
         self.last_iters = it_stats    # [max, mean] QP iterations (device)
         self.last_iter_budget = budget
         if self.limit_solve_time:

@@ -46,6 +46,18 @@ def _cast_tree(tree, dtc):
         if np.issubdtype(np.asarray(a).dtype, np.floating) else a, tree)
 
 
+def _qp_state0(ctrl, B=None):
+    """Initial GI cross-period operator state for a controller's compiled
+    loop (None when the controller uses the ADMM backend)."""
+    if getattr(ctrl, "qp_solver", "admm") != "active_set":
+        return None
+    from .ops.qp_active import gi_state_init
+    dtc = getattr(ctrl, "_dt", None)
+    like = np.float32 if (dtc is not None and
+                          np.dtype(dtc) == np.float32) else np.float64
+    return gi_state_init(ctrl.n_qp, like=like, batch=B)
+
+
 class CompiledClosedLoop:
     """One-`lax.scan` closed loop for a LinMPC + constant-gain estimator.
 
@@ -138,11 +150,12 @@ class CompiledClosedLoop:
             R_hat_y = jnp.tile(ry, Hp)
             R_hat_u = p["Uop"]
             nxs = p["Ks"].shape[1]
-            u, Z_t, y_dual, conv, _, obj, _it, rung = step_raw(
+            u, Z_t, y_dual, conv, _, obj, _it, rung, qps = step_raw(
                 p, x0c, st["lastu0"], d0, D_hat_0, R_hat_y, R_hat_u,
                 jnp.zeros(nxs, x0.dtype),
                 jnp.zeros(ep["yop_m"].shape[0] + nyu, x0.dtype),
-                st["Z_tilde"], st["y_dual"], rung_prev=st["rho_rung"])
+                st["Z_tilde"], st["y_dual"], rung_prev=st["rho_rung"],
+                qp_state=st["qp_state"])
             lastu0 = u - ep["uop"]
             # plant update with actuator injection + state noise
             u0p = (u + u_step + eps_u) - pp["uop"]
@@ -157,7 +170,8 @@ class CompiledClosedLoop:
             out = dict(y=y, u=u, y_est=y_est, x_p=st["x0_p"] + pp["xop"],
                        x_hat=x0c + ep["xop_hat"], conv=conv, obj=obj)
             new_st = dict(x0_p=x0p_n, lastu0=lastu0,
-                          Z_tilde=Z_t, y_dual=y_dual, rho_rung=rung)
+                          Z_tilde=Z_t, y_dual=y_dual, rho_rung=rung,
+                          qp_state=qps)
             if is_kf:
                 x0n, Pn = kf_predict(x0n, Pc, ep["A_hat"], ep["Q_hat"],
                                      ep["fop_m_xop"])
@@ -218,7 +232,8 @@ class CompiledClosedLoop:
         st0 = dict(x0_p=x0p, x0_hat=xh0, lastu0=np.zeros((B, nu)),
                    Z_tilde=np.zeros((B, self.ctrl.nZt)),
                    y_dual=np.zeros((B, self.ctrl.A_stack.shape[0])),
-                   rho_rung=np.full(B, 4, np.int32))
+                   rho_rung=np.full(B, 4, np.int32),
+                   qp_state=_qp_state0(self.ctrl, B))
         if self._kf:
             st0["P_hat"] = np.tile(np.asarray(estim.P_hat, float), (B, 1, 1))
         steps = (np.zeros((B, N, nu)), np.zeros((B, N, ny)))
@@ -291,7 +306,8 @@ class CompiledClosedLoop:
                    lastu0=lastu - model.uop,
                    Z_tilde=np.zeros(self.ctrl.nZt),
                    y_dual=np.zeros(self.ctrl.A_stack.shape[0]),
-                   rho_rung=np.int32(4))
+                   rho_rung=np.int32(4),
+                   qp_state=_qp_state0(self.ctrl))
         if self._kf:
             st0["P_hat"] = np.asarray(estim.P_hat, float)
         steps = (np.tile(u_step, (N, 1)), np.tile(y_step, (N, 1)))
@@ -728,11 +744,12 @@ class CompiledMHEMPCLoop:
             # --- LinMPC solve from the MHE estimate ---
             D_hat_0 = jnp.tile(d0, Hp)
             R_hat_y = jnp.tile(ry, Hp)
-            u, Z_t, y_dual, conv, _, obj, _it, rung = step_raw(
+            u, Z_t, y_dual, conv, _, obj, _it, rung, qps = step_raw(
                 p, x_new, st["lastu0"], d0, D_hat_0, R_hat_y, p["Uop"],
                 jnp.zeros(p["Ks"].shape[1], x_new.dtype),
                 jnp.zeros(y0m.shape[0] + nyu, x_new.dtype),
-                st["Z_tilde"], st["y_dual"], rung_prev=st["rho_rung"])
+                st["Z_tilde"], st["y_dual"], rung_prev=st["rho_rung"],
+                qp_state=st["qp_state"])
             lastu0 = u - mp["uop"]
             est["pending_u0"] = lastu0
             # --- plant update ---
@@ -743,7 +760,8 @@ class CompiledMHEMPCLoop:
             out = dict(y=y, u=u, x_hat=x_new + xop_hat, J_mhe=J_mhe,
                        ok=ok, conv=conv)
             new_st = dict(est=est, x0_p=x0p_n, lastu0=lastu0,
-                          Z_tilde=Z_t, y_dual=y_dual, rho_rung=rung)
+                          Z_tilde=Z_t, y_dual=y_dual, rho_rung=rung,
+                          qp_state=qps)
             return (p, mp, pp, new_st), out
 
         def scan(p, mp, pp, st0, ry, dks, eps_y, N):
@@ -788,7 +806,8 @@ class CompiledMHEMPCLoop:
                    lastu0=lastu - model.uop,
                    Z_tilde=np.zeros(self.ctrl.nZt),
                    y_dual=np.zeros(self.ctrl.A_stack.shape[0]),
-                   rho_rung=np.int32(4))
+                   rho_rung=np.int32(4),
+                   qp_state=_qp_state0(self.ctrl))
         tree = _cast_tree((self._p, self._mp, self._pp, st0, Ry, dks,
                            eps_y), getattr(self.ctrl, "_dt", None))
         tree = jax.device_put(tree)
@@ -1106,7 +1125,8 @@ class CompiledClosedLoopFleet:
                    lastu0=np.zeros((B, nu)),
                    Z_tilde=np.zeros((B, c0.nZt)),
                    y_dual=np.zeros((B, c0.A_stack.shape[0])),
-                   rho_rung=np.full(B, 4, np.int32))
+                   rho_rung=np.full(B, 4, np.int32),
+                   qp_state=_qp_state0(c0, B))
         if self._vscan_N != N:
             self._vscan = self._vscan_builder(N)
             self._vscan_N = N
