@@ -264,7 +264,99 @@ def main():
                                             "flops_per_step", "qp_iters_mean",
                                             "converged")}
 
+    # nonlinear-stack configs (VERDICT r02 #5: the reference benchmarks every
+    # estimator × controller × solver, benchmark/benchmarks.jl:5-13;
+    # BatchedNonLinMPC/BatchedMHE TPU numbers must live in the driver
+    # artifact, not round-old prose)
+    if os.environ.get("MPC_BENCH_NONLIN", "1") == "1":
+        headline["nonlin_config"] = _bench_nonlin(platform)
+    if os.environ.get("MPC_BENCH_MHE", "1") == "1":
+        headline["mhe_config"] = _bench_mhe(platform)
+
     print(json.dumps(headline))
+
+
+def _bench_nonlin(platform, B=256):
+    """BatchedNonLinMPC pendulum fleet (SQP15 + UKF per lane), rotating
+    setpoints (reference analogue: benchmark/3_bench_predictive_control.jl
+    :370-435, pendulum NonLinMPC case studies)."""
+    import jax
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+    from mpc_tpu.parallel import BatchedNonLinMPC
+
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+    estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
+                                      nint_ym=[1], sigmaQint_ym=[0.1])
+    t = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
+                      sqp_iters=15)
+    t.setconstraint(umin=[-1.5], umax=[1.5])
+    fleet = BatchedNonLinMPC(t, batch=B, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    seq = [(jnp.asarray(rng.normal(size=(B, 1)) * 5.0, jnp.float32),
+            jnp.full((B, 1), deg, jnp.float32))
+           for deg in (180.0, 170.0, 175.0, 180.0)]
+    u, J = fleet.step(*seq[0])
+    jax.block_until_ready(u)
+    n_iters = 8
+    t0 = time.time()
+    for k in range(n_iters):
+        u, J = fleet.step(*seq[k % 4])
+    jax.block_until_ready(u)
+    dt = (time.time() - t0) / n_iters
+    it = np.asarray(fleet.last_iters)
+    viol = float(np.asarray(fleet.last_viol))
+    res = {"metric": f"BatchedNonLinMPC solves/s/chip (pendulum, Hp=15, "
+                     f"SQP15+UKF, B={B}, {platform})",
+           "value": round(B / dt, 1), "unit": "solves/s",
+           "step_ms": round(dt * 1e3, 2),
+           "sqp_iters_max": float(it[0]), "sqp_iters_mean": float(it[1]),
+           "viol_max": viol, "converged": int(viol < 1e-3) * B}
+    print(f"# nonlin: {res['value']}/s step={res['step_ms']}ms "
+          f"viol={viol:.2e}", file=sys.stderr)
+    return res
+
+
+def _bench_mhe(platform, B=512, He=10):
+    """BatchedMHE window-QP fleet on a 2x1 LinModel (reference analogue:
+    benchmark/2_bench_state_estim.jl:155-185, MHE per-step budget)."""
+    import jax
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+    from mpc_tpu.parallel import BatchedMHE
+
+    G = mpc.tf_matrix([[mpc.tf(3, [10, 1])], [mpc.tf(-1, [4, 1])]])
+    m = mpc.LinModel(G, 1.0)
+    t = mpc.MovingHorizonEstimator(m, He=He, sigmaQ=[0.1] * m.nx,
+                                   sigmaR=[0.2, 0.2])
+    t.setconstraint(xhatmin=np.full(t.nx_hat, -50.0),
+                    xhatmax=np.full(t.nx_hat, 50.0))
+    fleet = BatchedMHE(t, B, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    u_prev = np.zeros((B, 1))
+    for _ in range(He + 1):   # fill the window (bookkeeping + compile)
+        x = fleet.step(rng.normal(size=(B, 2)) * 0.3, u_prev=u_prev)
+    n_iters = 10
+    t0 = time.time()
+    for _ in range(n_iters):
+        x = fleet.step(rng.normal(size=(B, 2)) * 0.3, u_prev=u_prev)
+    jax.block_until_ready(fleet.last_ok)
+    dt = (time.time() - t0) / n_iters
+    n_ok = int(np.asarray(fleet.last_ok).sum())
+    res = {"metric": f"BatchedMHE solves/s/chip (2x1 LinModel, He={He}, "
+                     f"x-bounds, B={B}, {platform})",
+           "value": round(B / dt, 1), "unit": "solves/s",
+           "step_ms": round(dt * 1e3, 2), "converged": n_ok}
+    print(f"# mhe: {res['value']}/s step={res['step_ms']}ms conv={n_ok}/{B}",
+          file=sys.stderr)
+    return res
 
 
 if __name__ == "__main__":

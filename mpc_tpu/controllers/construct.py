@@ -14,6 +14,9 @@ class ControllerWeights:
     def __init__(self, nu, ny, Hp, Hc, Mwt=None, Nwt=None, Lwt=None,
                  M_Hp=None, N_Hc=None, L_Hp=None, Cwt=1e5, Ewt=0.0):
         Cwt = np.inf if Cwt is None else Cwt   # None == hard constraints
+        if np.ndim(Cwt) != 0 or np.ndim(Ewt) != 0:
+            # scalars only (construct.jl:80, nonlinmpc.jl:823)
+            raise ValueError("Cwt and Ewt must be scalar weights")
         Mwt = np.full(ny, 1.0) if Mwt is None else np.asarray(Mwt, float).ravel()
         Nwt = np.full(nu, 0.1) if Nwt is None else np.asarray(Nwt, float).ravel()
         Lwt = np.full(nu, 0.0) if Lwt is None else np.asarray(Lwt, float).ravel()

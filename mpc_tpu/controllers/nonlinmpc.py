@@ -87,6 +87,20 @@ class NonLinMPC(PredictiveController):
         self.weights = ControllerWeights(nu, ny, Hp, Hc, Mwt, Nwt, Lwt,
                                          M_Hp, N_Hc, L_Hp, Cwt, Ewt)
         self.n_eps = self.weights.n_eps
+        if JE is not None:
+            # the economic cost must accept (Ue, Ŷe, D̂e, p, ϵ) — the
+            # reference validates the method signature up front
+            # (nonlinmpc.jl:824-825); a wrong arity here would otherwise
+            # only explode deep inside the traced SQP objective
+            import inspect
+            try:
+                n_args = len(inspect.signature(JE).parameters)
+            except (TypeError, ValueError):
+                n_args = 5
+            if n_args != 5:
+                raise ValueError(
+                    f"the JE function should have 5 arguments "
+                    f"(Ue, Ye, De, p, eps), got {n_args}")
         self.JE = JE or (lambda Ue, Ye, De, p_, eps: 0.0)
         if (gc is not None) != (int(nc) > 0):
             raise ValueError(

@@ -23,6 +23,11 @@ def _sigma_scales(nu_or_sigma, n, name):
     v = np.asarray(nu_or_sigma, float).ravel()
     if v.shape != (n,):
         raise ValueError(f"{name} size {v.shape} ≠ ({n},)")
+    if np.any(v < 0):
+        # σ values are standard deviations; a negative one silently squares
+        # into a "valid" covariance and hides the user error (the reference
+        # rejects them at construction)
+        raise ValueError(f"{name} entries must be non-negative")
     return v
 
 

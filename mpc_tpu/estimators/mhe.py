@@ -483,16 +483,21 @@ class MovingHorizonEstimator(StateEstimator):
                     return V.reshape(-1)
 
                 JV = jax.jacfwd(res_fun)(Zt)
-                invR_blk = jnp.kron(jnp.eye(He), p["invR"])
+                # dtype-follow the params: a default (f64-under-x64) eye in
+                # the krons silently upcasts H while q stays f32, which
+                # breaks the fori carry of the f32 fleet path
+                dtp = p["invR"].dtype
+                invR_blk = jnp.kron(jnp.eye(He, dtype=dtp), p["invR"])
                 H = 2.0 * JV.T @ invR_blk @ JV
                 # arrival + Ŵ terms (quadratic in Z̃ directly)
                 H = H.at[n_eps:n_eps + nx_hat, n_eps:n_eps + nx_hat].add(2.0 * p["invP"])
                 wblk = jnp.kron(jnp.diag(p["mask_w"]), p["invQ"]) + \
-                    jnp.kron(jnp.diag(1.0 - p["mask_w"]), jnp.eye(nx_hat))
+                    jnp.kron(jnp.diag(1.0 - p["mask_w"]),
+                             jnp.eye(nx_hat, dtype=dtp))
                 H = H.at[w_off:, w_off:].add(2.0 * wblk)
                 if n_eps:
                     H = H.at[0, 0].add(2.0 * Cwt)
-                return H + 1e-10 * jnp.eye(nZt, dtype=dt)
+                return H + 1e-10 * jnp.eye(nZt, dtype=H.dtype)
 
             n_iters = 1 if (is_lin and nc == 0) else sqp_iters
 

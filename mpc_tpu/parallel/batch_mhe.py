@@ -25,11 +25,15 @@ class BatchedMHE:
     """
 
     def __init__(self, template: MovingHorizonEstimator, batch: int,
-                 mesh=None):
+                 mesh=None, dtype=None):
         if not template.direct:
             raise ValueError("BatchedMHE supports the direct (p=0) form")
         self.t = template
         self.B = int(batch)
+        # dtype=jnp.float32 runs the vmapped window QP in TPU-native f32
+        # (f64 LuDecomposition is unimplemented on TPU); host window
+        # bookkeeping stays f64
+        self._dt = dtype
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             self._shard_b = NamedSharding(mesh, PartitionSpec("batch"))
@@ -124,7 +128,15 @@ class BatchedMHE:
                 "Bd_hat": np.asarray(t.Bd_hat),
                 "Cm_hat": np.asarray(t.Cm_hat),
                 "Ddm_hat": np.asarray(t.Ddm_hat)} if self._lin else {}))
-        Z0 = jnp.asarray(self.Z)
+        if self._dt is not None:
+            np_dt = np.dtype(self._dt)
+            tree = {k: (v.astype(np_dt)
+                        if np.issubdtype(np.asarray(v).dtype, np.floating)
+                        else v)
+                    for k, v in tree.items()}
+            Z0 = jnp.asarray(self.Z, self._dt)
+        else:
+            Z0 = jnp.asarray(self.Z)
         if self._shard_b is not None:
             # batch-axis leaves shard over the mesh, shared leaves replicate
             batched = {"U", "D", "Y0m", "mask_v", "x_arr_prior"}
@@ -135,6 +147,7 @@ class BatchedMHE:
         else:
             p = jax.device_put(tree)
         Zt, x_new, X, Ym, J, ok = self._solve(p, Z0)
+        self.last_ok = ok            # per-stream converged flags (device)
         self.Z = np.array(Zt)
         self.x0_hat = np.array(x_new)
         # update_cov! predict once the window is full (updatestate cadence)

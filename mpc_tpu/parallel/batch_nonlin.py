@@ -95,13 +95,20 @@ class BatchedNonLinMPC:
             lastu0 = u - uop
             # UKF prediction
             x0n, Pn = pred(x0c, Pc, lastu0, d0, m_hat, S_hat, Q_hat, fop_m_xop)
-            return u, J, dict(x0_hat=x0n, P_hat=Pn, lastu0=lastu0, Z_tilde=Zt)
+            return u, J, iters, viol, dict(x0_hat=x0n, P_hat=Pn,
+                                           lastu0=lastu0, Z_tilde=Zt)
 
         vone = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
 
         def solve(p, st, ym, ry, d):
-            u, J, new_st = vone(p, st, ym, ry, d)
-            return u, J, new_st
+            u, J, iters, viol, new_st = vone(p, st, ym, ry, d)
+            # fleet diagnostics (benchmark parity with the reference's
+            # per-solver iteration stats): [max, mean] SQP iterations and
+            # the worst constraint/defect violation across lanes
+            it_stats = jnp.stack([jnp.max(iters),
+                                  jnp.sum(iters) // iters.shape[0]])
+            viol_max = jnp.max(viol)
+            return u, J, it_stats, viol_max, new_st
 
         return solve
 
@@ -130,5 +137,8 @@ class BatchedNonLinMPC:
         ym, ry, d = ja(ym), ja(ry), ja(d)
         if self._shard_b is not None:
             ym, ry, d = jax.device_put((ym, ry, d), self._shard_b)
-        u, J, self.state = self._solve(self._p_cache, self.state, ym, ry, d)
+        u, J, it_stats, viol_max, self.state = self._solve(
+            self._p_cache, self.state, ym, ry, d)
+        self.last_iters = it_stats   # [max, mean] SQP iterations (device)
+        self.last_viol = viol_max    # worst lane violation (device)
         return u, J

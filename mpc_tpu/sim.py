@@ -171,26 +171,50 @@ class SimResult:
 def sim(obj, N, ry=None, d=None, *, plant=None, u=None,
         u_step=None, u_noise=None, y_step=None, y_noise=None,
         d_step=None, d_noise=None, x_noise=None, x_0=None, x_hat_0=None,
-        lastu=None, seed=0):
+        lastu=None, seed=0, progress=None):
     """Simulate ``obj`` for N steps.
 
     * SimModel: open-loop with constant input ``u`` (bump test).
     * StateEstimator / PredictiveController: closed loop against ``plant``
       (defaults to a copy of the internal model) with disturbance injection
       kwargs mirroring the reference's ``sim!``.
+
+    ``progress``: opt-in progress reporting for long runs (the reference's
+    ``@progressif`` / ProgressLogging, general.jl:301-310, used by
+    plot_sim.jl:144,291): ``True`` prints a single-line percentage to
+    stderr every ~5%%; a callable receives ``(k, N)`` after each step.
     """
+    cb = _progress_cb(progress, N)
     if isinstance(obj, SimModel):
         # open-loop bump test accepts (N, u, d, x_0) like the reference
         # (plot_sim.jl:123 doctest); ry doubles as u positionally
         if u is None and ry is not None:
             u = ry
-        return _sim_model(obj, N, u, d, x_0)
+        return _sim_model(obj, N, u, d, x_0, cb)
     return _sim_closedloop(obj, N, ry, d, plant, u_step, u_noise, y_step,
                            y_noise, d_step, d_noise, x_noise, x_0, x_hat_0,
-                           lastu, seed)
+                           lastu, seed, cb)
 
 
-def _sim_model(model: SimModel, N, u, d, x_0=None):
+def _progress_cb(progress, N):
+    """Normalize the ``progress`` kwarg to a callable (or None)."""
+    if progress is None or progress is False:
+        return None
+    if callable(progress):
+        return progress
+    import sys as _sys
+    stride = max(1, N // 20)
+
+    def cb(k, n):
+        if (k + 1) % stride == 0 or k + 1 == n:
+            print(f"\rsim: {100 * (k + 1) // n:3d}% ({k + 1}/{n})",
+                  end="" if k + 1 < n else "\n", file=_sys.stderr,
+                  flush=True)
+
+    return cb
+
+
+def _sim_model(model: SimModel, N, u, d, x_0=None, cb=None):
     u = np.ones(model.nu) if u is None else np.asarray(u, float).ravel()
     d = model.dop.copy() if d is None else np.asarray(d, float).ravel()
     if x_0 is not None:
@@ -203,6 +227,8 @@ def _sim_model(model: SimModel, N, u, d, x_0=None):
         Y[k] = model.evaloutput(d if model.nd else None)
         X[k] = model.x0 + model.xop
         model.updatestate(u, d if model.nd else None)
+        if cb is not None:
+            cb(k, N)
     return SimResult(T, Y, U, D_data=np.tile(d, (N, 1)), X_data=X)
 
 
@@ -213,7 +239,7 @@ def _copy_model(model):
 
 def _sim_closedloop(est_mpc, N, ry, d, plant, u_step, u_noise, y_step,
                     y_noise, d_step, d_noise, x_noise, x_0, x_hat_0, lastu,
-                    seed):
+                    seed, cb=None):
     is_mpc = isinstance(est_mpc, PredictiveController)
     estim = est_mpc.estim if is_mpc else est_mpc
     model = estim.model
@@ -268,5 +294,7 @@ def _sim_closedloop(est_mpc, N, ry, d, plant, u_step, u_noise, y_step,
         plant.updatestate(up, dk if nd else None)
         plant.x0 = plant.x0 + x_noise * rng.normal(size=plant.nx)
         est_mpc.updatestate(u, ym, dk if nd else None)
+        if cb is not None:
+            cb(k, N)
     return SimResult(T, Y, U, Ry_data=Ry, D_data=D, X_data=X,
                      Y_est_data=Y_est, X_est_data=X_est, obj=est_mpc)

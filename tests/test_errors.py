@@ -359,3 +359,136 @@ def test_mhe_setmodel_cov_validation(m):
         mhe.setmodel(Qhat=np.diag([-0.1, -0.1]))     # (:1745)
     with pytest.raises(ValueError):
         mhe.setmodel(Rhat=np.diag([-0.1]))           # (:1746)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 porting sweep: remaining applicable validation assertions from
+# test/3_test_predictive_control.jl and test/2_test_state_estim.jl.
+
+
+def test_nonlinmpc_je_gc_signature_validation():
+    """Economic-cost / custom-constraint callables are validated up front
+    (nonlinmpc.jl:823-827) — a wrong arity must not explode mid-trace."""
+    m = mpc.LinModel(mpc.tf(2, [10, 1]), 3.0)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(m, Hp=5, JE=lambda a, b, c: 0.0)       # (:824)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(m, Hp=5, JE=lambda a, b, c, d: 0.0)    # (:825)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(m, Hp=5, Ewt=[1, 1])                   # (:823)
+    with pytest.raises(ValueError):
+        # gc without nc (the constraint count must be declared) (:826)
+        mpc.NonLinMPC(m, Hp=5, gc=lambda U, Y, D, p, e: np.zeros(1))
+
+
+def test_nonlinmpc_without_hp_on_nonlinmodel():
+    """Hp has no LinModel-delay default for a NonLinModel — the reference
+    requires it explicitly (3_test_predictive_control.jl:900)."""
+    nm = mpc.NonLinModel(lambda x, u, d, p: 0.5 * x + u,
+                         lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    with pytest.raises(ValueError):
+        mpc.NonLinMPC(nm)
+
+
+def test_nonlinmpc_rejects_custom_lincon():
+    """Custom linear constraints W are a LinMPC feature; NonLinMPC rejects
+    them like the reference (3_test_predictive_control.jl:901 — use gc)."""
+    nm = mpc.NonLinModel(lambda x, u, d, p: 0.5 * x + u,
+                         lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    with pytest.raises((ValueError, TypeError)):
+        mpc.NonLinMPC(nm, Hp=2, Wy=np.eye(1))
+
+
+def test_collocation_constructor_validation():
+    """Transcription constructor argument checks
+    (3_test_predictive_control.jl:903-905)."""
+    with pytest.raises(ValueError):
+        mpc.TrapezoidalCollocation(2)          # h ∈ {0, 1}
+    with pytest.raises(ValueError):
+        mpc.OrthogonalCollocation(2)           # h ∈ {0, 1}
+    with pytest.raises(ValueError):
+        mpc.OrthogonalCollocation(roots="gausslobatto")
+
+
+def test_estimator_setmodel_rejects_nonlinmodel():
+    """Runtime model swap is a LinModel-only operation everywhere
+    (2_test_state_estim.jl:710,883,1744; execute.jl:440-544) — a DIFFERENT
+    NonLinModel object must be refused (UKF/EKF/MHE alike)."""
+    nm = mpc.NonLinModel(lambda x, u, d, p: 0.5 * x + u,
+                         lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    nm2 = mpc.NonLinModel(lambda x, u, d, p: 0.4 * x + u,
+                          lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    for est in (mpc.UnscentedKalmanFilter(nm),
+                mpc.ExtendedKalmanFilter(nm)):
+        with pytest.raises(ValueError):
+            est.setmodel(nm2)
+
+
+def test_nonlinmpc_setmodel_rejects_nonlinmodel():
+    """setmodel! on a NonLinMPC of a NonLinModel errors in the reference
+    (3_test_predictive_control.jl:1550) — only p (JE/gc parameters) can be
+    swapped; re-linearization is SLMPC's job."""
+    nm = mpc.NonLinModel(lambda x, u, d, p: 0.5 * x + u,
+                         lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    nm2 = mpc.NonLinModel(lambda x, u, d, p: 0.4 * x + u,
+                          lambda x, d, p: x, 1.0, 1, 1, 1, solver=None)
+    c = mpc.NonLinMPC(nm, Hp=3, Hc=2, sqp_iters=2)
+    with pytest.raises((ValueError, AttributeError, TypeError)):
+        c.setmodel(nm2)
+
+
+def test_luenberger_undetectable_and_pole_validation(m):
+    """Pole-placement failure modes (2_test_state_estim.jl:330-334)."""
+    with pytest.raises(ValueError):
+        mpc.Luenberger(m, nint_ym=[-1])                       # (:331)
+    integ = mpc.LinModel(mpc.tf(1, [1, 0]), 0.1)
+    with pytest.raises(ValueError):
+        # integrating model + default output integrator: unobservable
+        mpc.Luenberger(integ, nint_ym=[1])                    # (:334)
+
+
+def test_mhe_bound_toggle_is_a_supported_superset():
+    """The reference FORBIDS toggling ±Inf bounds after the first solve
+    (mhe/construct.jl:1036-1038 — JuMP must delete/recreate constraints);
+    the fixed-shape masked formulation here makes the toggle free, so it is
+    SUPPORTED: after the window flushes, a bounds-then-unbounded MHE
+    converges to the always-unconstrained estimate.  This test documents
+    the deliberate divergence."""
+    G2 = mpc.tf_matrix([[mpc.tf(3, [10, 1])], [mpc.tf(-1, [4, 1])]])
+    m2 = mpc.LinModel(G2, 1.0)
+    rng = np.random.default_rng(0)
+    mhe1 = mpc.MovingHorizonEstimator(m2, He=4, nint_ym=[1, 1])
+    mhe1.setconstraint(xhatmin=np.full(mhe1.nx_hat, -0.2),
+                       xhatmax=np.full(mhe1.nx_hat, 0.2))
+    mhe2 = mpc.MovingHorizonEstimator(m2, He=4, nint_ym=[1, 1])
+    ys = rng.normal(size=(30, 2)) * 0.5
+    for k in range(30):
+        if k == 6:
+            mhe1.setconstraint(xhatmin=np.full(mhe1.nx_hat, -np.inf),
+                               xhatmax=np.full(mhe1.nx_hat, np.inf))
+        x1 = mhe1.preparestate(ys[k])
+        mhe1.updatestate(np.zeros(1), ys[k])
+        x2 = mhe2.preparestate(ys[k])
+        mhe2.updatestate(np.zeros(1), ys[k])
+    assert np.max(np.abs(np.asarray(x1) - np.asarray(x2))) < 5e-3
+
+
+def test_mhe_capital_setconstraint_dim_errors(m):
+    """Time-varying (capital) MHE bound forms must match the window shapes
+    (2_test_state_estim.jl:1454-1465)."""
+    mhe = mpc.MovingHorizonEstimator(m, He=3)
+    for kw, n in (("Xhatmin", mhe.nx_hat * (mhe.He + 1)),
+                  ("Whatmax", mhe.nx_hat * mhe.He),
+                  ("Vhatmin", mhe.nym * mhe.He)):
+        with pytest.raises(ValueError):
+            mhe.setconstraint(**{kw.lower(): np.zeros(n + 1)})
+
+
+def test_kf_p0_and_cov_validation(m):
+    """Covariance kwargs must be positive and correctly sized
+    (2_test_state_estim.jl:54-55,204, estimator/construct.jl)."""
+    kf = mpc.KalmanFilter(m)
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m, sigmaP_0=[-1.0] * kf.nx_hat)
+    with pytest.raises(ValueError):
+        mpc.KalmanFilter(m, sigmaQ=[-1.0] * m.nx)

@@ -75,3 +75,20 @@ def test_plot_recipe_options(tmp_path):
     res3 = mpc.sim(mhe, 8, y_noise=[0.1])
     fig3 = res3.plot(str(tmp_path / "c.png"), plotxhat=True)
     assert len(fig3.axes) == 1 + 1 + 2
+
+
+def test_sim_progress_reporting():
+    """Opt-in progress reporting (the reference's @progressif analogue,
+    general.jl:301-310): callable form receives (k, N) per step; True
+    prints a stderr ticker without touching the results."""
+    import mpc_tpu as mpc
+    m = mpc.LinModel(mpc.tf(2, [10, 1]), 3.0)
+    hits = []
+    r1 = mpc.sim(mpc.LinMPC(m, Hp=5), 8, [1.0],
+                 progress=lambda k, n: hits.append((k, n)))
+    assert hits == [(k, 8) for k in range(8)]
+    r2 = mpc.sim(mpc.LinMPC(m, Hp=5), 8, [1.0], progress=True)
+    assert np.allclose(r1.U_data, r2.U_data)
+    # open-loop form too
+    r3 = mpc.sim(m, 5, [1.0], progress=lambda k, n: hits.append((k, n)))
+    assert len(hits) == 13
