@@ -233,9 +233,14 @@ def _solve_qp_impl(P, q, A, l, u, x0=None, y0=None, *,
         # batch mean 62 iterations, one lane at the 2000 cap).  Cap the f32
         # loop — only for the DEFAULT budget: an explicit max_iter is the
         # caller's informed choice; `converged` stays an honest post-polish
-        # KKT assessment either way.
+        # KKT assessment either way.  Cap value: 250 (was 600) — measured
+        # on the B=4096 headline fleet over 50 rotating-setpoint steps,
+        # min-converged is 4089/4096 at 600 and 4088/4096 at 250 (the same
+        # handful of plateau lanes fail either way and recover on the next
+        # warm start), so the extra 350 lockstep iterations bought nothing
+        # while the slowest lane taxed the whole fleet.
         if default_iters:
-            max_iter = min(max_iter, 600)
+            max_iter = min(max_iter, 250)
     x = jnp.zeros(n, dt) if x0 is None else x0
     y = jnp.zeros(m, dt) if y0 is None else y0
     if m == 0:
