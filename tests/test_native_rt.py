@@ -72,3 +72,42 @@ def test_rt_executor_paces_the_loop():
                                np.ones((steps, 1)), None, period, 1, 1, 0, 1)
     wall = time.time() - t0
     assert abs(wall - steps * period) < 0.1 * steps * period + 0.05
+
+
+@pytest.mark.skipif(gcc is None or gxx is None, reason="no C/C++ compiler")
+def test_rt_executor_budget_overruns():
+    """Solve-budget accounting (limit_solve_time analogue,
+    general.jl:109-121): a microscopic budget flags every step as a budget
+    overrun even when the absolute deadlines are all met."""
+    from mpc_tpu.native import rt_run_exported
+
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 0.01)
+    ctrl = mpc.LinMPC(m, Hp=10, Hc=2, Cwt=1e5)
+    ctrl.setconstraint(umax=[5.0], umin=[-5.0])
+    src = export_c(ctrl, name="rtb")
+    lib = compile_and_load(src, name="rtb")
+
+    class State(ctypes.Structure):
+        _fields_ = [("xhat", ctypes.c_double * ctrl.estim.nx_hat),
+                    ("lastu0", ctypes.c_double * 1),
+                    ("z", ctypes.c_double * ctrl.nZt),
+                    ("zd", ctypes.c_double * ctrl.A_stack.shape[0]),
+                    ("yd", ctypes.c_double * ctrl.A_stack.shape[0])]
+
+    st = State()
+    lib.rtb_init(ctypes.byref(st))
+    steps = 20
+    ym = np.zeros((steps, 1))
+    ry = np.full((steps, 1), 2.0)
+    # 1 ns solve budget: every step overruns it; 5 ms period: deadlines OK
+    u, stats = rt_run_exported(lib, "rtb", st, ym, ry, None, 0.005,
+                               1, 1, 0, 1, budget_s=1e-9)
+    s = stats.asdict()
+    assert s["steps_done"] == steps
+    assert s["budget_overruns"] == steps
+    # generous budget: no overruns
+    st2 = State()
+    lib.rtb_init(ctypes.byref(st2))
+    u, stats = rt_run_exported(lib, "rtb", st2, ym, ry, None, 0.005,
+                               1, 1, 0, 1, budget_s=1.0)
+    assert stats.asdict()["budget_overruns"] == 0
