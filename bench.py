@@ -324,7 +324,7 @@ def _bench_nonlin(platform, B=256):
     return res
 
 
-def _bench_mhe(platform, B=512, He=10):
+def _bench_mhe(platform, B=4096, He=10):
     """BatchedMHE window-QP fleet on a 2x1 LinModel (reference analogue:
     benchmark/2_bench_state_estim.jl:155-185, MHE per-step budget)."""
     import jax
