@@ -272,6 +272,8 @@ def main():
         headline["nonlin_config"] = _bench_nonlin(platform)
     if os.environ.get("MPC_BENCH_MHE", "1") == "1":
         headline["mhe_config"] = _bench_mhe(platform)
+    if os.environ.get("MPC_BENCH_SLMPC", "1") == "1":
+        headline["slmpc_config"] = _bench_slmpc(platform)
 
     print(json.dumps(headline))
 
@@ -356,6 +358,53 @@ def _bench_mhe(platform, B=4096, He=10):
            "step_ms": round(dt * 1e3, 2), "converged": n_ok}
     print(f"# mhe: {res['value']}/s step={res['step_ms']}ms conv={n_ok}/{B}",
           file=sys.stderr)
+    return res
+
+
+def _bench_slmpc(platform, B=1024, chunk=64):
+    """SLMPC fused fleet (per-lane jacfwd linearization → condensed QP →
+    EKF, one jitted step; chunked vmap): the successive-linearization
+    adaptive-MPC pattern the reference headlines at 71 µs/step for ONE
+    plant (docs/src/manual/nonlinmpc.md:417-502), run as a fleet."""
+    import jax
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+
+    def f(x, u, d, par):
+        g, L, K, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+    sl = mpc.SLMPC(pend, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5],
+                   sigmaQ=[0.1, 1.0], sigmaR=[5.0], sigmaQint_ym=[0.1],
+                   qp_solver="active_set", dtype=jnp.float32)
+    sl.setconstraint(umin=[-1.5], umax=[1.5])
+    step = sl.make_fleet_step(B, chunk=chunk)
+    st = sl.fleet_state(B)
+    bounds = sl.bounds()
+    rng = np.random.default_rng(4)
+    seq = [(jnp.asarray(rng.normal(size=(B, 1)) * 5.0, jnp.float32),
+            jnp.full((B, 1), deg, jnp.float32))
+           for deg in (180.0, 170.0, 175.0, 180.0)]
+    d = jnp.zeros((B, 0), jnp.float32)
+    u, conv, st = step(st, *seq[0], d, bounds)
+    jax.block_until_ready(u)
+    n_iters = 8
+    t0 = time.time()
+    for k in range(n_iters):
+        u, conv, st = step(st, *seq[k % 4], d, bounds)
+    jax.block_until_ready(u)
+    dt = (time.time() - t0) / n_iters
+    n_ok = int(np.asarray(conv).sum())
+    res = {"metric": f"SLMPC fused fleet solves/s/chip (pendulum, Hp=15, "
+                     f"jacfwd+QP+EKF, B={B}, {platform})",
+           "value": round(B / dt, 1), "unit": "solves/s",
+           "step_ms": round(dt * 1e3, 2), "converged": n_ok}
+    print(f"# slmpc: {res['value']}/s step={res['step_ms']}ms "
+          f"conv={n_ok}/{B}", file=sys.stderr)
     return res
 
 
