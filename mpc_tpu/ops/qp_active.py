@@ -261,11 +261,11 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
 
     def drop_update(Ginv, lam, k):
         """Free slot k: rank-one downdate zeroes row/col k of Ginv; adding
-        e_k e_kᵀ restores the freed slot's identity diagonal.  Aact/Hrow
-        keep their (now-masked) stale rows."""
+        e_k e_kᵀ restores the freed slot's identity diagonal.  Aact keeps
+        its (now-masked) stale row."""
         e_k = onehot(k)
-        ck = e_k @ Ginv                            # row k == column k (sym)
-        piv = jnp.maximum(ck @ e_k, tiny)
+        ck = vm(e_k, Ginv)                         # row k == column k (sym)
+        piv = jnp.maximum(jnp.sum(ck * e_k), tiny)
         Gv = Ginv - jnp.outer(ck, ck) / piv + jnp.outer(e_k, e_k)
         return Gv, lam * (1.0 - e_k)
 

@@ -115,3 +115,40 @@ def test_batched_kalman_matches_single():
                                        np.tile(u, (2, 1))))
             assert np.allclose(xf[:3], np.stack(xs), atol=1e-9), (kind, k)
             assert np.allclose(xf[3:], np.stack(xs), atol=1e-9)
+
+
+def test_gi_fleet_serving_stability():
+    """Long-run regression guard for the GI carried-operator machinery:
+    a 40-step rotating-setpoint f32 fleet on stiff 4x4 plants must stay
+    fully converged with a bounded lockstep pivot count (the round-3
+    failure modes — stale-slot accumulation, f32 degeneracy cycles, false
+    infeasibility certificates — all grew over serving steps)."""
+    from mpc_tpu.parallel import BatchedLinMPC
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    ctrls = []
+    for _ in range(4):
+        A = np.diag(rng.uniform(0.45, 0.8, 4)) + rng.normal(size=(4, 4)) * 0.02
+        A *= min(1.0, 0.85 / np.max(np.abs(np.linalg.eigvals(A))))
+        model = mpc.LinModel(mpc.ss(A, np.eye(4) + 0.5 * rng.normal(size=(4, 4)),
+                                    np.eye(4), np.zeros((4, 4)), 2.0), 2.0)
+        c = mpc.LinMPC(model, Hp=10, Hc=3, Mwt=np.ones(4), Nwt=np.ones(4),
+                       Cwt=1e3, qp_solver="active_set")
+        c.setconstraint(umin=np.full(4, -10.0), umax=np.full(4, 10.0),
+                        dumin=np.full(4, -4.0), dumax=np.full(4, 4.0),
+                        ymin=np.full(4, -60.0), ymax=np.full(4, 60.0))
+        ctrls.append(c)
+    B = 128
+    bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=B // 4)
+    ym0 = rng.normal(size=(B, 4)) * 0.5
+    ry0 = rng.normal(size=(B, 4)) * 2.0
+    seq = [(jnp.asarray(ym0 + rng.normal(size=(B, 4)) * 0.1, jnp.float32),
+            jnp.asarray(ry0 + rng.normal(size=(B, 4)) * 0.2, jnp.float32))
+           for _ in range(4)]
+    worst = 0
+    for k in range(40):
+        u, nc = bat.step(*seq[k % 4])
+        it = np.asarray(bat.last_iters)
+        worst = max(worst, int(it[0]))
+        assert int(nc) == B, (k, int(nc))
+    assert worst < 60, worst
