@@ -785,6 +785,7 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                                       y0=None if qp_state is not None
                                       else y0r,
                                       state0=qp_state,
+                                      iter_budget=iter_budget,
                                       cache={k: p[k] for k in
                                              ("gic_Pinv",)})
             else:
@@ -808,6 +809,7 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                                   y0=None if qp_state is not None
                                   else y_prev,
                                   state0=qp_state,
+                                  iter_budget=iter_budget,
                                   cache={k: p[k] for k in
                                          ("gic_Pinv",)})
         else:

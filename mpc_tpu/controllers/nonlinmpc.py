@@ -94,10 +94,13 @@ class NonLinMPC(PredictiveController):
             # only explode deep inside the traced SQP objective
             import inspect
             try:
-                n_args = len(inspect.signature(JE).parameters)
+                params = inspect.signature(JE).parameters
+                var_pos = any(p.kind == p.VAR_POSITIONAL
+                              for p in params.values())
+                n_args = len(params)
             except (TypeError, ValueError):
-                n_args = 5
-            if n_args != 5:
+                var_pos, n_args = True, 5
+            if not var_pos and n_args != 5:
                 raise ValueError(
                     f"the JE function should have 5 arguments "
                     f"(Ue, Ye, De, p, eps), got {n_args}")

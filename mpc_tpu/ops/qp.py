@@ -176,7 +176,7 @@ def solve_qp(P, q, A, l, u, x0=None, y0=None, *,
     Matmuls run at full float32 precision: the TPU MXU's default reduced
     precision (~bf16 mantissa) breaks the ADMM residual tests.
 
-    ``max_iter=None`` (the default) means 2000 iterations, CLAMPED to 600
+    ``max_iter=None`` (the default) means 2000 iterations, CLAMPED to 250
     for float32 inputs (iterations past the f32 arithmetic floor buy no
     accuracy, and one straggler lane stalls a whole lockstep vmapped
     fleet).  An explicitly passed ``max_iter`` is honoured as-is in every

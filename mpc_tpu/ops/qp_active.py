@@ -62,19 +62,21 @@ from .qp import QPSolution, _BIG
 def build_gi_cache(P, A):
     """Precompute the step-invariant part of :func:`solve_qp_active`.
 
-    Receding-horizon MPC solves the same (P=H̃, A=A_stack) every control
-    period; GI's P-dependent tables are the inverse ``P⁻¹`` (for the
-    unconstrained minimum), the ROW-MAJOR column table ``A P⁻¹`` (row i =
-    (P⁻¹aᵢ)ᵀ — row-major so the in-loop pivot gather is a friendly
-    major-axis row gather), and ``diag(A P⁻¹ Aᵀ)``.  Computing them
-    in-solve needs a Cholesky factorization plus triangular solves, which
-    are SERIAL on TPU; with the cache the per-solve setup is matmuls.
-    Host NumPy f64 with one Newton refinement step, so f32 runs get a
-    rounded-f64 inverse.  Returns a dict of plain NumPy arrays
-    (pytree-friendly: travels inside a controller's params dict, stacks
-    across fleets).
+    Receding-horizon MPC solves the same P=H̃ every control period; GI's
+    only P-dependent table is the refined inverse ``P⁻¹`` — the
+    unconstrained minimum and every per-pivot column (P⁻¹aₚ) are computed
+    from it with small matvecs in the solver's hi precision.  Computing
+    P⁻¹ in-solve needs a Cholesky factorization plus triangular solves,
+    which are SERIAL on TPU; with the cache the per-solve setup is
+    matmuls.  Host NumPy f64 with one Newton refinement step, so f32 runs
+    get a rounded-f64 inverse.  ``A`` is accepted for API symmetry with
+    :func:`mpc_tpu.ops.qp.build_solver_cache` but UNUSED — the cache stays
+    valid when only the constraint rows change.  Returns a dict of plain
+    NumPy arrays (pytree-friendly: travels inside a controller's params
+    dict, stacks across fleets).
     """
     import numpy as np
+    del A
     P = np.asarray(P, np.float64)
     n = P.shape[0]
     Pinv = np.linalg.inv(P)
@@ -107,7 +109,7 @@ def gi_state_init(n, like=None, batch=None):
 
 
 def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
-                    cache=None, state0=None):
+                    cache=None, state0=None, iter_budget=None):
     """Solve one dense QP by dual active set.  jit- and vmap-compatible.
 
     Exact at termination (up to the rank-one-updated operators' accuracy) —
@@ -132,15 +134,20 @@ def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
     ``cache``: output of :func:`build_gi_cache` for this (P, A) — skips the
     in-solve Cholesky setup (serial triangular solves on TPU).
 
+    ``iter_budget``: optional RUNTIME pivot cap (int scalar, traced OK)
+    ANDed with ``max_pivots`` — the Ts-deadline policy feeds a measured
+    per-pivot cost through here without retracing.
+
     The returned :class:`QPSolution` carries ``gi_state`` for the next
     period.
     """
     with jax.default_matmul_precision("float32"):
         return _gi_impl(P, q, A, l, u, y0, max_pivots=max_pivots, tol=tol,
-                        cache=cache, state0=state0)
+                        cache=cache, state0=state0, iter_budget=iter_budget)
 
 
-def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
+def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
+             iter_budget=None):
     dt = q.dtype
     n = q.shape[0]
     m = A.shape[0]
@@ -174,6 +181,12 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
     # matvec) instead of a precomputed (m, n) table: no big-table gather in
     # the loop, no f32 rounding of the column, and the fleet params shrink
     # by the whole table (≈500 MB at B=4096 condensed-MPC shapes)
+
+    if iter_budget is not None:
+        # runtime (traced) pivot cap — the Ts-deadline policy; max_pivots
+        # stays the static compile-time bound
+        max_pivots = jnp.minimum(jnp.asarray(iter_budget, jnp.int32),
+                                 max_pivots)
 
     has_lo = l > -_BIG
     has_up = u < _BIG
@@ -259,15 +272,15 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
         Aacta = Aact * (1.0 - e)[:, None] + jnp.outer(e, arow)
         return Gv, Aacta
 
-    def drop_update(Ginv, lam, k):
+    def drop_update(Ginv, k):
         """Free slot k: rank-one downdate zeroes row/col k of Ginv; adding
         e_k e_kᵀ restores the freed slot's identity diagonal.  Aact keeps
-        its (now-masked) stale row."""
+        its (now-masked) stale row; multipliers are maintained by the
+        callers (the warm adopt recomputes them from the KKT)."""
         e_k = onehot(k)
         ck = vm(e_k, Ginv)                         # row k == column k (sym)
         piv = jnp.maximum(jnp.sum(ck * e_k), tiny)
-        Gv = Ginv - jnp.outer(ck, ck) / piv + jnp.outer(e_k, e_k)
-        return Gv, lam * (1.0 - e_k)
+        return Ginv - jnp.outer(ck, ck) / piv + jnp.outer(e_k, e_k)
 
     # ---------------- warm loop (insert + KKT jump + wrong-sign drops) ----
     # Hoisted OUT of the main loop: under vmap every lane executes every
@@ -305,7 +318,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
         kkt = ~inserting
         adopt = kkt & ~negw
         wdrop = kkt & negw
-        Gv_drop, lam_drop = drop_update(Ginv, lam, k_w)
+        Gv_drop = drop_update(Ginv, k_w)
         e_w = slot_id == k_w
 
         def pick(add_v, drop_v, keep_v):
@@ -401,18 +414,20 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
         # strictly increases), but f32 DATA on near-degenerate vertices
         # still produces measured add/drop cycles and false infeasibility
         # certificates.  Detectors: (a) n+2 consecutive zero-length steps;
-        # (b) the freshly selected normalized violation fails to drop 30%
-        # for 8 consecutive selections; (c) an infeasibility certificate on
-        # the first try.  Escape = ONE cold restart from the unconstrained
-        # minimum (the cold pivot order avoids the degenerate vertex);
-        # post-restart certificates are honored and reported.
+        # (b) a fresh selection RE-PICKS a row dropped within the last two
+        # drops, 4 times in a row — the signature of the measured period-8
+        # add/drop cycles, and (unlike a stalled-violation heuristic) it
+        # can never fire on benign cold solves that legitimately activate
+        # many equal-violation rows, because those make no drops at all;
+        # (c) an infeasibility certificate on the first try.  Escape = ONE
+        # cold restart from the unconstrained minimum (the cold pivot
+        # order avoids the degenerate vertex); post-restart certificates
+        # are honored and reported.
         zero_run = jnp.where(stepping & (t <= tiny), st["zrun"] + 1, 0)
-        vn = v[j] / scale[j]
-        prog = vn < 0.7 * st["vbest"]
-        vbest = jnp.where(fresh & prog, vn, st["vbest"])
-        vstall = jnp.where(fresh, jnp.where(prog, 0, st["vstall"] + 1),
-                           st["vstall"])
-        restart = (~st["restarted"]) & ((zero_run > n + 2) | (vstall >= 8)
+        rehit = fresh & ((j == st["d1"]) | (j == st["d2"]))
+        vstall = jnp.where(rehit, st["vstall"] + 1,
+                           jnp.where(fresh, 0, st["vstall"]))
+        restart = (~st["restarted"]) & ((zero_run > n + 2) | (vstall >= 4)
                                         | infeas_raw)
         infeasible = infeas_raw & st["restarted"]
 
@@ -464,7 +479,9 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
             slack=jnp.where(do_drop, slack_new, 0.0),
             lam_p=jnp.where(do_drop, lam_p_new, 0.0),
             zrun=zero_run,
-            vbest=vbest, vstall=vstall,
+            d1=jnp.where(do_drop, idx[k_b], st["d1"]).astype(jnp.int32),
+            d2=jnp.where(do_drop, st["d1"], st["d2"]).astype(jnp.int32),
+            vstall=vstall,
             it=st["it"] + 1,
             done=st["done"] | infeasible | (~cont & opt),
             feas=st["feas"] & ~infeasible,
@@ -483,7 +500,8 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
             slack=jnp.where(restart, 0.0, nxt["slack"]),
             lam_p=jnp.where(restart, 0.0, nxt["lam_p"]),
             zrun=jnp.where(restart, 0, nxt["zrun"]),
-            vbest=jnp.where(restart, inf_d, nxt["vbest"]),
+            d1=jnp.where(restart, -1, nxt["d1"]).astype(jnp.int32),
+            d2=jnp.where(restart, -1, nxt["d2"]).astype(jnp.int32),
             vstall=jnp.where(restart, 0, nxt["vstall"]),
             restarted=st["restarted"] | restart,
             it=nxt["it"], done=nxt["done"], feas=nxt["feas"],
@@ -497,7 +515,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None):
                p=jnp.asarray(-1, jnp.int32), sp=jnp.asarray(0, jnp.int32),
                slack=jnp.asarray(0.0, hi), lam_p=jnp.asarray(0.0, hi),
                zrun=jnp.asarray(0, jnp.int32),
-               vbest=jnp.asarray(jnp.inf, dt),
+               d1=jnp.asarray(-1, jnp.int32), d2=jnp.asarray(-1, jnp.int32),
                vstall=jnp.asarray(0, jnp.int32),
                restarted=jnp.asarray(False),
                it=stw["it"],

@@ -226,13 +226,15 @@ class BatchedLinMPC:
             jax.block_until_ready(u)
             wall = _time.perf_counter() - t0
             it_max = float(np.asarray(it_stats)[0])
-            if self.last_step_time is not None and it_max > 0:
+            # the FIRST step includes jit compilation: it must neither
+            # seed the EWMA nor count as a deadline miss
+            first = self.last_step_time is None
+            if not first and it_max > 0:
                 c = wall / it_max
                 self._iter_cost = c if self._iter_cost is None else \
                     0.7 * self._iter_cost + 0.3 * c
             self.last_step_time = wall
-            self.last_deadline_miss = (self.last_step_time is not None
-                                       and wall > self.Ts)
+            self.last_deadline_miss = (not first) and wall > self.Ts
             if self.last_deadline_miss:
                 self.deadline_miss_count += 1
         return u, n_conv

@@ -37,13 +37,23 @@ from .sim import SimResult, _copy_model
 
 def _cast_tree(tree, dtc):
     """Cast every floating leaf to ``dtc`` host-side (f32 TPU mode) — one
-    pass before the single device_put."""
+    pass before the single device_put.
+
+    The GI cross-period operator state is EXEMPT: the solver carries
+    ``gis_Ginv`` in its internal hi precision (f64 whenever x64 is
+    enabled, the mixed-precision slot space) and a downcast here would
+    make the lax.scan carry dtypes mismatch the solver's output."""
     if dtc is None:
         return tree
     np_dt = np.dtype(dtc)
-    return jax.tree.map(
-        lambda a: np.asarray(a).astype(np_dt)
-        if np.issubdtype(np.asarray(a).dtype, np.floating) else a, tree)
+
+    def cast(path, a):
+        if any(getattr(k, "key", None) == "gis_Ginv" for k in path):
+            return a
+        a = np.asarray(a)
+        return a.astype(np_dt) if np.issubdtype(a.dtype, np.floating) else a
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
 
 
 def _qp_state0(ctrl, B=None):

@@ -307,3 +307,19 @@ def test_run_fleet_nd_matches_per_lane():
                                           y_noise=[0.1, 0.1],
                                           x_hat_0=xh_abs, seed=31 + i)
         assert np.abs(fl["U"][i] - ri.u_data).max() < 1e-9, i
+
+
+def test_compiled_loop_active_set_f32():
+    """f32 + GI compiled loops must carry the solver's hi-precision
+    gi_state through the scan: _cast_tree once downcast gis_Ginv to f32
+    while the solver returned f64, crashing the scan with a carry dtype
+    mismatch (round-3 review finding)."""
+    import jax.numpy as jnp
+    res = CompiledClosedLoop(_mk(qp_solver="active_set",
+                                 dtype=jnp.float32)).run(15, ry=[5, 1])
+    assert np.all(np.isfinite(res.U_data))
+    fl = CompiledClosedLoop(_mk(qp_solver="active_set",
+                                dtype=jnp.float32)).run_fleet(
+        4, 6, ry=[5.0, 1.0], seed=0)
+    assert fl["U"].shape == (4, 6, 2)
+    assert np.all(np.isfinite(fl["U"]))
