@@ -21,44 +21,53 @@ import numpy as np
 
 def _timed_windows(step, arg_seq, n_windows, iters_per_window, B,
                    get_iters=None):
-    """Median/p10/p90 throughput over K timed windows + per-step p99.
+    """Median/p10/p90 throughput over K HARD-SYNCED timed windows.
 
     ``arg_seq`` is a list of (ym, ry) pairs cycled through per step: the
     receding-horizon serving regime — warm starts carry over (honest), but
     the rotating setpoints keep every step doing real QP work (identical
     repeats would converge in ~1 iteration and overstate throughput).
 
+    Each window dispatches ``iters_per_window`` steps back-to-back (the
+    pipelined serving regime) and then HARD-SYNCS by pulling the last
+    output to the host: on the axon runtime ``block_until_ready`` can
+    return before the device queue drains, so a per-step block measures
+    DISPATCH, not execution — an unsynced window overstated throughput by
+    orders of magnitude and leaked its backlog into whatever ran next
+    (measured: the config after the headline "took" seconds per step
+    draining the headline's queue).  ``p99_step``/``mean_step`` are the
+    per-window per-step means (per-step latency cannot be measured
+    honestly through the tunnel without paying its RTT per step).
+
     ``get_iters()`` (optional) reads the fleet's batch-mean QP iteration
     count after each step — the analytic-MFU path needs it because XLA's
     cost model counts the while_loop body ONCE, underestimating the real
     FLOPs by the iteration count.
     """
-    import jax
-    tput, step_times, iter_handles = [], [], []
+    tput, window_step_means, iter_handles = [], [], []
     n_phase = len(arg_seq)
     k = 0
     for _ in range(n_windows):
         t0 = time.time()
         for _ in range(iters_per_window):
-            ts = time.time()
             out = step(*arg_seq[k % n_phase])
             k += 1
-            jax.block_until_ready(out[0])
-            step_times.append(time.time() - ts)
             if get_iters is not None:
                 # keep the DEVICE handle — np.asarray here would be a
                 # host sync costing a full tunnel round trip per step
                 iter_handles.append(get_iters())
+        np.asarray(out[0])          # hard sync: drain the device queue
         dt = time.time() - t0
         tput.append(B * iters_per_window / dt)
+        window_step_means.append(dt / iters_per_window)
     tput = np.asarray(tput)
     stats = [np.asarray(h) for h in iter_handles]
     iter_means = [float(s[1]) for s in stats]
     iter_maxes = [float(s[0]) for s in stats]
     return (float(np.median(tput)), float(np.percentile(tput, 10)),
             float(np.percentile(tput, 90)),
-            float(np.percentile(step_times, 99)),
-            float(np.mean(step_times)),
+            float(np.percentile(window_step_means, 99)),
+            float(np.mean(window_step_means)),
             float(np.mean(iter_means)) if iter_means else None,
             float(np.max(iter_maxes)) if iter_maxes else None)
 
@@ -184,7 +193,8 @@ def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8,
     return ctrls
 
 
-def main():
+def _run_one(name):
+    """Run ONE bench config in this process and return its result dict."""
     import jax
 
     # x64 enables the mixed-precision polish (f64 residual accumulation in
@@ -199,23 +209,24 @@ def main():
     n_windows = int(os.environ.get("MPC_BENCH_WINDOWS", 5))
     n_iters = int(os.environ.get("MPC_BENCH_ITERS", 10))
 
-    def make_small():
-        n_distinct = min(256, B_total)
-        ctrls = random_cstr_controllers(n_distinct, Hp=10, Hc=2, seed=0)
-        bat = BatchedLinMPC(ctrls, dtype=jnp.float32,
-                            reps=B_total // n_distinct)
-        bat.step(jnp.zeros((B_total, 2), jnp.float32),
-                 jnp.zeros((B_total, 2), jnp.float32))  # builds _dzero
-        return bat, 2
+    if name == "headline":
+        def make_small():
+            n_distinct = min(256, B_total)
+            ctrls = random_cstr_controllers(n_distinct, Hp=10, Hc=2, seed=0)
+            bat = BatchedLinMPC(ctrls, dtype=jnp.float32,
+                                reps=B_total // n_distinct)
+            bat.step(jnp.zeros((B_total, 2), jnp.float32),
+                     jnp.zeros((B_total, 2), jnp.float32))  # builds _dzero
+            return bat, 2
 
-    headline = _bench_config(
-        make_small, B_total, n_windows, n_iters,
-        f"batched LinMPC solves/s/chip (B={B_total}, Hp=10, Hc=2, "
-        f"soft y+hard u/du bounds, {platform})",
-        target=10000.0, platform=platform)
+        return _bench_config(
+            make_small, B_total, n_windows, n_iters,
+            f"batched LinMPC solves/s/chip (B={B_total}, Hp=10, Hc=2, "
+            f"soft y+hard u/du bounds, {platform})",
+            target=10000.0, platform=platform)
 
-    # large-problem config: 8×8 plant, Hp=15 — MXU-shaped matmuls
-    if os.environ.get("MPC_BENCH_LARGE", "1") == "1":
+    if name == "large":
+        # large-problem config: 8×8 plant, Hp=15 — MXU-shaped matmuls
         def make_large():
             n_distinct = min(32, B_total)
             ctrls = _large_plant_controllers(n_distinct)
@@ -228,23 +239,16 @@ def main():
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8
 
-        large = _bench_config(
+        return _bench_config(
             make_large, B_total, max(2, n_windows - 2), n_iters,
             f"batched LinMPC 8x8 plant Hp=15 (B={B_total}, {platform})",
             target=10000.0, platform=platform)
-        headline["large_config"] = {k: large[k] for k in
-                                    ("metric", "value", "p10_solves_per_s",
-                                     "p90_solves_per_s", "mfu_est",
-                                     "flops_per_step", "qp_iters_mean",
-                                     "converged", "deadline_misses",
-                                     "Ts_s")}
 
-    # shared-plant scenario fleet: ONE controller config, B states/setpoints
-    # (Monte-Carlo / multi-zone serving).  Params are vmap in_axes=None, so
-    # each QP iteration is a true matmul with A/H̃ read from HBM once per
-    # step instead of once per lane — the stacked layout above is
-    # HBM-bandwidth-bound on per-lane matrix copies
-    if os.environ.get("MPC_BENCH_SHARED", "1") == "1":
+    if name == "shared":
+        # shared-plant scenario fleet: ONE controller config, B states/
+        # setpoints (Monte-Carlo / multi-zone serving).  Params are vmap
+        # in_axes=None, so each QP iteration is a true matmul with A/H̃
+        # read from HBM once per step instead of once per lane
         def make_shared():
             ctrls = _large_plant_controllers(1)
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=B_total,
@@ -253,27 +257,70 @@ def main():
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8
 
-        shared = _bench_config(
+        return _bench_config(
             make_shared, B_total, max(2, n_windows - 2), n_iters,
             f"shared-plant LinMPC scenario fleet 8x8 Hp=15 (B={B_total}, "
             f"{platform})", target=10000.0, platform=platform)
-        headline["shared_plant_config"] = {k: shared[k] for k in
-                                           ("metric", "value",
-                                            "p10_solves_per_s",
-                                            "p90_solves_per_s", "mfu_est",
-                                            "flops_per_step", "qp_iters_mean",
-                                            "converged")}
 
-    # nonlinear-stack configs (VERDICT r02 #5: the reference benchmarks every
-    # estimator × controller × solver, benchmark/benchmarks.jl:5-13;
-    # BatchedNonLinMPC/BatchedMHE TPU numbers must live in the driver
-    # artifact, not round-old prose)
+    if name == "nonlin":
+        return _bench_nonlin(platform)
+    if name == "mhe":
+        return _bench_mhe(platform)
+    if name == "slmpc":
+        return _bench_slmpc(platform)
+    raise ValueError(f"unknown bench config {name}")
+
+
+def _spawn(name):
+    """Run one config in a FRESH subprocess and parse its JSON line.
+
+    Isolation is required for honesty, not hygiene: after a long-running
+    lockstep program (the headline's ~250-iteration ADMM while-loops)
+    executes on the tunneled TPU, every subsequent program in the SAME
+    process runs orders of magnitude slower and never recovers (measured:
+    MHE fleet steps 1.2 ms standalone vs 1.7 s after the headline, stable
+    over dozens of steps with zero live device buffers).  Per-config
+    subprocesses give each config a fresh runtime.
+    """
+    import subprocess
+    env = dict(os.environ, MPC_BENCH_ONLY=name)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, capture_output=True, text=True, check=False)
+    sys.stderr.write(r.stderr)
+    for line in reversed(r.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench config {name} produced no JSON "
+                       f"(rc={r.returncode}):\n{r.stdout[-2000:]}")
+
+
+def main():
+    only = os.environ.get("MPC_BENCH_ONLY")
+    if only:
+        print(json.dumps(_run_one(only)))
+        return
+
+    headline = _spawn("headline")
+    keys_l = ("metric", "value", "p10_solves_per_s", "p90_solves_per_s",
+              "mfu_est", "flops_per_step", "qp_iters_mean", "converged",
+              "deadline_misses", "Ts_s")
+    if os.environ.get("MPC_BENCH_LARGE", "1") == "1":
+        large = _spawn("large")
+        headline["large_config"] = {k: large.get(k) for k in keys_l}
+    if os.environ.get("MPC_BENCH_SHARED", "1") == "1":
+        shared = _spawn("shared")
+        headline["shared_plant_config"] = {k: shared.get(k) for k in keys_l
+                                           if k not in ("deadline_misses",
+                                                        "Ts_s")}
+    # nonlinear-stack configs (VERDICT r02 #5: the reference benchmarks
+    # every estimator × controller × solver, benchmark/benchmarks.jl:5-13)
     if os.environ.get("MPC_BENCH_NONLIN", "1") == "1":
-        headline["nonlin_config"] = _bench_nonlin(platform)
+        headline["nonlin_config"] = _spawn("nonlin")
     if os.environ.get("MPC_BENCH_MHE", "1") == "1":
-        headline["mhe_config"] = _bench_mhe(platform)
+        headline["mhe_config"] = _spawn("mhe")
     if os.environ.get("MPC_BENCH_SLMPC", "1") == "1":
-        headline["slmpc_config"] = _bench_slmpc(platform)
+        headline["slmpc_config"] = _spawn("slmpc")
 
     print(json.dumps(headline))
 
@@ -306,12 +353,12 @@ def _bench_nonlin(platform, B=256):
             jnp.full((B, 1), deg, jnp.float32))
            for deg in (180.0, 170.0, 175.0, 180.0)]
     u, J = fleet.step(*seq[0])
-    jax.block_until_ready(u)
+    np.asarray(u)                      # hard sync (see _timed_windows)
     n_iters = 8
     t0 = time.time()
     for k in range(n_iters):
         u, J = fleet.step(*seq[k % 4])
-    jax.block_until_ready(u)
+    np.asarray(u)
     dt = (time.time() - t0) / n_iters
     it = np.asarray(fleet.last_iters)
     viol = float(np.asarray(fleet.last_viol))
@@ -345,11 +392,12 @@ def _bench_mhe(platform, B=4096, He=10):
     u_prev = np.zeros((B, 1))
     for _ in range(He + 1):   # fill the window (bookkeeping + compile)
         x = fleet.step(rng.normal(size=(B, 2)) * 0.3, u_prev=u_prev)
+    np.asarray(x)                      # hard sync (see _timed_windows)
     n_iters = 10
     t0 = time.time()
     for _ in range(n_iters):
         x = fleet.step(rng.normal(size=(B, 2)) * 0.3, u_prev=u_prev)
-    jax.block_until_ready(fleet.last_ok)
+    np.asarray(x)
     dt = (time.time() - t0) / n_iters
     n_ok = int(np.asarray(fleet.last_ok).sum())
     res = {"metric": f"BatchedMHE solves/s/chip (2x1 LinModel, He={He}, "
@@ -391,12 +439,12 @@ def _bench_slmpc(platform, B=1024, chunk=64):
            for deg in (180.0, 170.0, 175.0, 180.0)]
     d = jnp.zeros((B, 0), jnp.float32)
     u, conv, st = step(st, *seq[0], d, bounds)
-    jax.block_until_ready(u)
+    np.asarray(u)                      # hard sync (see _timed_windows)
     n_iters = 8
     t0 = time.time()
     for k in range(n_iters):
         u, conv, st = step(st, *seq[k % 4], d, bounds)
-    jax.block_until_ready(u)
+    np.asarray(u)
     dt = (time.time() - t0) / n_iters
     n_ok = int(np.asarray(conv).sum())
     res = {"metric": f"SLMPC fused fleet solves/s/chip (pendulum, Hp=15, "

@@ -526,7 +526,7 @@ class MovingHorizonEstimator(StateEstimator):
                     Hr = Nn.T @ H @ Nn
                     gr = Nn.T @ (g + H @ dp)
                     sol = solve_qp(Hr, gr, A @ Nn, l - A @ dp, u - A @ dp,
-                                   y0=y_d, max_iter=500, tol=1e-8)
+                                   y0=y_d, max_iter=None, tol=1e-8)
                     dz = dp + Nn @ sol.x
                     # equality multipliers from stationarity → adaptive ℓ1
                     # penalty (must dominate the duals, N&W Thm 17.3)
@@ -537,7 +537,11 @@ class MovingHorizonEstimator(StateEstimator):
                                            jnp.linalg.norm(lam, jnp.inf))
                     mu = jnp.clip(mu, 2.0 * dual_inf, 20.0 * dual_inf + 1e3)
                 else:
-                    sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=1500,
+                    # max_iter=None: the dtype-aware default (2000 in
+                    # f64, 250 in f32 — iterations past the f32 floor buy
+                    # nothing and tax the whole lockstep fleet; an explicit
+                    # 1500 here cost the B=4096 window fleet 7x)
+                    sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=None,
                                    tol=1e-8)
                     dz = sol.x
                     dual_inf = jnp.linalg.norm(sol.y, jnp.inf)
