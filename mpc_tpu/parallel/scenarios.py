@@ -14,7 +14,7 @@ from ..models import LinModel
 from ..utils.lti import tf
 
 
-def random_cstr_controllers(n, Hp=10, Hc=2, seed=0):
+def random_cstr_controllers(n, Hp=10, Hc=2, seed=0, qp_solver="admm"):
     """``n`` LinMPC controllers on randomized first-order-MIMO plants."""
     rng = np.random.default_rng(seed)
     ctrls = []
@@ -25,7 +25,8 @@ def random_cstr_controllers(n, Hp=10, Hc=2, seed=0):
                       [tf(g[2], [tau[2], 1]), tf(g[3], [tau[3], 1])]],
                      dtype=object)
         model = LinModel(G, 2.0)
-        c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=[1.0, 1.0], Nwt=[0.1, 0.1], Cwt=1e5)
+        c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=[1.0, 1.0], Nwt=[0.1, 0.1],
+                   Cwt=1e5, qp_solver=qp_solver)
         c.setconstraint(umin=[-10.0, -10.0], umax=[10.0, 10.0],
                         dumax=[4.0, 4.0], dumin=[-4.0, -4.0],
                         ymin=[-60.0, -60.0], ymax=[60.0, 60.0])
