@@ -550,10 +550,17 @@ def _polish(P, q, A, l, u, x, y, fin_l, fin_u, eq_mask=None, iters=3,
         Am_h, actf_h, b_h = Am.astype(hi), actf.astype(hi), bk.astype(hi)
 
         def refine(i, sol):
-            # residual of the UNregularized system, in high precision
+            # residual of the UNregularized system, in high precision.
+            # The f64 matvecs are written as elementwise multiply+reduce:
+            # XLA:TPU emulates an f64 dot_general as a multi-pass nested
+            # while-loop with 8x temporaries (~100s of ms per dot at
+            # B=4096 fleet shapes inside the vmapped polish — measured as
+            # the DOMINANT cost of the whole MHE fleet step)
             xs, nu = sol[:n].astype(hi), sol[n:].astype(hi)
-            res_top = P_h @ xs + Am_h.T @ nu + q_h
-            res_bot = Am_h @ xs - (1.0 - actf_h) * nu - actf_h * b_h
+            res_top = (jnp.sum(P_h * xs[None, :], axis=1)
+                       + jnp.sum(Am_h * nu[:, None], axis=0) + q_h)
+            res_bot = (jnp.sum(Am_h * xs[None, :], axis=1)
+                       - (1.0 - actf_h) * nu - actf_h * b_h)
             res = -jnp.concatenate([res_top, res_bot]).astype(dt)
             return sol + Kinv @ res
 
