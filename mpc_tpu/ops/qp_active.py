@@ -40,9 +40,12 @@ TPU design notes (each of these was measured, not guessed):
 * **Cross-period operator carry.**  In receding-horizon MPC, (P, A) are
   step-invariant — the active-set operators (Ginv and the slot tables)
   remain EXACTLY valid across control periods.  ``state0=`` re-enters the
-  solver at the warm-KKT point with the previous period's operators (one
-  Newton refresh of Ginv heals f32 drift), so a quiet period costs ~2
-  lockstep iterations total.
+  solver at the warm-KKT point with the previous period's operators, so a
+  quiet period costs ~2 lockstep iterations total.  All rank-one updates
+  run in the hi-precision slot space (f64 when x64 is enabled), so
+  cross-period drift is ~1e-16 per update and no refresh is needed; in a
+  pure-f32 session (x64 disabled) the carried Ginv is f32 and drift is
+  NOT healed — prefer fresh ``y0`` warm starts there.
 
 Algorithm (Goldfarb & Idnani 1983, two-sided form): start at the
 unconstrained minimum (dual feasible, primal infeasible); repeatedly pick
@@ -127,9 +130,12 @@ def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
 
     ``state0`` (preferred for receding-horizon serving): the ``gi_state``
     of the PREVIOUS period's solution for the SAME (P, A) — re-enters at
-    the warm-KKT point with the carried operators (no rebuild at all); one
-    Newton refresh of Ginv heals f32 drift.  Bounds may have changed: slot
-    bounds are re-gathered from the live (l, u).  Overrides ``y0``.
+    the warm-KKT point with the carried operators (no rebuild at all).
+    Updates run in the hi-precision slot space with no refresh: with x64
+    enabled the carried Ginv is f64 and cross-period drift is negligible;
+    in a pure-f32 session the carried operators drift unhealed — prefer
+    ``y0`` warm starts there.  Bounds may have changed: slot bounds are
+    re-gathered from the live (l, u).  Overrides ``y0``.
 
     ``cache``: output of :func:`build_gi_cache` for this (P, A) — skips the
     in-solve Cholesky setup (serial triangular solves on TPU).
@@ -408,7 +414,14 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         slack_new = jnp.maximum(slack - t * sc, 0.0)
         full = (t2 <= t1) & jnp.isfinite(t2) & free
         do_add = stepping & full & ~infeas_raw
-        do_drop = stepping & ~full & ~infeas_raw & jnp.isfinite(t1)
+        # drop only when the BLOCKING step is actually the one taken
+        # (t1 ≤ t2): with a full slot buffer (free=False) and roundoff
+        # giving finite t2 ≤ t1, an unconditional ~full drop would evict
+        # slot argmin(ratio) whose multiplier λ−t2·r is still strictly
+        # positive — silently discarding dual mass (unreachable in exact
+        # arithmetic, but this IS the f32-degenerate regime)
+        do_drop = (stepping & ~full & (t1 <= t2) & ~infeas_raw
+                   & jnp.isfinite(t1))
 
         # --- f32 anti-cycling.  Exact GI cannot cycle (the dual objective
         # strictly increases), but f32 DATA on near-degenerate vertices

@@ -222,10 +222,14 @@ class BatchedLinMPC:
         self.last_iter_budget = budget
         if self.limit_solve_time:
             # sync for an honest wall clock; the lockstep fleet's cost per
-            # iteration is set by the max-iteration lane
-            jax.block_until_ready(u)
-            wall = _time.perf_counter() - t0
+            # iteration is set by the max-iteration lane.  NOTE: this must be
+            # a HOST TRANSFER — on the axon runtime jax.block_until_ready can
+            # return before the device queue drains (see CLAUDE.md), which
+            # would make the EWMA measure dispatch rate and the derived
+            # iter_budget/deadline_miss false negatives.  it_stats is an
+            # output of the same program, so transferring it drains the step.
             it_max = float(np.asarray(it_stats)[0])
+            wall = _time.perf_counter() - t0
             # the FIRST step includes jit compilation: it must neither
             # seed the EWMA nor count as a deadline miss
             first = self.last_step_time is None
