@@ -139,6 +139,14 @@ class MovingHorizonEstimator(StateEstimator):
         self.C_vmax = np.ones(He * nym)
         self._solve_jit = self._make_solver()
         self._last = {}
+        # construct-time fast path (LinModel + SingleShooting + nc == 0):
+        # window prediction matrices + exact GI window QP — the reference's
+        # own architecture (mhe/transcription.jl:20-260 builds E,G,J,B once;
+        # per-step updates only truncate q̃/H̃, mhe/execute.jl:390-457)
+        self._fast_mats = None
+        self._fast_solve = None
+        self._y_fast = None
+        self._moved_since_solve = False
 
     # ------------------------------------------------------------------
     def setconstraint(self, **kw):
@@ -630,7 +638,100 @@ class MovingHorizonEstimator(StateEstimator):
             Nk=np.int32(self.Nk),
         )
 
+    # ------------------------------------------------------------------
+    def _fast_applicable(self):
+        """Construct-time-matrix + GI path: LinModel, SingleShooting,
+        no custom constraints, and no NaN measurement in the window (a NaN
+        changes the per-lane V-row weights and hence H̃)."""
+        return (isinstance(self.model, LinModel) and self.nc == 0
+                and not self.is_ms
+                and not np.any(np.isnan(self.Y0m_win[:self.Nk])))
+
+    def _solve_window_fast(self):
+        """One exact GI solve of the window QP from the construct-time
+        prediction matrices (no in-graph jacfwd, no ADMM ρ-ladder)."""
+        from ..ops.qp_active import solve_qp_active
+        from . import mhe_fast
+
+        if self._fast_mats is None:
+            self._fast_mats = mhe_fast.build_pred_mats(self)
+            self._assemble = mhe_fast.make_assembler(self._fast_mats)
+        mats = self._fast_mats
+        He, nx, nym = self.He, self.nx_hat, self.nym
+        b = {k: np.asarray(getattr(self, a), float) for k, a in
+             (("Xmin", "X_min"), ("Xmax", "X_max"), ("Wmin", "W_min"),
+              ("Wmax", "W_max"), ("Vmin", "V_min"), ("Vmax", "V_max"),
+              ("C_xmin", "C_xmin"), ("C_xmax", "C_xmax"),
+              ("C_wmin", "C_wmin"), ("C_wmax", "C_wmax"),
+              ("C_vmin", "C_vmin"), ("C_vmax", "C_vmax"))}
+        if self.Nk < self.He:
+            # END-align per-slot bounds (trunc_bounds, mhe/execute.jl:572-580)
+            shift = He - self.Nk
+            roll = lambda v, slots, n: np.roll(
+                v.reshape(slots, n), -shift, axis=0).reshape(-1)
+            for k, n, slots in (("Xmin", nx, He + 1), ("Xmax", nx, He + 1),
+                                ("Wmin", nx, He), ("Wmax", nx, He),
+                                ("Vmin", nym, He), ("Vmax", nym, He),
+                                ("C_xmin", nx, He + 1), ("C_xmax", nx, He + 1),
+                                ("C_wmin", nx, He), ("C_wmax", nx, He),
+                                ("C_vmin", nym, He), ("C_vmax", nym, He)):
+                b[k] = roll(b[k], slots, n)
+        mask_w = (np.arange(He) < self.Nk).astype(float)
+        P, Pinv = mhe_fast.build_step_qp(mats, mask_w, self.invP_arr,
+                                         self.invQ, self.invR, self.Cwt)
+        A_rows = mhe_fast.build_rows(mats, b["C_xmin"], b["C_xmax"],
+                                    b["C_wmin"], b["C_wmax"],
+                                    b["C_vmin"], b["C_vmax"])
+        consts = dict(Su=mats["Su"], Sd=mats["Sd"], s1=mats["s1"],
+                      Cm=mats["Cm"], Ddm=mats["Ddm"], Gy=mats["Gy"],
+                      invR=np.asarray(self.invR, float),
+                      Xmin=b["Xmin"], Xmax=b["Xmax"], Wmin=b["Wmin"],
+                      Wmax=b["Wmax"], Vmin=b["Vmin"], Vmax=b["Vmax"])
+        Y0m_nn = np.nan_to_num(self.Y0m_win)
+        q, l, u, cx, r = self._assemble(
+            consts, jnp.asarray(self.U0_win), jnp.asarray(self.D0_win),
+            jnp.asarray(Y0m_nn), jnp.asarray(self.x_arr_prior),
+            jnp.asarray(mask_w), jnp.asarray(np.asarray(self.invP_arr)))
+        if self._y_fast is None:
+            self._y_fast = np.zeros(A_rows.shape[0])
+        elif self._moved_since_solve:
+            self._y_fast = np.asarray(
+                mhe_fast.shift_warm_duals(mats, self._y_fast, True))
+        self._moved_since_solve = False
+        if self._fast_solve is None:
+            self._fast_solve = jit32(
+                lambda P_, q_, A_, l_, u_, y0_, Pinv_: solve_qp_active(
+                    P_, q_, A_, l_, u_, y0=y0_,
+                    cache=dict(gic_Pinv=Pinv_)))
+        sol = self._fast_solve(jnp.asarray(P), q, jnp.asarray(A_rows),
+                               l, u, jnp.asarray(self._y_fast),
+                               jnp.asarray(Pinv))
+        Z = np.asarray(sol.x)
+        ok = bool(sol.converged) and np.all(np.isfinite(Z))
+        if not ok:
+            warnings.warn("MHE window solve failed; keeping the warm-start "
+                          "solution (graceful degradation)")
+            return
+        self._y_fast = np.asarray(sol.y)
+        X = (mats["Gx"] @ Z + np.asarray(cx)).reshape(He, nx)
+        cy = Y0m_nn.reshape(-1) - np.asarray(r)
+        Ym = (mats["Gy"] @ Z + cy).reshape(He, nym)
+        self.Z_tilde = Z.copy()
+        idx = int(np.clip(self.Nk - 1, 0, He - 1))
+        self.x0_hat = (X[idx] if self.Nk > 0
+                       else Z[self.n_eps:self.n_eps + nx]).copy()
+        # J = ½ZᵀPZ + qᵀZ + const, const = x̂priorᵀP̄⁻¹x̂prior + Σⱼ mⱼ rⱼᵀR̂⁻¹rⱼ
+        rm = np.asarray(r).reshape(He, nym) * mask_w[:, None]
+        J = (0.5 * Z @ P @ Z + np.asarray(q) @ Z
+             + float(self.x_arr_prior @ self.invP_arr @ self.x_arr_prior)
+             + float(np.sum((rm @ self.invR) * rm)))
+        self._last = dict(J=float(J), X=X, Ym=Ym,
+                          x_arr=Z[self.n_eps:self.n_eps + nx])
+
     def _solve_window(self):
+        if self._fast_applicable():
+            self._solve_window_fast()
+            return
         p = self._windows_params()
         if self.Nk < self.He:
             # growing window: END-align the per-slot bound vectors so bound
@@ -687,6 +788,7 @@ class MovingHorizonEstimator(StateEstimator):
                 Z[ne + nx:ne + nx + (He - 1) * nx] = Z[ne + 2 * nx:ne + nx + He * nx]
             Z[wo:wo + (He - 1) * nx] = Z[wo + nx:]
             Z[wo + (He - 1) * nx:] = 0.0
+            self._moved_since_solve = True
         i = self.Nk
         self.Y0m_win[i] = y0m
         self.D0_win[i + 1] = d0
@@ -791,6 +893,8 @@ class MovingHorizonEstimator(StateEstimator):
         self.x_arr_prior = self.x0_hat.copy()
         self.Z_tilde[self.n_eps:self.n_eps + self.nx_hat] = self.x0_hat
         self._pending_u0 = np.asarray(u, float) - self.model.uop
+        self._y_fast = None
+        self._moved_since_solve = False
         return x
 
     def _update_model(self, model, Qhat, Rhat):
@@ -833,6 +937,9 @@ class MovingHorizonEstimator(StateEstimator):
             # NonLinModel f/h are baked into the trace; LinModel matrices
             # travel in the params dict, so no retrace is needed there
             self._solve_jit = self._make_solver()
+        # fast-path prediction matrices bake the OLD Â/B̂/Ĉ — rebuild
+        self._fast_mats = None
+        self._y_fast = None
 
     def _init_cov(self):
         self.P_arr = self.P0_hat.copy()
@@ -889,7 +996,9 @@ class MovingHorizonEstimator(StateEstimator):
             pass
         # solution summary (the reference attaches JuMP.solution_summary)
         info["sol"] = dict(
-            solver=("time-varying QP (ADMM)" if self._is_lin_qp()
+            solver=("time-varying QP (GI active set, construct-time "
+                    "prediction matrices)" if self._fast_applicable()
+                    else "time-varying QP (ADMM)" if self._is_lin_qp()
                     else "GN-SQP (ADMM subproblems)"),
             objective=self._last.get("J"),
             window_fill=f"{Nk}/{self.He}",

@@ -12,6 +12,19 @@ writes under a traced ``Nk``), so a serving step uploads only
 the whole ``(B, He, ·)`` window tree every step, and on a tunneled TPU the
 fleet was upload-bound, not solve-bound.  The arrival-covariance recursion
 (data-independent for the LinModel covestim) stays on the host.
+
+Round-4 redesign (the reference's own architecture, mhe/transcription.jl:
+20-260 + mhe/execute.jl:390-457): for the LinModel + SingleShooting fleet
+the window QP's H̃ depends only on the SHARED (mask_w, invP̄) — one host
+NumPy f64 build per step serves every lane — and the constraint matrix is
+CONSTANT (construct-time prediction matrices; the growing window enters
+through masked bounds only).  Per-lane work collapses to two small matvecs
+(q, l, u assembly) plus one exact GI active-set solve warm-started from the
+previous step's slot-shifted duals.  This replaces the per-step in-graph
+``jacfwd`` Gauss-Newton machinery and the in-solve ADMM ρ-ladder (9×
+batched 44² inversions/lane/step) that made the round-3 fleet 100× slower
+than the LinMPC fleets.  General path retained for NonLinModel /
+MultipleShooting / NaN-measurement steps.
 """
 from __future__ import annotations
 
@@ -30,12 +43,19 @@ class BatchedMHE:
 
     ``step(ym, u_prev)`` advances every stream's window and solves in one
     jitted device call.  ``direct=True`` (filter form) only.
+
+    ``solver``: ``"auto"`` (default) uses the construct-time-matrix + GI
+    fast path when applicable (LinModel, SingleShooting, nc == 0, finite
+    measurements) and falls back to the general in-graph solver for NaN
+    steps; ``"general"`` forces the in-graph GN/ADMM solver.
     """
 
     def __init__(self, template: MovingHorizonEstimator, batch: int,
-                 mesh=None, dtype=None):
+                 mesh=None, dtype=None, solver: str = "auto"):
         if not template.direct:
             raise ValueError("BatchedMHE supports the direct (p=0) form")
+        if solver not in ("auto", "general"):
+            raise ValueError("solver must be 'auto' or 'general'")
         self.t = template
         self.B = int(batch)
         # dtype=jnp.float32 runs the vmapped window QP in TPU-native f32
@@ -53,9 +73,14 @@ class BatchedMHE:
         nu, nd = t.model.nu, t.model.nd
         nx = t.nx_hat
         np_dt = np.dtype(dtype) if dtype is not None else np.float64
+        self._np_dt = np_dt
         cast = (lambda a: np.asarray(a).astype(np_dt)
                 if np.issubdtype(np.asarray(a).dtype, np.floating)
                 else np.asarray(a))
+        from ..models import LinModel
+        self._lin = isinstance(t.model, LinModel)
+        self._fast = (solver == "auto" and self._lin and t.nc == 0
+                      and not t.is_ms)
         # ---- device-resident per-stream window state ----------------------
         state = dict(
             Y0m=np.full((batch, He, nym), np.nan, np_dt),
@@ -79,12 +104,21 @@ class BatchedMHE:
             yop_m=cast(t.model.yop[np.asarray(t.i_ym, int)]),
             uop=cast(t.model.uop), xop_hat=cast(t.xop_hat),
         )
-        from ..models import LinModel
-        self._lin = isinstance(t.model, LinModel)
         if self._lin:
             consts.update(A_hat=cast(t.A_hat), Bu_hat=cast(t.Bu_hat),
                           Bd_hat=cast(t.Bd_hat), Cm_hat=cast(t.Cm_hat),
                           Ddm_hat=cast(t.Ddm_hat))
+        if self._fast:
+            from ..estimators import mhe_fast
+            self._mats = mhe_fast.build_pred_mats(t)
+            A_rows = mhe_fast.build_rows(
+                self._mats, t.C_xmin, t.C_xmax, t.C_wmin, t.C_wmax,
+                t.C_vmin, t.C_vmax)
+            self._m_rows = A_rows.shape[0]
+            consts.update(A_rows=cast(A_rows), Su=cast(self._mats["Su"]),
+                          Sd=cast(self._mats["Sd"]), s1=cast(self._mats["s1"]),
+                          Gy=cast(self._mats["Gy"]), Gx=cast(self._mats["Gx"]))
+            state["y_warm"] = np.zeros((batch, self._m_rows), np_dt)
         if self._shard_b is not None:
             self._consts = jax.device_put(consts, self._shard_r)
             self.state = jax.device_put(state, self._shard_b)
@@ -95,26 +129,18 @@ class BatchedMHE:
         self.Nk = 0
         self.P_arr = t.P0_hat.copy()
         self.invP_arr = np.linalg.inv(self.P_arr)
+        self._nan_guard = 0       # steps until NaN-touched windows drain
         ce = t.covestim
         self._P_correct = lambda P: np.asarray(
             _kf_P_correct(P, ce.Cm_hat, ce.R_hat))
         self._P_predict = lambda P: np.asarray(
             ce.A_hat @ P @ ce.A_hat.T + ce.Q_hat)
 
-        in_ax = dict(U=0, D=0, Y0m=0, mask_w=None, mask_v=0, invP=None,
-                     invQ=None, invR=None, x_arr_prior=0, fop_m_xop=None,
-                     Xmin=None, Xmax=None, Wmin=None, Wmax=None, Vmin=None,
-                     Vmax=None, C_xmin=None, C_xmax=None, C_wmin=None,
-                     C_wmax=None, C_vmin=None, C_vmax=None, Nk=None)
-        if self._lin:
-            in_ax.update(A_hat=None, Bu_hat=None, Bd_hat=None, Cm_hat=None,
-                         Ddm_hat=None)
-        vsolve = jax.vmap(t._solve_jit, in_axes=(in_ax, 0))
         ne = t.n_eps
         is_lin = self._lin
 
-        def advance(c, st, ym, u_prev, has_u, invP, Nk_prev):
-            """Window shift + insert + solve, all on device.
+        def shift_insert(c, st, ym, u_prev, has_u, Nk_prev):
+            """Window shift + insert, on device (shared by both backends).
 
             Mirrors the reference's add_data_windows! semantics
             (mhe/execute.jl:497-547) under a TRACED window count: the
@@ -151,6 +177,13 @@ class BatchedMHE:
             x_arr = X0o[:, 0]
             Z = jnp.where(moving, Z.at[:, ne:ne + nx].set(x_arr), Z)
             mask_w = (jnp.arange(He) < Nk).astype(Y0m.dtype)
+            return (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk, mask_w, moving)
+
+        def advance(c, st, ym, u_prev, has_u, invP, Nk_prev):
+            """General backend: the in-graph GN/ADMM window solver."""
+            (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
+             mask_w, moving) = shift_insert(c, st, ym, u_prev, has_u,
+                                            Nk_prev)
             mask_v = (mask_w[None, :, None] > 0) & jnp.isfinite(Y0m)
             p = dict(
                 U=U0, D=D0, Y0m=jnp.nan_to_num(Y0m),
@@ -166,12 +199,58 @@ class BatchedMHE:
                 p.update(A_hat=c["A_hat"], Bu_hat=c["Bu_hat"],
                          Bd_hat=c["Bd_hat"], Cm_hat=c["Cm_hat"],
                          Ddm_hat=c["Ddm_hat"])
-            Zt, x_new, X, Ym, J, ok = vsolve(p, Z)
-            new_st = dict(Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o, Z=Zt,
+            in_ax = {k: (None if k in
+                         ("mask_w", "invP", "invQ", "invR", "fop_m_xop",
+                          "Xmin", "Xmax", "Wmin", "Wmax", "Vmin", "Vmax",
+                          "C_xmin", "C_xmax", "C_wmin", "C_wmax", "C_vmin",
+                          "C_vmax", "Nk", "A_hat", "Bu_hat", "Bd_hat",
+                          "Cm_hat", "Ddm_hat") else 0)
+                     for k in p}
+            Zt, x_new, X, Ym, J, ok = jax.vmap(
+                t._solve_jit, in_axes=(in_ax, 0))(p, Z)
+            new_st = dict(st, Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o, Z=Zt,
                           x0_hat=x_new, pending_u0=pend)
-            return new_st, x_new + c["xop_hat"], ok
+            return new_st, x_new + c["xop_hat"], ok, jnp.zeros((), jnp.int32)
 
         self._advance = jit32(advance)
+
+        if self._fast:
+            from ..estimators import mhe_fast
+            from ..ops.qp_active import solve_qp_active
+            mats = self._mats
+            asm = mhe_fast.make_assembler(mats)
+
+            def gi(Pq, q, A, l, u, y0, Pinv):
+                return solve_qp_active(Pq, q, A, l, u, y0=y0,
+                                       cache=dict(gic_Pinv=Pinv))
+
+            def advance_fast(c, st, ym, u_prev, has_u, invP, Nk_prev,
+                             Pq, Pinv):
+                (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
+                 mask_w, moving) = shift_insert(c, st, ym, u_prev, has_u,
+                                                Nk_prev)
+                ac = dict(Su=c["Su"], Sd=c["Sd"], s1=c["s1"],
+                          Cm=c["Cm_hat"], Ddm=c["Ddm_hat"], Gy=c["Gy"],
+                          invR=c["invR"], Xmin=c["Xmin"], Xmax=c["Xmax"],
+                          Wmin=c["Wmin"], Wmax=c["Wmax"], Vmin=c["Vmin"],
+                          Vmax=c["Vmax"])
+                q, l, u, cx, r = jax.vmap(
+                    lambda U, D, Y, xp: asm(ac, U, D, Y, xp, mask_w, invP)
+                )(U0, D0, jnp.nan_to_num(Y0m), x_arr)
+                y0 = mhe_fast.shift_warm_duals(mats, st["y_warm"], moving)
+                sol = jax.vmap(gi, in_axes=(None, 0, None, 0, 0, 0, None))(
+                    Pq, q, c["A_rows"], l, u, y0, Pinv)
+                Zt = sol.x
+                Xf = Zt @ c["Gx"].T + cx             # (B, He·nx)
+                idx = jnp.clip(Nk - 1, 0, He - 1)
+                x_new = Xf.reshape(-1, He, nx)[:, idx]
+                new_st = dict(st, Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o, Z=Zt,
+                              x0_hat=x_new, pending_u0=pend,
+                              y_warm=sol.y.astype(st["y_warm"].dtype))
+                return (new_st, x_new + c["xop_hat"], sol.converged,
+                        jnp.max(sol.iters))
+
+            self._advance_fast = jit32(advance_fast)
 
     def step(self, ym, u_prev=None):
         """Append measurements for every stream and solve in lockstep.
@@ -191,12 +270,28 @@ class BatchedMHE:
             self.P_arr = self._P_correct(self.P_arr)
             self.invP_arr = np.linalg.inv(self.P_arr)
         nu = t.model.nu
+        ym_h = np.asarray(ym, dt)
+        # NaN measurements change per-lane V-row weights → general solver
+        # until every NaN has drained out of the windows (He steps)
+        if np.isnan(ym_h).any():
+            self._nan_guard = t.He
+        elif self._nan_guard:
+            self._nan_guard -= 1
+        use_fast = self._fast and self._nan_guard == 0
         small = dict(
-            ym=np.asarray(ym, dt),
+            ym=ym_h,
             u_prev=(np.asarray(u_prev, dt) if has_u
                     else np.zeros((self.B, nu), dt)),
             invP=np.asarray(self.invP_arr, dt),
             Nk=np.int32(self.Nk), has_u=np.bool_(has_u))
+        if use_fast:
+            from ..estimators import mhe_fast
+            Nk_next = t.He if moving else self.Nk + 1
+            mask_w = (np.arange(t.He) < Nk_next).astype(float)
+            Pq, Pinv = mhe_fast.build_step_qp(
+                self._mats, mask_w, self.invP_arr, t.invQ, t.invR, t.Cwt)
+            small["Pq"] = np.asarray(Pq, dt)
+            small["Pinv"] = Pinv          # stays f64: GI hi-precision cache
         if self._shard_b is not None:
             batched = {"ym", "u_prev"}
             small = {k: jax.device_put(v, self._shard_b if k in batched
@@ -204,9 +299,22 @@ class BatchedMHE:
                      for k, v in small.items()}
         else:
             small = jax.device_put(small)
-        self.state, x_abs, ok = self._advance(
-            self._consts, self.state, small["ym"], small["u_prev"],
-            small["has_u"], small["invP"], small["Nk"])
+        if use_fast:
+            self.state, x_abs, ok, piv = self._advance_fast(
+                self._consts, self.state, small["ym"], small["u_prev"],
+                small["has_u"], small["invP"], small["Nk"],
+                small["Pq"], small["Pinv"])
+            self.last_pivots = piv
+        else:
+            st = self.state
+            y_w = st.pop("y_warm", None) if self._fast else None
+            new_st, x_abs, ok, _ = self._advance(
+                self._consts, st, small["ym"], small["u_prev"],
+                small["has_u"], small["invP"], small["Nk"])
+            if y_w is not None:
+                # general step invalidates the fast path's dual warm start
+                new_st["y_warm"] = jnp.zeros_like(y_w)
+            self.state = new_st
         self.last_ok = ok            # per-stream converged flags (device)
         if not moving:
             self.Nk += 1
