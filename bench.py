@@ -394,7 +394,10 @@ def _bench_mhe(platform, B=4096, He=10):
                                    sigmaR=[0.2, 0.2])
     t.setconstraint(xhatmin=np.full(t.nx_hat, -50.0),
                     xhatmax=np.full(t.nx_hat, 50.0))
-    fleet = BatchedMHE(t, B, dtype=jnp.float32)
+    # gi_max_active=8: the fleet step's bandwidth bill is the
+    # (B, slots, slots) f64 Ginv table; MHE windows pin at most a few
+    # bounds, and overflowing lanes would report converged=False (checked)
+    fleet = BatchedMHE(t, B, dtype=jnp.float32, gi_max_active=8)
     rng = np.random.default_rng(3)
     u_prev = np.zeros((B, 1))
     for _ in range(He + 1):   # fill the window (bookkeeping + compile)

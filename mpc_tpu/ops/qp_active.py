@@ -90,9 +90,10 @@ def build_gi_cache(P, A):
 def gi_state_init(n, like=None, batch=None):
     """Fresh cross-period GI operator state (empty active set).
 
-    ``n``: decision-variable count; ``like``: dtype reference; ``batch``:
-    optional leading batch shape for fleets.  Pass the returned dict as
-    ``solve_qp_active(..., state0=...)`` and feed the solution's
+    ``n``: SLOT count — the decision-variable count, or the ``max_active``
+    cap when the solver is called with one; ``like``: dtype reference;
+    ``batch``: optional leading batch shape for fleets.  Pass the returned
+    dict as ``solve_qp_active(..., state0=...)`` and feed the solution's
     ``gi_state`` back on the next control period.
     """
     import numpy as np
@@ -112,7 +113,8 @@ def gi_state_init(n, like=None, batch=None):
 
 
 def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
-                    cache=None, state0=None, iter_budget=None):
+                    cache=None, state0=None, iter_budget=None,
+                    max_active=None):
     """Solve one dense QP by dual active set.  jit- and vmap-compatible.
 
     Exact at termination (up to the rank-one-updated operators' accuracy) —
@@ -144,19 +146,34 @@ def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
     ANDed with ``max_pivots`` — the Ts-deadline policy feeds a measured
     per-pivot cost through here without retracing.
 
+    ``max_active``: STATIC cap on the slot-buffer size (default n, the GI
+    worst case).  The per-iteration cost of a lockstep fleet is the
+    bandwidth of the (B, n_slots, n_slots) f64 Ginv / (B, n_slots, nvar)
+    Aact tables — warm-started MPC/MHE active sets are typically ≤ 4-8
+    rows, so an 8-slot buffer cuts that traffic ~10× at n≈33.  The solve
+    stays EXACT whenever the true active set fits the cap; if it doesn't,
+    the buffer fills, no further rows can activate, and the solver
+    reports ``converged=False`` (honest failure — re-solve with a larger
+    cap).  ``state0`` slot shapes must match the cap.
+
     The returned :class:`QPSolution` carries ``gi_state`` for the next
     period.
     """
     with jax.default_matmul_precision("float32"):
         return _gi_impl(P, q, A, l, u, y0, max_pivots=max_pivots, tol=tol,
-                        cache=cache, state0=state0, iter_budget=iter_budget)
+                        cache=cache, state0=state0, iter_budget=iter_budget,
+                        max_active=max_active)
 
 
 def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
-             iter_budget=None):
+             iter_budget=None, max_active=None):
     dt = q.dtype
     n = q.shape[0]
     m = A.shape[0]
+    # slot-buffer size: the bandwidth knob (see solve_qp_active docstring);
+    # all slot-space tables/decisions below are sized ns, the primal x and
+    # the violation scan stay full-size
+    ns = n if max_active is None else min(n, int(max_active))
     if dt == jnp.float32:
         # f32 roundoff on a·x sits ~1e-7·‖a‖‖x‖; a 1e-9 test would re-pick
         # already-active rows forever (same floor policy as _solve_qp_impl)
@@ -196,10 +213,10 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
 
     has_lo = l > -_BIG
     has_up = u < _BIG
-    slot_id = jnp.arange(n)
+    slot_id = jnp.arange(ns)
     # roundoff scale of each aᵢᵀx dot product: ‖aᵢ‖₂·‖x‖₂ (Cauchy–Schwarz)
     row_nrm = jnp.linalg.norm(A, axis=1)
-    eye = jnp.eye(n, dtype=hi)
+    eye = jnp.eye(ns, dtype=hi)
     tiny = jnp.asarray(1e-30, hi)
 
     def bound_of(idx, side):
@@ -233,19 +250,19 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         # the f64 slot space, so cross-period drift is ~1e-16 per rank-one
         # update (the refresh was an artifact of the f32-slot era, and its
         # f64 matmuls would pay the dot-emulation cost at every solve)
-        widx = jnp.zeros(n, jnp.int32)
-        wside = jnp.zeros(n, jnp.int32)
+        widx = jnp.zeros(ns, jnp.int32)
+        wside = jnp.zeros(ns, jnp.int32)
         wcnt = jnp.asarray(0, jnp.int32)
         warm0 = jnp.asarray(True)
     else:
-        idx0 = jnp.zeros(n, jnp.int32)
-        side0 = jnp.zeros(n, jnp.int32)
-        vmask0 = jnp.zeros(n, bool)
+        idx0 = jnp.zeros(ns, jnp.int32)
+        side0 = jnp.zeros(ns, jnp.int32)
+        vmask0 = jnp.zeros(ns, bool)
         Ginv0 = eye
-        Aact0 = jnp.zeros((n, A.shape[1]), hi)
+        Aact0 = jnp.zeros((ns, A.shape[1]), hi)
         if y0 is None:
-            widx = jnp.zeros(n, jnp.int32)
-            wside = jnp.zeros(n, jnp.int32)
+            widx = jnp.zeros(ns, jnp.int32)
+            wside = jnp.zeros(ns, jnp.int32)
             wcnt = jnp.asarray(0, jnp.int32)
             warm0 = jnp.asarray(False)
         else:
@@ -253,12 +270,12 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
             # side, magnitude ranks the candidates (≤ n can be active)
             usable = jnp.where(y0 > 0, has_up, has_lo)
             mag = jnp.where(usable, jnp.abs(y0), 0.0)
-            topv, topi = jax.lax.top_k(mag, min(n, m))
+            topv, topi = jax.lax.top_k(mag, min(ns, m))
             hot = topv > 1e-12
             wcnt = jnp.sum(hot).astype(jnp.int32)
-            widx = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
+            widx = jnp.zeros(ns, jnp.int32).at[:topi.shape[0]].set(
                 topi.astype(jnp.int32))
-            wside = jnp.zeros(n, jnp.int32).at[:topi.shape[0]].set(
+            wside = jnp.zeros(ns, jnp.int32).at[:topi.shape[0]].set(
                 jnp.where(hot, jnp.where(y0[topi] > 0, 1, -1), 0)
                 .astype(jnp.int32))
             warm0 = jnp.asarray(True)
@@ -302,7 +319,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         free = ~jnp.all(vmask)
         inserting = st["wpos"] < wcnt
         # --- insert one pending warm row (bordering update) --------------
-        wsel = jnp.minimum(st["wpos"], n - 1)
+        wsel = jnp.minimum(st["wpos"], ns - 1)
         cand = widx[wsel]
         cspf = wside[wsel].astype(hi)
         arow = A[cand].astype(hi)
@@ -349,7 +366,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
     def warm_cond(st):
         return (~st["done"]) & (st["it"] < max_pivots)
 
-    stw = dict(x=x_un, idx=idx0, side=side0, lam=jnp.zeros(n, hi),
+    stw = dict(x=x_un, idx=idx0, side=side0, lam=jnp.zeros(ns, hi),
                vmask=vmask0, Ginv=Ginv0, Aact=Aact0,
                wpos=jnp.asarray(0, jnp.int32),
                it=jnp.asarray(0, jnp.int32),
@@ -422,6 +439,14 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         # arithmetic, but this IS the f32-degenerate regime)
         do_drop = (stepping & ~full & (t1 <= t2) & ~infeas_raw
                    & jnp.isfinite(t1))
+        # SLOT-BUFFER OVERFLOW (max_active < true active-set size): the
+        # selected row must activate (t2 ≤ t1) but no slot is free.  The
+        # solve CANNOT proceed correctly — taking the t2 step without
+        # activating the row breaks the GI invariant "x minimizes over the
+        # active set", after which a clean violation scan would falsely
+        # certify optimality.  Terminate with converged=False instead.
+        overflow = (stepping & ~free & jnp.isfinite(t2) & (t2 <= t1)
+                    & ~infeas_raw)
 
         # --- f32 anti-cycling.  Exact GI cannot cycle (the dual objective
         # strictly increases), but f32 DATA on near-degenerate vertices
@@ -440,7 +465,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         rehit = fresh & ((j == st["d1"]) | (j == st["d2"]))
         vstall = jnp.where(rehit, st["vstall"] + 1,
                            jnp.where(fresh, 0, st["vstall"]))
-        restart = (~st["restarted"]) & ((zero_run > n + 2) | (vstall >= 4)
+        restart = (~st["restarted"]) & ((zero_run > ns + 2) | (vstall >= 4)
                                         | infeas_raw)
         infeasible = infeas_raw & st["restarted"]
 
@@ -478,12 +503,12 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         # whose dependent direction r = e_slot would wrongly drain that
         # slot's multiplier through lam_step
         nxt = dict(
-            x=jnp.where(stepping & ~infeas_raw, x_step, x),
+            x=jnp.where(stepping & ~infeas_raw & ~overflow, x_step, x),
             idx=jnp.where(do_add, jnp.where(ii, p_eff, idx), idx),
             side=jnp.where(do_add, jnp.where(ii, sp, side), side),
             lam=pick(jnp.where(ii, lam_p_new, lam_step),
                      lam_step * (1.0 - e_b.astype(hi)),
-                     jnp.where(stepping, lam_step, lam)),
+                     jnp.where(stepping & ~overflow, lam_step, lam)),
             vmask=pick(vmask | ii, vmask & ~e_b, vmask),
             Ginv=Ginv_n,
             Aact=Aact_n,
@@ -496,16 +521,16 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
             d2=jnp.where(do_drop, st["d1"], st["d2"]).astype(jnp.int32),
             vstall=vstall,
             it=st["it"] + 1,
-            done=st["done"] | infeasible | (~cont & opt),
-            feas=st["feas"] & ~infeasible,
+            done=st["done"] | infeasible | overflow | (~cont & opt),
+            feas=st["feas"] & ~infeasible & ~overflow,
         )
         # cold restart overrides everything except the iteration counter
         return dict(
             x=jnp.where(restart, x_un, nxt["x"]),
-            idx=jnp.where(restart, jnp.zeros(n, jnp.int32), nxt["idx"]),
-            side=jnp.where(restart, jnp.zeros(n, jnp.int32), nxt["side"]),
-            lam=jnp.where(restart, jnp.zeros(n, hi), nxt["lam"]),
-            vmask=jnp.where(restart, jnp.zeros(n, bool), nxt["vmask"]),
+            idx=jnp.where(restart, jnp.zeros(ns, jnp.int32), nxt["idx"]),
+            side=jnp.where(restart, jnp.zeros(ns, jnp.int32), nxt["side"]),
+            lam=jnp.where(restart, jnp.zeros(ns, hi), nxt["lam"]),
+            vmask=jnp.where(restart, jnp.zeros(ns, bool), nxt["vmask"]),
             Ginv=jnp.where(restart, eye, nxt["Ginv"]),
             Aact=jnp.where(restart, jnp.zeros_like(Aact), nxt["Aact"]),
             p=jnp.where(restart, -1, nxt["p"]).astype(jnp.int32),

@@ -48,10 +48,18 @@ class BatchedMHE:
     fast path when applicable (LinModel, SingleShooting, nc == 0, finite
     measurements) and falls back to the general in-graph solver for NaN
     steps; ``"general"`` forces the in-graph GN/ADMM solver.
+
+    ``gi_max_active``: slot-buffer cap for the GI fast path (see
+    :func:`mpc_tpu.ops.qp_active.solve_qp_active`).  The fleet step's
+    bandwidth bill is the (B, slots, slots) f64 Ginv table, so capping at
+    the expected active-set size (MHE windows typically pin ≤ a handful of
+    bounds) is a large win; lanes whose true active set overflows the cap
+    report ``converged=False`` in ``last_ok``.  Default: full size.
     """
 
     def __init__(self, template: MovingHorizonEstimator, batch: int,
-                 mesh=None, dtype=None, solver: str = "auto"):
+                 mesh=None, dtype=None, solver: str = "auto",
+                 gi_max_active: int | None = None):
         if not template.direct:
             raise ValueError("BatchedMHE supports the direct (p=0) form")
         if solver not in ("auto", "general"):
@@ -220,9 +228,12 @@ class BatchedMHE:
             mats = self._mats
             asm = mhe_fast.make_assembler(mats)
 
+            gi_cap = gi_max_active
+
             def gi(Pq, q, A, l, u, y0, Pinv):
                 return solve_qp_active(Pq, q, A, l, u, y0=y0,
-                                       cache=dict(gic_Pinv=Pinv))
+                                       cache=dict(gic_Pinv=Pinv),
+                                       max_active=gi_cap)
 
             def advance_fast(c, st, ym, u_prev, has_u, invP, Nk_prev,
                              Pq, Pinv):

@@ -56,6 +56,42 @@ def test_batched_mhe_matches_singles():
             singles[i].updatestate(u_prev[i], ym[i])
 
 
+def test_batched_mhe_nan_fallback_and_bounds():
+    """A NaN measurement step routes through the general in-graph solver
+    (per-lane V-row weights differ), then the fleet returns to the GI fast
+    path once the NaN drains out of the window — estimates keep matching
+    the per-stream single MHEs (which NaN-mask exactly) throughout, and
+    constrained lanes respect the x̂ bounds."""
+    from mpc_tpu.parallel import BatchedMHE
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    tmpl = mpc.MovingHorizonEstimator(m, He=3)
+    tmpl.setconstraint(xhatmin=[-0.2] * tmpl.nx_hat,
+                       xhatmax=[0.2] * tmpl.nx_hat)
+    B = 3
+    bat = BatchedMHE(tmpl, B)
+    assert bat._fast
+    def mk():
+        s = mpc.MovingHorizonEstimator(m, He=3)
+        s.setconstraint(xhatmin=[-0.2] * s.nx_hat, xhatmax=[0.2] * s.nx_hat)
+        return s
+    singles = [mk() for _ in range(B)]
+    rng = np.random.default_rng(5)
+    u_prev = np.zeros((B, 1))
+    for k in range(10):
+        ym = rng.normal(size=(B, 1))
+        if k == 4:
+            ym[1, 0] = np.nan        # sensor dropout on one lane
+        xb = bat.step(ym, u_prev)
+        xs = np.array([singles[i].preparestate(ym[i]) for i in range(B)])
+        assert np.allclose(xb, xs, atol=1e-7), k
+        assert np.all(np.asarray(xb) <= 0.2 + 1e-7), k
+        expected_guard = max(0, 3 - (k - 4)) if k >= 4 else 0
+        assert bat._nan_guard == expected_guard, k
+        u_prev = rng.normal(size=(B, 1)) * 0.2
+        for i in range(B):
+            singles[i].updatestate(u_prev[i], ym[i])
+
+
 def test_batched_nonlinmpc_fleet():
     """A fleet of nonlinear MPC problems steps in lockstep."""
     def f(x, u, d, par):

@@ -239,3 +239,40 @@ def test_active_set_f32():
                           jnp.asarray(u, jnp.float32))
     assert bool(s32.converged)
     assert np.allclose(np.asarray(s32.x), ref, atol=5e-4)
+
+
+def test_active_set_max_active_cap():
+    """Slot-buffer cap (max_active): exact when the true active set fits,
+    honest converged=False when it overflows — never a silently suboptimal
+    'converged' answer."""
+    from mpc_tpu.ops.qp_active import build_gi_cache, solve_qp_active
+    rng = np.random.default_rng(11)
+    n, m = 10, 24
+    M = rng.normal(size=(n, n)); P = M @ M.T + n * np.eye(n)
+    q = rng.normal(size=n) * 2
+    A = rng.normal(size=(m, n))
+    # box the solution loosely so only a FEW rows are active
+    x_un = np.linalg.solve(P, -q)
+    c = A @ x_un
+    l = c - np.abs(rng.normal(size=m)) - 0.05
+    u = c + np.abs(rng.normal(size=m)) + 0.05
+    u[:3] = c[:3] - 0.3            # force ~3 upper rows active
+    l[:3] = u[:3] - 5.0
+    ref = scipy_qp(P, q, A, l, u)
+    n_act = int(np.sum((np.abs(A @ ref - l) < 1e-7)
+                       | (np.abs(A @ ref - u) < 1e-7)))
+    assert 1 <= n_act <= 6
+    cache = build_gi_cache(P, A)
+    for cap in (None, 8):
+        s = solve_qp_active(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                            jnp.asarray(l), jnp.asarray(u), cache=cache,
+                            max_active=cap)
+        assert bool(s.converged), cap
+        assert np.allclose(np.asarray(s.x), ref, atol=1e-6), cap
+        ns = cap or n
+        assert s.gi_state["gis_Ginv"].shape == (ns, ns)
+    # overflow: cap below the true active-set size must refuse
+    tight = solve_qp_active(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                            jnp.asarray(l), jnp.asarray(u), cache=cache,
+                            max_active=max(1, n_act - 1))
+    assert not bool(tight.converged)
