@@ -158,7 +158,8 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
 
 
 def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8,
-                             transcription=None, qp_solver="active_set"):
+                             transcription=None, qp_solver="active_set",
+                             gi_max_active=12):
     """Randomized stable nio×nio MIMO plants — big enough prediction
     matrices (ny·Hp=120 rows, 897 constraint rows) to be a real large-shape
     workload.  Default solver is the Goldfarb–Idnani active set with
@@ -183,9 +184,15 @@ def _large_plant_controllers(n, Hp=15, Hc=4, seed=0, nio=8,
         # Cwt=1e3 (not the 1e5 default): the slack weight sets cond(H̃) and
         # the f32 ADMM iteration count scales with it; 1e3 keeps the soft-y
         # semantics with cond(H̃) ≈ 7e4
+        # gi_max_active=12: the fleet's per-iteration bandwidth is the
+        # (B, slots, slots) f64 Ginv table (33 QP vars here); warm-started
+        # active sets stay small and overflowing lanes report
+        # converged=False (checked by the bench's converged count)
         c = LinMPC(model, Hp=Hp, Hc=Hc, Mwt=np.ones(nio),
                    Nwt=np.full(nio, 1.0), Cwt=1e3,
-                   transcription=transcription, qp_solver=qp_solver)
+                   transcription=transcription, qp_solver=qp_solver,
+                   gi_max_active=(gi_max_active if qp_solver == "active_set"
+                                  else None))
         c.setconstraint(umin=np.full(nio, -10.0), umax=np.full(nio, 10.0),
                         dumin=np.full(nio, -4.0), dumax=np.full(nio, 4.0),
                         ymin=np.full(nio, -60.0), ymax=np.full(nio, 60.0))

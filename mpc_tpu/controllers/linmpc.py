@@ -41,6 +41,7 @@ class LinMPC(PredictiveController):
                  Cwt=1e5, transcription: TranscriptionMethod | None = None,
                  Wy=None, Wu=None, Wd=None, Wr=None,
                  optim=None, dtype=None, qp_solver="admm",
+                 gi_max_active=None,
                  limit_solve_time=False, **estim_kwargs):
         # dtype=jnp.float32 runs the jitted step in TPU-native f32 (construct
         # math stays f64 on host); None inherits the jax default (x64-aware).
@@ -72,6 +73,12 @@ class LinMPC(PredictiveController):
         # (both solvers support MultipleShooting: the defect equalities are
         # eliminated at construct time via QR nullspace, see _build)
         self.qp_solver = qp_solver
+        # GI slot-buffer cap (ops/qp_active.py max_active): the lockstep
+        # fleet's bandwidth bill is the (B, slots, slots) f64 Ginv table;
+        # capping at the expected active-set size is a large win, and lanes
+        # whose true active set overflows report converged=False
+        self.gi_max_active = (None if gi_max_active is None
+                              else int(gi_max_active))
         Hp = default_Hp(model) if Hp is None else int(Hp)
         nk_delays = estimate_delays(model)
         if Hp <= nk_delays:
@@ -228,6 +235,9 @@ class LinMPC(PredictiveController):
             self._elim = {}
         # size of the QP the device actually solves (post-elimination)
         self.n_qp = self.nZt - self.n_eq if self.elim_eq else self.nZt
+        # GI slot-buffer size: capped by gi_max_active when set
+        self.gi_slots = (self.n_qp if self.gi_max_active is None
+                         else min(self.n_qp, self.gi_max_active))
         # default bounds (deviation form), kept as data
         if not hasattr(self, "U0min"):
             self.U0min = np.full(nu * Hp, -BIG)
@@ -272,13 +282,13 @@ class LinMPC(PredictiveController):
         shape_key = (nu, self.Hc, nd, self.n_eps, self.nZ, tuple(self._blk),
                      self.n_ineq, self.n_eq, self.nw, Hp, ny,
                      isinstance(self.transcription, MultipleShooting),
-                     self.estim.nx_hat, self.qp_solver)
+                     self.estim.nx_hat, self.qp_solver, self.gi_max_active)
         if getattr(self, "_step_shape_key", None) != shape_key:
             self._step_raw = _build_step(
                 nu, self.Hc, nd, self.n_eps, self.nZ, self._blk, self.n_ineq,
                 self.n_eq, isinstance(self.transcription, MultipleShooting),
                 self.estim.nx_hat, self.nw, Hp, model.ny,
-                qp_solver=self.qp_solver)
+                qp_solver=self.qp_solver, gi_max_active=self.gi_max_active)
             self._step = jit32(self._step_raw)
             self._step_shape_key = shape_key
         # GI cross-period operator state: valid only for the CURRENT (H, A)
@@ -286,7 +296,7 @@ class LinMPC(PredictiveController):
         if self.qp_solver == "active_set":
             from ..ops.qp_active import gi_state_init
             self._qp_state = gi_state_init(
-                self.n_qp, like=np.float32 if self._dt is not None and
+                self.gi_slots, like=np.float32 if self._dt is not None and
                 np.dtype(self._dt) == np.float32 else np.float64)
         else:
             self._qp_state = None
@@ -683,7 +693,7 @@ def _setmodel_estimator(estim, model, **cov):
 
 # ---------------------------------------------------------------------------
 def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
-                nw=0, Hp=None, ny=None, qp_solver="admm"):
+                nw=0, Hp=None, ny=None, qp_solver="admm", gi_max_active=None):
     """Create the per-step solve (pure function; caller jits / vmaps it)."""
     blk = tuple(int(b) for b in blk)
     use_as = qp_solver == "active_set"
@@ -786,6 +796,7 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                                       else y0r,
                                       state0=qp_state,
                                       iter_budget=iter_budget,
+                                      max_active=gi_max_active,
                                       cache={k: p[k] for k in
                                              ("gic_Pinv",)})
             else:
@@ -810,6 +821,7 @@ def _build_step(nu, Hc, nd, n_eps, nZ, blk, n_ineq, n_eq, is_ms, nx_hat,
                                   else y_prev,
                                   state0=qp_state,
                                   iter_budget=iter_budget,
+                                  max_active=gi_max_active,
                                   cache={k: p[k] for k in
                                          ("gic_Pinv",)})
         else:

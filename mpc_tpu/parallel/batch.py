@@ -126,7 +126,8 @@ class BatchedLinMPC:
         if c0.qp_solver == "active_set":
             # GI cross-period operator carry (per-lane active set + Ginv)
             from ..ops.qp_active import gi_state_init
-            state["qp_state"] = gi_state_init(c0.n_qp, like=dt, batch=self.B)
+            state["qp_state"] = gi_state_init(c0.gi_slots, like=dt,
+                                              batch=self.B)
         else:
             state["qp_state"] = None
         self.mesh = mesh

@@ -65,7 +65,7 @@ def _qp_state0(ctrl, B=None):
     dtc = getattr(ctrl, "_dt", None)
     like = np.float32 if (dtc is not None and
                           np.dtype(dtc) == np.float32) else np.float64
-    return gi_state_init(ctrl.n_qp, like=like, batch=B)
+    return gi_state_init(ctrl.gi_slots, like=like, batch=B)
 
 
 class CompiledClosedLoop:
