@@ -339,10 +339,15 @@ def main():
     print(json.dumps(headline))
 
 
-def _bench_nonlin(platform, B=256):
+def _bench_nonlin(platform, B=1024):
     """BatchedNonLinMPC pendulum fleet (SQP15 + UKF per lane), rotating
     setpoints (reference analogue: benchmark/3_bench_predictive_control.jl
-    :370-435, pendulum NonLinMPC case studies)."""
+    :370-435, pendulum NonLinMPC case studies).
+
+    Round-4 A/B at B=256: the default ADMM subproblem solver does 4.3k
+    solves/s (59 ms step); the GI active-set subproblem backend does 29k
+    (8.8 ms) with identical sqp iteration counts and viol=0 — the same
+    OSQP→DAQP trade as the LinMPC fleets, so GI is the benched default."""
     import jax
     import jax.numpy as jnp
     import mpc_tpu as mpc
@@ -359,7 +364,7 @@ def _bench_nonlin(platform, B=256):
     estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
                                       nint_ym=[1], sigmaQint_ym=[0.1])
     t = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
-                      sqp_iters=15)
+                      sqp_iters=15, qp_solver="active_set")
     t.setconstraint(umin=[-1.5], umax=[1.5])
     fleet = BatchedNonLinMPC(t, batch=B, dtype=jnp.float32)
     rng = np.random.default_rng(2)
@@ -377,7 +382,7 @@ def _bench_nonlin(platform, B=256):
     it = np.asarray(fleet.last_iters)
     viol = float(np.asarray(fleet.last_viol))
     res = {"metric": f"BatchedNonLinMPC solves/s/chip (pendulum, Hp=15, "
-                     f"SQP15+UKF, B={B}, {platform})",
+                     f"SQP15+UKF, active_set, B={B}, {platform})",
            "value": round(B / dt, 1), "unit": "solves/s",
            "step_ms": round(dt * 1e3, 2),
            "sqp_iters_max": float(it[0]), "sqp_iters_mean": float(it[1]),
