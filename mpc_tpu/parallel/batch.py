@@ -93,6 +93,9 @@ class BatchedLinMPC:
                              "controller (the shared configuration); set "
                              "reps=B for the fleet size")
         self.B = len(controllers) * reps if not self.share_params else reps
+        self.qp_solver = c0.qp_solver       # bench FLOP model reads these
+        self.gi_slots = c0.gi_slots
+        self.n_qp = c0.n_qp
         self.nu = c0.estim.model.nu
         self.nym = c0.estim.nym
         self.nd = c0.estim.model.nd
