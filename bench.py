@@ -463,6 +463,51 @@ def _bench_nonlin(platform, B=1024):
            "viol_max": viol, "converged": int(viol < 1e-3) * B}
     print(f"# nonlin: {res['value']}/s step={res['step_ms']}ms "
           f"viol={viol:.2e}", file=sys.stderr)
+
+    # ± exact-Hessian axis on the ECONOMIC pendulum (the reference
+    # benchmarks every pendulum case with and without exact Hessians,
+    # benchmark/3_bench_predictive_control.jl:370-435): h outputs angle AND
+    # angular velocity, JE = mean electrical power
+    h2 = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi,
+                                      x[1] * 180 / jnp.pi])
+
+    def JE(Ue, Ye, De, p_, eps_):
+        omega = Ye[1::2][1:] * jnp.pi / 180
+        return 0.1 * jnp.sum(jnp.abs(Ue[1:] * omega)
+                             + 0.01 * (Ue[1:] * omega) ** 2)
+
+    Be = 256
+    hess_res = {}
+    for hess in ("gauss_newton", "exact"):
+        pend2 = mpc.NonLinModel(f, h2, 0.1, 1, 2, 2, p=(9.8, 0.4, 1.2, 0.3),
+                                solver=mpc.RungeKutta(4))
+        estim2 = mpc.UnscentedKalmanFilter(
+            pend2, sigmaQ=[0.1, 1.0], sigmaR=[5.0, 5.0], nint_ym=[1, 0],
+            sigmaQint_ym=[0.1])
+        te = mpc.NonLinMPC(estim2, Hp=15, Hc=2, Mwt=[0.5, 0.0], Nwt=[2.5],
+                           Cwt=np.inf, Ewt=3.5e3, JE=JE, sqp_iters=15,
+                           qp_solver="active_set", hessian=hess)
+        te.setconstraint(umin=[-1.5], umax=[1.5])
+        fe = BatchedNonLinMPC(te, batch=Be, dtype=jnp.float32)
+        seq_e = [(jnp.asarray(rng.normal(size=(Be, 2)) * 5.0, jnp.float32),
+                  jnp.asarray(np.tile([deg, 0.0], (Be, 1)), jnp.float32))
+                 for deg in (180.0, 170.0, 175.0, 180.0)]
+        u_e, _ = fe.step(*seq_e[0])
+        np.asarray(u_e)
+        t0 = time.time()
+        for k in range(4):
+            u_e, _ = fe.step(*seq_e[k % 4])
+        np.asarray(u_e)
+        dte = (time.time() - t0) / 4
+        ite = np.asarray(fe.last_iters)
+        hess_res[hess] = {"solves_per_s": round(Be / dte, 1),
+                          "step_ms": round(dte * 1e3, 2),
+                          "sqp_iters_mean": float(ite[1]),
+                          "sqp_iters_max": float(ite[0])}
+    res["exact_hessian_config"] = {
+        "metric": f"economic pendulum EMPC fleet (B={Be}, {platform}), "
+                  f"GN vs exact Lagrangian Hessian", **hess_res}
+    print(f"# nonlin exact-hessian A/B: {hess_res}", file=sys.stderr)
     return res
 
 

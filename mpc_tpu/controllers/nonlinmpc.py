@@ -67,7 +67,8 @@ class NonLinMPC(PredictiveController):
                  Cwt=1e5, Ewt=0.0, JE=None, gc=None, nc=0, p=None,
                  Wy=None, Wu=None, Wd=None, Wr=None,
                  transcription=None, sqp_iters=30, sqp_tol=1e-8,
-                 trust_radius=None, qp_solver="admm", **estim_kwargs):
+                 trust_radius=None, qp_solver="admm",
+                 hessian="gauss_newton", **estim_kwargs):
         if isinstance(model_or_estim, StateEstimator):
             estim = model_or_estim
             model = estim.model
@@ -125,6 +126,19 @@ class NonLinMPC(PredictiveController):
         if qp_solver not in ("admm", "active_set"):
             raise ValueError("qp_solver must be 'admm' or 'active_set'")
         self.qp_solver = qp_solver
+        # Hessian backend (the reference exposes selectable gradient/
+        # Jacobian/Hessian backends and benchmarks ± exact Hessian,
+        # src/controller/nonlinmpc.jl:27-29,230-236): "gauss_newton" is the
+        # tracking-cost GN model (+ exact economic-term curvature);
+        # "exact" is the full Lagrangian Hessian ∇²J + Σᵢ yᵢ∇²cᵢ at the
+        # iterate with the previous QP's multipliers, projected to its PSD
+        # part (eigh) so the QP subproblem stays convex — the projection is
+        # the trust-region-compatible indefiniteness guard.  Exact pays one
+        # (nZt,nZt) eigh per SQP iteration; it wins on curvature-dominated
+        # economic problems where GN's model is poor.
+        if hessian not in ("gauss_newton", "exact"):
+            raise ValueError("hessian must be 'gauss_newton' or 'exact'")
+        self.hessian = hessian
         self._build()
         self.Uop = np.tile(model.uop, Hp)
         self.Yop = np.tile(model.yop, Hp)
@@ -508,6 +522,7 @@ class NonLinMPC(PredictiveController):
         sqp_iters, sqp_tol = self.sqp_iters, self.sqp_tol
         is_ms = self.is_ms
         use_as = self.qp_solver == "active_set"
+        use_exact_h = self.hessian == "exact"
         tr0 = float(self.trust_radius) if self.trust_radius else 16.0
         alphas_f = [1.0, 0.5, 0.25, 0.1, 0.03, 0.01]
 
@@ -647,26 +662,69 @@ class NonLinMPC(PredictiveController):
                 return obj(Zt) + mu * viol(Zt)
 
             def sqp_body(carry):
-                Zt, y_d, it, step_norm, mu, tr, _ = carry
+                Zt, y_d, it, step_norm, mu, tr, _, lam_c = carry
                 Z, eps = split(Zt)
                 (Y0, xend, S, Jy, Jx, Js, gcv, Jgc) = constraint_data(
                     p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk)
                 g = grad_f(Zt)
-                # Gauss-Newton Hessian of tracking terms
-                PDu_t = jnp.zeros((nDU + n_eps, nZt), dt)
-                PDu_t = PDu_t.at[:nDU, :nDU].set(jnp.eye(nDU, dtype=dt))
-                if n_eps:
-                    PDu_t = PDu_t.at[-1, -1].set(1.0)
-                Pu_t = jnp.hstack([p["Pu"], jnp.zeros((nu * Hp, n_eps), dt)])
-                H = 2.0 * (Jy.T @ p["M_Hp"] @ Jy
-                           + PDu_t.T @ p["Nt_Hc"] @ PDu_t
-                           + Pu_t.T @ p["L_Hp"] @ Pu_t)
-                if Ewt != 0.0:
-                    # exact Hessian of the economic term for EMPC curvature,
-                    # projected to its PSD part for a convex QP subproblem
-                    He = jax.hessian(je_only)(Zt)
-                    w_e, V_e = jnp.linalg.eigh(0.5 * (He + He.T))
-                    H = H + (V_e * jnp.maximum(w_e, 0.0)) @ V_e.T
+                if use_exact_h:
+                    # Exact Lagrangian Hessian ∇²J + Σᵢ yᵢ∇²cᵢ with the
+                    # PREVIOUS iteration's multipliers (the reference's ±
+                    # exact-Hessian axis, nonlinmpc.jl:27-29).  Only the
+                    # nonlinear row families contribute curvature: Ŷ rows
+                    # (∓Y0), W rows (∓Wy_pred·Y0), terminal rows (∓xend),
+                    # gc rows (+gc) and the defect equalities (+S, via the
+                    # nullspace multipliers λ carried from the last solve);
+                    # U/ΔU/ϵ/trust rows are linear in Z̃.
+                    m_u, m_y = nu * Hp, ny * Hp
+                    o = 2 * m_u + 2 * nDU
+                    w_yrow = y_d[o + m_y:o + 2 * m_y] - y_d[o:o + m_y]
+                    o += 2 * m_y
+                    if nw:
+                        w_yrow = w_yrow + p["Wy_pred"].T @ (
+                            y_d[o + nW:o + 2 * nW] - y_d[o:o + nW])
+                        o += 2 * nW
+                    w_xrow = (y_d[o + nx_hat:o + 2 * nx_hat]
+                              - y_d[o:o + nx_hat])
+                    o += 2 * nx_hat
+                    y_gc = y_d[o:o + nc] if nc else None
+
+                    def lag_nl(Zt_):
+                        Z_, eps_ = split(Zt_)
+                        Y0_, xend_, S_, U0_ = rollout(p, Z_, x0_hat, lastu0,
+                                                      Df, Dh)
+                        t = w_yrow @ Y0_ + w_xrow @ xend_
+                        if neq:
+                            t = t + lam_c @ S_
+                        if nc:
+                            Ue_, Ye_, De_ = extended(p, U0_, Y0_, d, D_hat,
+                                                     yk)
+                            t = t + y_gc @ jnp.asarray(
+                                gc(Ue_, Ye_, De_, getp(p), eps_))
+                        return t
+
+                    Hraw = jax.hessian(obj)(Zt) + jax.hessian(lag_nl)(Zt)
+                    # PSD projection = indefiniteness guard: the trust-region
+                    # box bounds the step, the projection keeps the QP convex
+                    w_e, V_e = jnp.linalg.eigh(0.5 * (Hraw + Hraw.T))
+                    H = (V_e * jnp.maximum(w_e, 0.0)) @ V_e.T
+                else:
+                    # Gauss-Newton Hessian of tracking terms
+                    PDu_t = jnp.zeros((nDU + n_eps, nZt), dt)
+                    PDu_t = PDu_t.at[:nDU, :nDU].set(jnp.eye(nDU, dtype=dt))
+                    if n_eps:
+                        PDu_t = PDu_t.at[-1, -1].set(1.0)
+                    Pu_t = jnp.hstack([p["Pu"],
+                                       jnp.zeros((nu * Hp, n_eps), dt)])
+                    H = 2.0 * (Jy.T @ p["M_Hp"] @ Jy
+                               + PDu_t.T @ p["Nt_Hc"] @ PDu_t
+                               + Pu_t.T @ p["L_Hp"] @ Pu_t)
+                    if Ewt != 0.0:
+                        # exact Hessian of the economic term for EMPC
+                        # curvature, projected to its PSD part
+                        He = jax.hessian(je_only)(Zt)
+                        w_e, V_e = jnp.linalg.eigh(0.5 * (He + He.T))
+                        H = H + (V_e * jnp.maximum(w_e, 0.0)) @ V_e.T
                 H = H + 1e-8 * jnp.eye(nZt, dtype=dt)
                 # QP over step dz: ½dᵀHd + gᵀd  s.t. linearized constraints
                 U0 = p["Pu"] @ Z + Tu_lastu0
@@ -775,6 +833,7 @@ class NonLinMPC(PredictiveController):
                              + Nn @ sol.y[m_in:])
                     lam = jax.scipy.linalg.solve_triangular(
                         Rsq, -(Q1.T @ resid), lower=False)
+                    lam_new = lam
                     dual_inf = jnp.maximum(jnp.linalg.norm(sol.y[:m_in], jnp.inf),
                                            jnp.linalg.norm(lam, jnp.inf))
                     # Second-order correction: the ℓ1 merit rejects the full
@@ -801,6 +860,7 @@ class NonLinMPC(PredictiveController):
                         sol = solve_qp(H, g, A_r, l_r, u_r, y0=y_d,
                                        max_iter=500)
                     dz = sol.x
+                    lam_new = lam_c
                     dual_inf = jnp.linalg.norm(sol.y[:A.shape[0]], jnp.inf)
                     c_soc = jnp.zeros_like(dz)
                 # ℓ1 exact-penalty parameter: must dominate the constraint
@@ -832,10 +892,10 @@ class NonLinMPC(PredictiveController):
                      jnp.where(a == 0.0, tr * 0.25,
                      jnp.where(a <= 0.11, tr * 0.5, tr)))
                 tr = jnp.maximum(tr, 1e-3)
-                return Zt_new, sol.y, it + 1, sn, mu, tr, a
+                return Zt_new, sol.y, it + 1, sn, mu, tr, a, lam_new
 
             def sqp_cond(carry):
-                _, _, it, step_norm, _, tr, a = carry
+                _, _, it, step_norm, _, tr, a, _ = carry
                 retry = (a == 0.0) & (tr > 1.1e-3)  # rejected, can still shrink
                 return (it < sqp_iters) & ((it < 2) | (step_norm > sqp_tol)
                                            | retry)
@@ -848,11 +908,11 @@ class NonLinMPC(PredictiveController):
             # nearly stationary; linmpc.py persists y_dual the same way)
             y0 = (jnp.zeros(n_dual, dt) if y_prev is None
                   else jnp.asarray(y_prev, dt))
-            Zt, y_d, iters, sn, _, _, _ = jax.lax.while_loop(
+            Zt, y_d, iters, sn, _, _, _, _ = jax.lax.while_loop(
                 sqp_cond, sqp_body,
                 (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt),
                  jnp.asarray(1e4, dt), jnp.asarray(tr0, dt),
-                 jnp.asarray(1.0, dt)))
+                 jnp.asarray(1.0, dt), jnp.zeros(max(neq, 0), dt)))
             J_final = obj(Zt)
             viol_final = viol_inf(Zt)
             # final rollout for getinfo diagnostics
