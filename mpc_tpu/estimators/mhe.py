@@ -74,6 +74,13 @@ class MovingHorizonEstimator(StateEstimator):
         self.p_user = p if p is not None else model.p
         # nested arrival-covariance estimator (mhe/construct.jl:641-648)
         if covestim is not None:
+            P_ce = getattr(covestim, "P0_hat", None)
+            if P_ce is not None and np.shape(P_ce) != (self.nx_hat,
+                                                       self.nx_hat):
+                # mhe/construct.jl:655: covestim P̂ must match nx̂
+                raise ValueError(
+                    f"P̂ covariance size {np.shape(P_ce)} of covestim does "
+                    f"not match nx̂={self.nx_hat}")
             self.covestim = covestim
         elif isinstance(model, LinModel):
             self.covestim = KalmanFilter(model, i_ym=self.i_ym,
@@ -179,9 +186,13 @@ class MovingHorizonEstimator(StateEstimator):
                 v = np.tile(v, rep)
             if v.shape != (n * rep,):
                 raise ValueError(f"{k} size must be ({n},) or ({n * rep},)")
-            if key.startswith("c_") and self.n_eps != 1:
-                raise ValueError("Slack variable weight Cwt must be finite to "
-                                 "set softness parameters")
+            if key.startswith("c_"):
+                if self.n_eps != 1:
+                    raise ValueError("Slack variable weight Cwt must be "
+                                     "finite to set softness parameters")
+                if np.any(v < 0):
+                    # mhe/construct.jl:966-996: softness weights ≥ 0
+                    raise ValueError(f"{k} weights should be non-negative")
             val = v.copy()
             if sub_op:
                 val = val - np.tile(self.xop_hat, rep)

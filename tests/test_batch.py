@@ -188,3 +188,50 @@ def test_gi_fleet_serving_stability():
         worst = max(worst, int(it[0]))
         assert int(nc) == B, (k, int(nc))
     assert worst < 60, worst
+
+
+def test_batched_mhe_gi_cap_matches_uncapped():
+    """gi_max_active-capped BatchedMHE reproduces the uncapped fleet exactly
+    while lanes' true active sets fit the cap."""
+    from mpc_tpu.parallel import BatchedMHE
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    def mk():
+        t = mpc.MovingHorizonEstimator(m, He=4)
+        # bound ONE state component so the active set stays ≤ He+1 ≤ cap
+        t.setconstraint(xhatmin=[-0.25, -np.inf], xhatmax=[0.25, np.inf])
+        return t
+    B = 4
+    full = BatchedMHE(mk(), B)
+    capped = BatchedMHE(mk(), B, gi_max_active=8)
+    rng = np.random.default_rng(7)
+    u_prev = np.zeros((B, 1))
+    for k in range(8):
+        ym = rng.normal(size=(B, 1))
+        xa = full.step(ym, u_prev)
+        xb = capped.step(ym, u_prev)
+        assert np.allclose(np.asarray(xa), np.asarray(xb), atol=1e-9), k
+        assert int(np.asarray(capped.last_ok).sum()) == B, k
+        u_prev = rng.normal(size=(B, 1)) * 0.2
+
+
+def test_batched_linmpc_gi_cap_matches_uncapped():
+    """gi_max_active-capped LinMPC fleet matches the uncapped one."""
+    ctrls_a = random_cstr_controllers(4, Hp=8, Hc=2, seed=4,
+                                      qp_solver="active_set")
+    ctrls_b = random_cstr_controllers(4, Hp=8, Hc=2, seed=4,
+                                      qp_solver="active_set")
+    for c in ctrls_b:
+        # rebuild with a slot cap (same plants/weights via seed)
+        c.gi_max_active = 3
+        c.gi_slots = min(c.n_qp, 3)
+        c._build()
+    bat_a = BatchedLinMPC(ctrls_a)
+    bat_b = BatchedLinMPC(ctrls_b)
+    rng = np.random.default_rng(2)
+    for k in range(4):
+        ym = rng.normal(size=(4, 2)) * 0.5
+        ry = rng.normal(size=(4, 2))
+        ua, na = bat_a.step(jnp.asarray(ym), jnp.asarray(ry))
+        ub, nb = bat_b.step(jnp.asarray(ym), jnp.asarray(ry))
+        assert int(na) == 4 and int(nb) == 4, k
+        assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-7), k

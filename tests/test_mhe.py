@@ -556,3 +556,89 @@ def test_mhe_getinfo_key_parity():
                 "nablaJ"):
         assert key in info, key
     assert info["sol"]["window_fill"] == "3/3"
+
+
+def test_mhe_getinfo_derivative_and_objective_golden():
+    """Golden checks on the getinfo derivative dump (reference ∇J,
+    mhe/execute.jl:86-203): at an unconstrained optimum ∇J ≈ 0, and the
+    dumped J equals the objective re-evaluated by hand from the dumped
+    (x̄, Ŵ, V̂) using the estimator's own weight matrices."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    est = mpc.MovingHorizonEstimator(m, He=4)
+    rng = np.random.default_rng(3)
+    u = np.zeros(1)
+    for k in range(7):
+        ym = rng.normal(size=1) * 0.3
+        est.preparestate(ym)
+        if k < 6:
+            u = rng.normal(size=1) * 0.2
+            est.updatestate(u, ym)
+    # read the dump right after preparestate (the solve): updatestate
+    # advances the arrival covariance PAST the solved window, after which
+    # the arrival-block gradient is legitimately nonzero
+    info = est.getinfo()
+    # 1) stationarity: unconstrained window optimum → ∇J ≈ 0
+    assert np.linalg.norm(info["nablaJ"], np.inf) < 1e-6
+    # 2) objective golden: J == x̄ᵀP̄⁻¹x̄ + ŴᵀQ̂⁻¹Ŵ + V̂ᵀR̂⁻¹V̂ (Nk slots)
+    Nk = info["Nk"]
+    xbar = info["xbar"]
+    W = info["What"].reshape(Nk, est.nx_hat)
+    V = info["Vhat"].reshape(Nk, est.nym)
+    J_manual = (xbar @ est.invP_arr @ xbar
+                + np.sum((W @ est.invQ) * W)
+                + np.sum((V @ est.invR) * V))
+    assert np.isclose(info["J"], J_manual, rtol=1e-8), (info["J"], J_manual)
+    # 3) window-state consistency: X̂ rolls out from (x̂arr, Ŵ, U, D)
+    X = info["Xhat"]
+    x = info["xhatarr"] - est.xop_hat
+    for j in range(Nk):
+        x = (np.asarray(est.A_hat) @ x
+             + np.asarray(est.Bu_hat) @ (info["U"][j] - m.uop)
+             + (est.fop_hat - est.xop_hat) + W[j])
+        assert np.allclose(x, X[j], atol=1e-9), j
+
+
+def test_mhe_constrained_getinfo_gradient_matches_fd():
+    """With active x̂ bounds, the dumped ∇J matches central finite
+    differences of the masked MHE objective at the solution."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    est = mpc.MovingHorizonEstimator(m, He=3)
+    est.setconstraint(xhatmin=[-0.15, -np.inf], xhatmax=[0.15, np.inf])
+    rng = np.random.default_rng(1)
+    u = np.zeros(1)
+    for k in range(6):
+        ym = rng.normal(size=1)
+        est.preparestate(ym)
+        u = rng.normal(size=1) * 0.3
+        est.updatestate(u, ym)
+    info = est.getinfo()
+    import jax
+    import jax.numpy as jnp
+    p = jax.device_put(est._windows_params())
+    f = lambda z: float(est._obj_fn(p, jnp.asarray(z)))
+    z0 = est.Z_tilde.copy()
+    g_fd = np.zeros_like(z0)
+    h = 1e-6
+    for i in range(z0.size):
+        zp = z0.copy(); zp[i] += h
+        zm = z0.copy(); zm[i] -= h
+        g_fd[i] = (f(zp) - f(zm)) / (2 * h)
+    assert np.allclose(info["nablaJ"], g_fd, atol=1e-4)
+
+
+def test_mhe_covestim_size_validation():
+    """covestim with a mismatched P̂ size is rejected
+    (mhe/construct.jl:655)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    bad = mpc.KalmanFilter(m, nint_ym=0)     # nx̂=1 vs MHE default nx̂=2
+    with pytest.raises(ValueError, match="covestim"):
+        mpc.MovingHorizonEstimator(m, He=3, covestim=bad)
+
+
+def test_mhe_negative_softness_weights_rejected():
+    """Negative C_* softness weights are rejected
+    (mhe/construct.jl:966-996)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    est = mpc.MovingHorizonEstimator(m, He=3, Cwt=1e4)
+    with pytest.raises(ValueError, match="non-negative"):
+        est.setconstraint(c_xhatmin=[-1.0, 1.0])
