@@ -355,7 +355,12 @@ class NonLinMPC(PredictiveController):
                 y = jnp.asarray(h_hat(xn, d0h))
                 return xn, (y, xn)
 
-            xend, (Y, X) = jax.lax.scan(scan_f, x0_hat, (U0m, Df, Dh))
+            # unroll: the SS rollout runs ~10× per SQP iteration (jacfwd +
+            # line-search merits) inside a vmapped lockstep loop, where each
+            # scan iteration pays op-count × dispatch; unrolling lets XLA
+            # fuse across stages (measured win on the pendulum fleet)
+            xend, (Y, X) = jax.lax.scan(scan_f, x0_hat, (U0m, Df, Dh),
+                                        unroll=min(Hp, 16))
             return Y.reshape(-1) + p["Ys_now"], xend, jnp.zeros(0, Z.dtype), U0
 
         def outputs_ms(p, Z, x0_hat, lastu0, Df, Dh):

@@ -43,20 +43,34 @@ class RungeKutta(DiffSolver):
         h = Ts / self.supersample
         ns = self.supersample
         if self.order == 1:
-            def step(x, u, d, p):
-                def body(_, xk):
-                    return xk + h * f(xk, u, d, p)
-                return jax.lax.fori_loop(0, ns, body, x)
-            return step
+            def body1(_, xk, u, d, p):
+                return xk + h * f(xk, u, d, p)
+            return self._loop(body1, ns)
 
-        def step(x, u, d, p):
-            def body(_, xk):
-                k1 = f(xk, u, d, p)
-                k2 = f(xk + 0.5 * h * k1, u, d, p)
-                k3 = f(xk + 0.5 * h * k2, u, d, p)
-                k4 = f(xk + h * k3, u, d, p)
-                return xk + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-            return jax.lax.fori_loop(0, ns, body, x)
+        def body4(_, xk, u, d, p):
+            k1 = f(xk, u, d, p)
+            k2 = f(xk + 0.5 * h * k1, u, d, p)
+            k3 = f(xk + 0.5 * h * k2, u, d, p)
+            k4 = f(xk + h * k3, u, d, p)
+            return xk + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return self._loop(body4, ns)
+
+    @staticmethod
+    def _loop(body, ns):
+        """Supersampling loop: statically UNROLLED for small ns — under a
+        vmapped SQP fleet every `lax.fori_loop` op costs per-iteration
+        dispatch (op-count × dispatch dominates at B≥1024, CLAUDE.md), and
+        the common ns ≤ 8 unrolls into one fused elementwise chain.  Large
+        ns keeps the rolled loop (graph-size bound)."""
+        if ns <= 8:
+            def step(x, u, d, p):
+                for i in range(ns):
+                    x = body(i, x, u, d, p)
+                return x
+        else:
+            def step(x, u, d, p):
+                return jax.lax.fori_loop(
+                    0, ns, lambda i, xk: body(i, xk, u, d, p), x)
         return step
 
 
