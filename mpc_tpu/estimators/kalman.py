@@ -156,22 +156,30 @@ class KalmanFilter(StateEstimator):
         self.P_hat = P_hat
 
     def _correct(self, y0m, d0):
+        """Host NumPy f64 form of :func:`kf_correct` (same math, same
+        NaN-skip semantics): the single-stream protocol path was dominated
+        by eager-jnp dispatch (~1 ms/call for a handful of tiny matmuls);
+        the traced fleets keep the jnp kernel."""
         y0m_pred = self.Cm_hat @ self.x0_hat + self.Ddm_hat @ d0
         if np.any(np.isnan(y0m)):
             import warnings
             warnings.warn("NaN values in the Kalman filter measurements ym: "
                           "skipping correction step")
-        x0c, Pc = kf_correct(jnp.asarray(self.x0_hat), jnp.asarray(self.P_hat),
-                             jnp.asarray(y0m_pred), jnp.asarray(y0m),
-                             jnp.asarray(self.Cm_hat), jnp.asarray(self.R_hat))
-        self.x0_hat, self.P_hat = np.asarray(x0c), np.asarray(Pc)
+            return
+        P = self.P_hat
+        PCt = P @ self.Cm_hat.T
+        M = self.Cm_hat @ PCt + self.R_hat
+        K = np.linalg.solve(M.T, PCt.T).T
+        self.x0_hat = self.x0_hat + K @ (np.asarray(y0m, float) - y0m_pred)
+        Pc = (np.eye(P.shape[0]) - K @ self.Cm_hat) @ P
+        self.P_hat = 0.5 * (Pc + Pc.T)
 
     def _predict(self, u0, d0):
+        """Host NumPy f64 form of :func:`kf_predict` (same math)."""
         x0n_raw = np.asarray(self.f_hat(self.x0_hat, u0, d0), float)
-        x0n, Pn = kf_predict(jnp.asarray(x0n_raw), jnp.asarray(self.P_hat),
-                             jnp.asarray(self.A_hat), jnp.asarray(self.Q_hat),
-                             jnp.asarray(self.fop_hat - self.xop_hat))
-        self.x0_hat, self.P_hat = np.asarray(x0n), np.asarray(Pn)
+        self.x0_hat = x0n_raw + (self.fop_hat - self.xop_hat)
+        Pn = self.A_hat @ self.P_hat @ self.A_hat.T + self.Q_hat
+        self.P_hat = 0.5 * (Pn + Pn.T)
 
 
 def _default_P0(model, nint_u, nint_ym, sigmaP_0, sigmaPint_u_0, sigmaPint_ym_0):

@@ -255,3 +255,38 @@ def shift_warm_duals(mats, y, moving):
     if isinstance(moving, (bool, np.bool_)):
         return y_sh if moving else y
     return xp.where(moving, y_sh, y)
+
+
+def make_single_solver(mats):
+    """ONE jitted function for the single-stream fast window solve.
+
+    Folds the (q, l, u) assembly, the GI solve and the output rollout into
+    a single trace — the eager per-op dispatch of a host-side assembly was
+    ~4 ms/step on CPU (26 device_puts per solve), vs ~0.2 ms fused.  All
+    per-step data (windows, bounds, H̃, its inverse, warm duals) are
+    ARGUMENTS, so bound rolls / invP̄ updates / setconstraint never
+    retrace.
+    """
+    import jax.numpy as jnp
+
+    from ..utils.config import jit32
+    from ..ops.qp_active import solve_qp_active
+
+    asm = make_assembler(mats)
+    Gx = mats["Gx"]
+    He, nx, nym = mats["He"], mats["nx"], mats["nym"]
+
+    @jit32
+    def solve_single(c, U0, D0, Y0m_nn, x_prior, mask_w, invP, Pq, Pinv,
+                     A_rows, y0):
+        q, l, u, cx, r = asm(c, U0, D0, Y0m_nn, x_prior, mask_w, invP)
+        sol = solve_qp_active(Pq, q, A_rows, l, u, y0=y0,
+                              cache=dict(gic_Pinv=Pinv))
+        Z = sol.x
+        X = (Z @ jnp.asarray(Gx, Z.dtype).T + cx).reshape(He, nx)
+        # model prediction Ŷm = Gy·Z + c_y, with c_y = Y0m − r
+        Ym = (Y0m_nn.reshape(-1) - r
+              + Z @ jnp.asarray(mats["Gy"], Z.dtype).T).reshape(He, nym)
+        return Z, X, Ym, sol.converged, sol.y, q, r
+
+    return solve_single
