@@ -268,8 +268,13 @@ def _run_one(name):
     import jax
 
     # x64 enables the mixed-precision polish (f64 residual accumulation in
-    # ops/qp.py); all hot arrays stay float32
-    jax.config.update("jax_enable_x64", True)
+    # ops/qp.py) and the GI f64 slot space; all hot arrays stay float32.
+    # The MHE fleet runs WITHOUT x64: its host-side math (H̃ build, arrival
+    # covariance) is NumPy f64 regardless, its GI active sets are simple
+    # x̂-bound rows where the pure-f32 slot space converges 4096/4096 (the
+    # flag would expose any cycling), and the f64-emulated slot ops were
+    # 25% of the fleet step (521k → 687k solves/s measured).
+    jax.config.update("jax_enable_x64", name != "mhe")
     import jax.numpy as jnp
 
     platform = jax.default_backend()
