@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Batched MPC at scale: thousands of controllers solving in lockstep.
 
-On a TPU chip this pipeline measures >10M solves/s (see bench.py); this
+On a TPU chip this pipeline measures ~574k solves/s hard-synced (see
+bench.py; earlier multi-million figures were a dispatch-rate artifact); this
 example runs a small fleet on CPU for illustration.
 """
 import time
