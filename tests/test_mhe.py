@@ -642,3 +642,32 @@ def test_mhe_negative_softness_weights_rejected():
     est = mpc.MovingHorizonEstimator(m, He=3, Cwt=1e4)
     with pytest.raises(ValueError, match="non-negative"):
         est.setconstraint(c_xhatmin=[-1.0, 1.0])
+
+
+def test_mhe_soft_constraints_fast_matches_general():
+    """Finite-Cwt (soft) MHE: the construct-time-matrix + GI fast path
+    matches the general in-graph solver through a constrained run where
+    the slack is active (tight x̂ bounds the estimate must violate)."""
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+
+    def run(force_general):
+        est = mpc.MovingHorizonEstimator(m, He=4, Cwt=1e4)
+        est.setconstraint(xhatmin=[-0.05, -np.inf], xhatmax=[0.05, np.inf])
+        if force_general:
+            est._fast_applicable = lambda: False
+        rng = np.random.default_rng(9)
+        u = np.zeros(1)
+        out, eps = [], []
+        for k in range(8):
+            ym = rng.normal(size=1)   # big innovations → bound violations
+            out.append(est.preparestate(ym).copy())
+            eps.append(est.getinfo()["epsilon"])
+            u = rng.normal(size=1) * 0.3
+            est.updatestate(u, ym)
+        return np.array(out), np.array(eps)
+
+    x_f, e_f = run(False)
+    x_g, e_g = run(True)
+    assert np.max(e_f) > 1e-4            # the slack actually engaged
+    assert np.allclose(x_f, x_g, atol=2e-6), np.abs(x_f - x_g).max()
+    assert np.allclose(e_f, e_g, atol=2e-6)
