@@ -42,7 +42,11 @@ class BatchedMHE:
     """Lockstep batch of one MHE problem over many measurement streams.
 
     ``step(ym, u_prev)`` advances every stream's window and solves in one
-    jitted device call.  ``direct=True`` (filter form) only.
+    jitted device call.  ``direct=True`` (filter form) only.  Time-varying
+    (capital-form) bounds are honored once the window is FULL; during the
+    fill phase the fleet does not END-align per-slot bounds (use
+    slot-uniform bounds if the transient matters — the single-stream
+    estimator implements the reference's trunc_bounds roll).
 
     ``solver``: ``"auto"`` (default) uses the construct-time-matrix + GI
     fast path when applicable (LinModel, SingleShooting, nc == 0, finite
