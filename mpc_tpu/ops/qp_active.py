@@ -173,6 +173,8 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
     # slot-buffer size: the bandwidth knob (see solve_qp_active docstring);
     # all slot-space tables/decisions below are sized ns, the primal x and
     # the violation scan stay full-size
+    if max_active is not None and int(max_active) < 1:
+        raise ValueError("max_active must be ≥ 1")
     ns = n if max_active is None else min(n, int(max_active))
     if dt == jnp.float32:
         # f32 roundoff on a·x sits ~1e-7·‖a‖‖x‖; a 1e-9 test would re-pick
