@@ -114,7 +114,8 @@ class BatchedMHE:
             C_wmin=cast(t.C_wmin), C_wmax=cast(t.C_wmax),
             C_vmin=cast(t.C_vmin), C_vmax=cast(t.C_vmax),
             yop_m=cast(t.model.yop[np.asarray(t.i_ym, int)]),
-            uop=cast(t.model.uop), xop_hat=cast(t.xop_hat),
+            uop=cast(t.model.uop), dop=cast(t.model.dop),
+            xop_hat=cast(t.xop_hat),
         )
         if self._lin:
             consts.update(A_hat=cast(t.A_hat), Bu_hat=cast(t.Bu_hat),
@@ -151,7 +152,7 @@ class BatchedMHE:
         ne = t.n_eps
         is_lin = self._lin
 
-        def shift_insert(c, st, ym, u_prev, has_u, Nk_prev):
+        def shift_insert(c, st, ym, u_prev, d, has_u, Nk_prev):
             """Window shift + insert, on device (shared by both backends).
 
             Mirrors the reference's add_data_windows! semantics
@@ -160,6 +161,7 @@ class BatchedMHE:
             so window growth never retraces.
             """
             y0m = ym - c["yop_m"]
+            d0 = d - c["dop"]
             pend = jnp.where(has_u, u_prev - c["uop"], st["pending_u0"])
             moving = Nk_prev + 1 > He
             x0_old = st["x0_hat"]
@@ -186,15 +188,19 @@ class BatchedMHE:
             Y0m = jnp.where(oh, y0m[:, None, :], Y0m)
             X0o = jnp.where(oh, x0_old[:, None, :], X0o)
             U0 = jnp.where(oh, pend[:, None, :], U0)
+            # measured disturbance goes to slot i+1 of the He+1-slot D0
+            # window (slot 0 = pre-window d; mhe/execute.jl:521-538)
+            oh_d = (jnp.arange(He + 1) == i + 1)[None, :, None]
+            D0 = jnp.where(oh_d, d0[:, None, :], D0)
             x_arr = X0o[:, 0]
             Z = jnp.where(moving, Z.at[:, ne:ne + nx].set(x_arr), Z)
             mask_w = (jnp.arange(He) < Nk).astype(Y0m.dtype)
             return (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk, mask_w, moving)
 
-        def advance(c, st, ym, u_prev, has_u, invP, Nk_prev):
+        def advance(c, st, ym, u_prev, d, has_u, invP, Nk_prev):
             """General backend: the in-graph GN/ADMM window solver."""
             (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
-             mask_w, moving) = shift_insert(c, st, ym, u_prev, has_u,
+             mask_w, moving) = shift_insert(c, st, ym, u_prev, d, has_u,
                                             Nk_prev)
             mask_v = (mask_w[None, :, None] > 0) & jnp.isfinite(Y0m)
             p = dict(
@@ -239,10 +245,10 @@ class BatchedMHE:
                                        cache=dict(gic_Pinv=Pinv),
                                        max_active=gi_cap)
 
-            def advance_fast(c, st, ym, u_prev, has_u, invP, Nk_prev,
+            def advance_fast(c, st, ym, u_prev, d, has_u, invP, Nk_prev,
                              Pq, Pinv):
                 (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
-                 mask_w, moving) = shift_insert(c, st, ym, u_prev, has_u,
+                 mask_w, moving) = shift_insert(c, st, ym, u_prev, d, has_u,
                                                 Nk_prev)
                 ac = dict(Su=c["Su"], Sd=c["Sd"], s1=c["s1"],
                           Cm=c["Cm_hat"], Ddm=c["Ddm_hat"], Gy=c["Gy"],
@@ -267,9 +273,11 @@ class BatchedMHE:
 
             self._advance_fast = jit32(advance_fast)
 
-    def step(self, ym, u_prev=None):
+    def step(self, ym, u_prev=None, d=None):
         """Append measurements for every stream and solve in lockstep.
-        ``u_prev`` is the input applied at the previous step (B, nu).
+        ``u_prev`` is the input applied at the previous step (B, nu);
+        ``d`` the current measured disturbances (B, nd) when the model has
+        them (window slot i+1, mirroring add_data_windows!).
 
         Returns the absolute state estimates (B, nx̂) as a DEVICE array
         (``np.asarray`` it to sync) — a per-step host round trip is exactly
@@ -297,6 +305,8 @@ class BatchedMHE:
             ym=ym_h,
             u_prev=(np.asarray(u_prev, dt) if has_u
                     else np.zeros((self.B, nu), dt)),
+            d=(np.asarray(d, dt) if d is not None
+               else np.zeros((self.B, t.model.nd), dt)),
             invP=np.asarray(self.invP_arr, dt),
             Nk=np.int32(self.Nk), has_u=np.bool_(has_u))
         if use_fast:
@@ -308,7 +318,7 @@ class BatchedMHE:
             small["Pq"] = np.asarray(Pq, dt)
             small["Pinv"] = Pinv          # stays f64: GI hi-precision cache
         if self._shard_b is not None:
-            batched = {"ym", "u_prev"}
+            batched = {"ym", "u_prev", "d"}
             small = {k: jax.device_put(v, self._shard_b if k in batched
                                        else self._shard_r)
                      for k, v in small.items()}
@@ -317,7 +327,7 @@ class BatchedMHE:
         if use_fast:
             self.state, x_abs, ok, piv = self._advance_fast(
                 self._consts, self.state, small["ym"], small["u_prev"],
-                small["has_u"], small["invP"], small["Nk"],
+                small["d"], small["has_u"], small["invP"], small["Nk"],
                 small["Pq"], small["Pinv"])
             self.last_pivots = piv
         else:
@@ -325,7 +335,7 @@ class BatchedMHE:
             y_w = st.pop("y_warm", None) if self._fast else None
             new_st, x_abs, ok, _ = self._advance(
                 self._consts, st, small["ym"], small["u_prev"],
-                small["has_u"], small["invP"], small["Nk"])
+                small["d"], small["has_u"], small["invP"], small["Nk"])
             if y_w is not None:
                 # general step invalidates the fast path's dual warm start
                 new_st["y_warm"] = jnp.zeros_like(y_w)

@@ -235,3 +235,33 @@ def test_batched_linmpc_gi_cap_matches_uncapped():
         ub, nb = bat_b.step(jnp.asarray(ym), jnp.asarray(ry))
         assert int(na) == 4 and int(nb) == 4, k
         assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-7), k
+
+
+def test_batched_mhe_measured_disturbances():
+    """BatchedMHE with nd > 0: per-step d enters window slot i+1 exactly as
+    the single-stream add_data_windows! protocol — fleet matches per-stream
+    singles through a d-driven transient (incl. nonzero dop)."""
+    from mpc_tpu.parallel import BatchedMHE
+    G = np.array([[mpc.tf(1.9, [18, 1]), mpc.tf(1.9, [18, 1])],
+                  [mpc.tf(-0.74, [8, 1]), mpc.tf(0.74, [8, 1])]],
+                 dtype=object)
+    def mk():
+        m = mpc.LinModel(G, 2.0, i_d=[1])
+        m.setop(uop=[10], yop=[50, 30], dop=[20])
+        return mpc.MovingHorizonEstimator(m, He=3, nint_ym=0)
+    B = 3
+    bat = BatchedMHE(mk(), B)
+    assert bat._fast
+    singles = [mk() for _ in range(B)]
+    rng = np.random.default_rng(11)
+    u_prev = np.full((B, 1), 10.0)
+    for k in range(8):
+        ym = np.array([50.0, 30.0]) + rng.normal(size=(B, 2))
+        d = np.full((B, 1), 20.0) + rng.normal(size=(B, 1)) * 2.0
+        xb = bat.step(ym, u_prev, d=d)
+        xs = np.array([singles[i].preparestate(ym[i], d[i])
+                       for i in range(B)])
+        assert np.allclose(np.asarray(xb), xs, atol=1e-8), k
+        u_prev = np.full((B, 1), 10.0) + rng.normal(size=(B, 1)) * 0.5
+        for i in range(B):
+            singles[i].updatestate(u_prev[i], ym[i], d[i])
