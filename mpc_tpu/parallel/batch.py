@@ -93,6 +93,17 @@ class BatchedLinMPC:
                              "controller (the shared configuration); set "
                              "reps=B for the fleet size")
         self.B = len(controllers) * reps if not self.share_params else reps
+        # GROUPED execution (reps > 1, distinct params, single device): the
+        # params tree is stacked over the n_d DISTINCT controllers only and
+        # the step double-vmaps (distinct × reps) — each distinct A/H̃ is
+        # read from HBM once per rep-GROUP instead of once per lane (the
+        # tiled layout re-read 128 identical copies at the bench's large
+        # config).  Lane order of the public API is unchanged (regrouped
+        # per step with cheap transposes).
+        self.grouped = (reps > 1 and not self.share_params and mesh is None
+                        and len(controllers) >= 1)
+        self.n_distinct = len(controllers)
+        self.reps = int(reps)
         self.qp_solver = c0.qp_solver       # bench FLOP model reads these
         self.gi_slots = c0.gi_slots
         self.n_qp = c0.n_qp
@@ -113,7 +124,7 @@ class BatchedLinMPC:
         def prep(a):
             if np_dt is not None and np.issubdtype(a.dtype, np.floating):
                 a = a.astype(np_dt)
-            if reps > 1 and not self.share_params:
+            if reps > 1 and not self.share_params and not self.grouped:
                 a = np.tile(a, (reps,) + (1,) * (a.ndim - 1))
             return a
         params = {k: prep(v) for k, v in params.items()}
@@ -182,6 +193,37 @@ class BatchedLinMPC:
             new_st = dict(x0_hat=x0n, lastu0=lastu0, Z_tilde=Z_t,
                           y_dual=y_dual, rho_rung=rung, qp_state=qps)
             return u, conv, obj, iters, new_st
+
+        if self.grouped:
+            # distinct × reps double-vmap: the inner vmap has params
+            # in_axes=None, so each distinct controller's matrices are read
+            # once per rep-GROUP (the share_params win, generalized to many
+            # distinct scenarios).  Public lane order (tiled: lane = r·n_d
+            # + c) is preserved via the regroup/flatten transposes.
+            n_d, reps_ = self.n_distinct, self.reps
+            vrep = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, None))
+            vgrp = jax.vmap(vrep, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+            def regroup(x):
+                return jnp.swapaxes(
+                    x.reshape((reps_, n_d) + x.shape[1:]), 0, 1)
+
+            def flat(x):
+                return jnp.swapaxes(x, 0, 1).reshape(
+                    (reps_ * n_d,) + x.shape[2:])
+
+            def stepfn_g(params, eparams, state, ym, ry, d, it_budget):
+                st_g = jax.tree_util.tree_map(regroup, state)
+                u, conv, obj, iters, new_g = vgrp(
+                    params, eparams, st_g, regroup(ym), regroup(ry),
+                    regroup(d), it_budget)
+                new_state = jax.tree_util.tree_map(flat, new_g)
+                n_conv = jnp.sum(conv.astype(jnp.int32))
+                it_stats = jnp.stack([jnp.max(iters),
+                                      jnp.sum(iters) // (reps_ * n_d)])
+                return flat(u), n_conv, it_stats, new_state
+
+            return stepfn_g
 
         p_ax = None if self.share_params else 0
         vone = jax.vmap(one, in_axes=(p_ax, p_ax, 0, 0, 0, 0, None))
