@@ -265,3 +265,37 @@ def test_batched_mhe_measured_disturbances():
         u_prev = np.full((B, 1), 10.0) + rng.normal(size=(B, 1)) * 0.5
         for i in range(B):
             singles[i].updatestate(u_prev[i], ym[i], d[i])
+
+
+def test_batched_linmpc_grouped_lane_mapping():
+    """Grouped (distinct×reps) execution preserves the public tiled lane
+    order exactly: lane r·n_d + c must match controller c driven with that
+    lane's own (ym, ry) stream."""
+    n_d, reps = 3, 2
+    ctrls = random_cstr_controllers(n_d, Hp=8, Hc=2, seed=6,
+                                    qp_solver="active_set")
+    bat = BatchedLinMPC(random_cstr_controllers(n_d, Hp=8, Hc=2, seed=6,
+                                                qp_solver="active_set"),
+                        reps=reps)
+    assert bat.grouped and bat.B == n_d * reps
+    rng = np.random.default_rng(3)
+    # independent per-lane streams (different across reps of a scenario)
+    singles = {}
+    for r in range(reps):
+        for c in range(n_d):
+            singles[(r, c)] = random_cstr_controllers(
+                n_d, Hp=8, Hc=2, seed=6, qp_solver="active_set")[c]
+    for k in range(4):
+        ym = rng.normal(size=(bat.B, 2)) * 0.5
+        ry = rng.normal(size=(bat.B, 2)) * 1.5
+        u_b, n_conv = bat.step(jnp.asarray(ym), jnp.asarray(ry))
+        assert int(n_conv) == bat.B, k
+        u_b = np.asarray(u_b)
+        for r in range(reps):
+            for c in range(n_d):
+                lane = r * n_d + c
+                s = singles[(r, c)]
+                s.preparestate(ym[lane])
+                u_s = s.moveinput(ry[lane])
+                s.updatestate(u_s, ym[lane])
+                assert np.allclose(u_b[lane], u_s, atol=1e-6), (k, lane)
