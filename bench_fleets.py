@@ -39,12 +39,12 @@ def main():
         ym = jnp.asarray(rng.normal(size=(B_total, 2)), jnp.float32)
         u = jnp.asarray(rng.normal(size=(B_total, 1)), jnp.float32)
         x = fleet.step(ym, u)
-        jax.block_until_ready(x)
+        np.asarray(x)      # HOST TRANSFER: block_until_ready lies on axon
         iters = 30
         t0 = time.time()
         for _ in range(iters):
             x = fleet.step(ym, u)
-        jax.block_until_ready(x)
+        np.asarray(x)      # hard sync
         dt = (time.time() - t0) / iters
         print(json.dumps({
             "metric": f"Batched{kind.__name__} updates/s/chip "
@@ -64,19 +64,19 @@ def main():
     estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
                                       nint_ym=[1], sigmaQint_ym=[0.1])
     t = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
-                      sqp_iters=15)
+                      sqp_iters=15, qp_solver="active_set")
     t.setconstraint(umin=[-1.5], umax=[1.5])
     B = 256
     fleet = BatchedNonLinMPC(t, batch=B, dtype=jnp.float32)
     ym = jnp.asarray(rng.normal(size=(B, 1)) * 5.0, jnp.float32)
     ry = jnp.full((B, 1), 180.0, jnp.float32)
     u, J = fleet.step(ym, ry)
-    jax.block_until_ready(u)
+    np.asarray(u)          # hard sync
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         u, J = fleet.step(ym, ry)
-    jax.block_until_ready(u)
+    np.asarray(u)          # hard sync
     dt = (time.time() - t0) / iters
     print(json.dumps({
         "metric": f"BatchedNonLinMPC solves/s/chip (pendulum, Hp=15, "

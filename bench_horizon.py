@@ -60,13 +60,13 @@ def main():
                                 jnp.float32)) for _ in range(4)]
             t0 = time.time()
             u, nc = bat.step(*seq[0])
-            jax.block_until_ready(u)
+            np.asarray(u)   # host transfer: block_until_ready lies on axon
             compile_s = time.time() - t0
             times, iters_mx, iters_mn, convs = [], [], [], []
             for k in range(12):
                 t0 = time.time()
                 u, nc = bat.step(*seq[k % 4])
-                jax.block_until_ready(u)
+                np.asarray(u)   # hard sync
                 times.append(time.time() - t0)
                 mx, mn = np.asarray(bat.last_iters)
                 iters_mx.append(int(mx))

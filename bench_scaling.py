@@ -43,11 +43,11 @@ def run(n_dev, B=512, iters=10):
     ym = jnp.asarray(rng.normal(size=(B, 2)) * 0.5, jnp.float32)
     ry = jnp.asarray(rng.normal(size=(B, 2)) * 2.0, jnp.float32)
     u, _ = bat.step(ym, ry)
-    jax.block_until_ready(u)
+    np.asarray(u)   # host transfer: block_until_ready lies on axon
     t0 = time.time()
     for _ in range(iters):
         u, _ = bat.step(ym, ry)
-    jax.block_until_ready(u)
+    np.asarray(u)   # hard sync
     return (time.time() - t0) / iters
 
 

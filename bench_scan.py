@@ -45,14 +45,14 @@ def main():
         loop = CompiledClosedLoop(ctrl)
         t0 = time.time()
         fl = loop.run_fleet(B, N, ry=[54.0, 30.0], y_noise=[0.1, 0.1], seed=0)
-        jax.block_until_ready(fl["U"])
+        np.asarray(fl["U"])   # host transfer: block_until_ready lies on axon
         compile_s = time.time() - t0
         times = []
         for _ in range(3):
             t0 = time.time()
             fl = loop.run_fleet(B, N, ry=[54.0, 30.0], y_noise=[0.1, 0.1],
                                 seed=0)
-            jax.block_until_ready(fl["U"])
+            np.asarray(fl["U"])   # hard sync
             times.append(time.time() - t0)
         dt_med = float(np.median(times))
         steps_s = B * N / dt_med

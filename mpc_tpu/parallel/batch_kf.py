@@ -37,6 +37,12 @@ class BatchedKalman:
                for e in estimators):
             raise TypeError("mixed estimator kinds in one fleet")
         self.B = len(estimators) * reps
+        # grouped (distinct × reps) execution, as in BatchedLinMPC: params
+        # stacked over the n_d DISTINCT estimators only; the inner vmap has
+        # params in_axes=None so each stream group reads its matrices once
+        self.grouped = reps > 1
+        self.n_distinct = len(estimators)
+        self.reps = int(reps)
         self.nx_hat = e0.nx_hat
         self.nym = e0.nym
         self.nd = e0.model.nd
@@ -66,15 +72,16 @@ class BatchedKalman:
 
         np_dt = np.dtype(dtype) if dtype is not None else None
 
-        def prep(a):
+        def prep(a, tile):
             if np_dt is not None and np.issubdtype(a.dtype, np.floating):
                 a = a.astype(np_dt)
-            if reps > 1:
+            if reps > 1 and tile:
                 a = np.tile(a, (reps,) + (1,) * (a.ndim - 1))
             return a
 
-        params = {k: prep(v) for k, v in params.items()}
-        state = {k: prep(v) for k, v in state.items()}
+        # params stay distinct-stacked (grouped); per-stream state is tiled
+        params = {k: prep(v, tile=False) for k, v in params.items()}
+        state = {k: prep(v, tile=True) for k, v in state.items()}
         self.params, self.state = jax.device_put((params, state))
 
         steady, nd = self.steady, self.nd
@@ -100,7 +107,28 @@ class BatchedKalman:
                 new = dict(x0_hat=x0n, P_hat=Pn)
             return x0c + p["xop_hat"], new
 
-        self._step = jit32(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
+        if self.grouped:
+            n_d, reps_ = self.n_distinct, self.reps
+            vrep = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
+            vgrp = jax.vmap(vrep, in_axes=(0, 0, 0, 0, 0))
+
+            def regroup(x):
+                return jnp.swapaxes(
+                    x.reshape((reps_, n_d) + x.shape[1:]), 0, 1)
+
+            def flat(x):
+                return jnp.swapaxes(x, 0, 1).reshape(
+                    (reps_ * n_d,) + x.shape[2:])
+
+            def stepfn(p, st, ym, u, d):
+                st_g = jax.tree_util.tree_map(regroup, st)
+                xh, new_g = vgrp(p, st_g, regroup(ym), regroup(u),
+                                 regroup(d))
+                return flat(xh), jax.tree_util.tree_map(flat, new_g)
+
+            self._step = jit32(stepfn)
+        else:
+            self._step = jit32(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
 
     def step(self, ym, u, d=None):
         if d is None:
