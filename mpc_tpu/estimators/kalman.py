@@ -129,6 +129,31 @@ def inv_spd_small(M):
     return Inv
 
 
+def chol_small(P):
+    """Cholesky of a small SPD matrix by UNROLLED Cholesky–Banachiewicz
+    (batched-friendly; static n ≤ 8) — same rationale as
+    :func:`inv_spd_small`: ``jnp.linalg.cholesky`` is a serial custom call
+    on TPU, paid once per lane per UKF sigma-point draw."""
+    n = P.shape[-1]
+    if n > 8:
+        return jnp.linalg.cholesky(P)
+    rows = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            sacc = P[..., i, j]
+            for k in range(j):
+                sacc = sacc - rows[i][k] * rows[j][k]
+            if i == j:
+                rows[i][j] = jnp.sqrt(sacc)
+            else:
+                rows[i][j] = sacc / rows[j][j]
+    zero = jnp.zeros_like(P[..., 0, 0])
+    L = jnp.stack([jnp.stack([rows[i][j] if j <= i else zero
+                              for j in range(n)], axis=-1)
+                   for i in range(n)], axis=-2)
+    return L
+
+
 def kf_correct(x0, P, y0m_pred, y0m, Cm, R):
     """Time-varying KF correction (kalman.jl:1235-1264), NaN-safe."""
     PCt = P @ Cm.T
@@ -260,7 +285,7 @@ class UnscentedKalmanFilter(StateEstimator):
         h_hat_m, f_hat = self.h_hat_m, self.f_hat
 
         def sigma_points(x0, P):
-            L = jnp.linalg.cholesky(P)
+            L = chol_small(P)
             gL = gamma * L
             X = jnp.tile(x0[:, None], (1, 2 * nx_hat + 1))
             X = X.at[:, 1:nx_hat + 1].add(gL)
@@ -276,7 +301,7 @@ class UnscentedKalmanFilter(StateEstimator):
             Xb = X - x0[:, None]
             Yb = Ym - y0m_pred[:, None]
             M = (Yb * S) @ Yb.T + R
-            K = jnp.linalg.solve(M.T, ((Xb * S) @ Yb.T).T).T
+            K = ((Xb * S) @ Yb.T) @ inv_spd_small(0.5 * (M + M.T))
             v = y0m - y0m_pred
             x0c = x0 + K @ v
             Pc = P - K @ M @ K.T

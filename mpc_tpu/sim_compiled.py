@@ -621,7 +621,8 @@ def _make_mhe_step(mhe):
 
     def accept_cov(P_new, P_old, invP_old):
         Ps = 0.5 * (P_new + P_new.T)
-        L = jnp.linalg.cholesky(Ps)
+        from .estimators.kalman import chol_small
+        L = chol_small(Ps)
         ok = jnp.all(jnp.isfinite(Ps)) & jnp.all(jnp.isfinite(L))
         eye = jnp.eye(Ps.shape[0], dtype=Ps.dtype)
         Li = jax.scipy.linalg.solve_triangular(
