@@ -119,3 +119,42 @@ def test_slmpc_f32_envelope():
 
     U64, U32 = run(None), run(jnp.float32)
     assert np.max(np.abs(U64 - U32)) < 2e-3
+
+
+def test_batched_mhe_f32_slot_space_subprocess():
+    """The bench's MHE fleet configuration class — pure-f32 GI slot space
+    (x64 DISABLED, unlike this suite's conftest) — must converge and track
+    the f64 estimates.  Runs in a subprocess to control the x64 flag."""
+    import subprocess
+    import sys
+    code = r"""
+import numpy as np, jax
+jax.config.update('jax_platforms', 'cpu')   # no x64 here on purpose
+import jax.numpy as jnp
+import mpc_tpu as mpc
+from mpc_tpu.parallel import BatchedMHE
+m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+t = mpc.MovingHorizonEstimator(m, He=5)
+t.setconstraint(xhatmin=[-0.3, -np.inf], xhatmax=[0.3, np.inf])
+B = 8
+fleet = BatchedMHE(t, B, dtype=jnp.float32, gi_max_active=6)
+ref = [mpc.MovingHorizonEstimator(m, He=5) for _ in range(B)]
+for r in ref:
+    r.setconstraint(xhatmin=[-0.3, -np.inf], xhatmax=[0.3, np.inf])
+rng = np.random.default_rng(4)
+u = np.zeros((B, 1))
+for k in range(10):
+    ym = rng.normal(size=(B, 1)) * 0.5
+    xb = np.asarray(fleet.step(ym, u))
+    xs = np.array([ref[i].preparestate(ym[i]) for i in range(B)])
+    assert int(np.asarray(fleet.last_ok).sum()) == B, k
+    # f32 data + f32 slot space vs f64 single-stream: 1e-3 envelope
+    assert np.allclose(xb, xs, atol=1e-3), (k, np.abs(xb - xs).max())
+    u = rng.normal(size=(B, 1)) * 0.2
+    for i in range(B):
+        ref[i].updatestate(u[i], ym[i])
+print('F32-SLOT-OK')
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=420)
+    assert "F32-SLOT-OK" in r.stdout, r.stdout[-800:] + r.stderr[-800:]
