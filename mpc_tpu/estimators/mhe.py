@@ -15,8 +15,11 @@ TPU-first design decisions vs the reference:
   formulation is exact: invalid V̂ rows get zero weight, unused Ŵ slots get
   unit weight (driving them to 0), NaN measurements get zero weight rows
   (mhe/transcription.jl:1173-1186);
-* LinModel → the time-varying QP (H̃ depends on masks) is assembled *inside*
-  the jitted step and solved with the batched ADMM+polish QP;
+* LinModel + SingleShooting (round 4) → construct-time window prediction
+  matrices + one exact GI active-set solve per step (``mhe_fast.py``, the
+  reference's own E/G/J/B architecture, mhe/transcription.jl:20-260) with
+  warm slot-shifted duals; the general in-graph GN + ADMM solver remains
+  for MultipleShooting / custom gc / NaN-measurement windows;
 * NonLinModel → fixed-iteration Gauss-Newton SQP with ``lax.scan`` rollout;
 * the arrival covariance is advanced by a nested covestim KalmanFilter /
   UnscentedKalmanFilter exactly like the reference (mhe/execute.jl:728-797).
