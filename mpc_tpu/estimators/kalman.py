@@ -104,54 +104,8 @@ class SteadyKalmanFilter(StateEstimator):
 
 # ---------------------------------------------------------------------------
 # pure kernels for the time-varying KF (shared by KF and EKF)
-def inv_spd_small(M):
-    """Inverse of a small SPD matrix by UNROLLED Gauss-Jordan (no pivoting
-    — stable for SPD), batched-friendly via ``...`` indexing.
-
-    Avoids the batched LU custom call, which is a serial row loop on TPU:
-    measured 11.0 ms vs 1.7 ms per fleet step at B=16384 KF streams with a
-    2×2 innovation covariance.  Falls back to ``jnp.linalg.inv`` above
-    n = 8 (the unrolled graph grows as ~8n ops)."""
-    n = M.shape[-1]
-    if n > 8:
-        return jnp.linalg.inv(M)
-    A = M
-    Inv = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
-    for k in range(n):
-        piv = A[..., k, k][..., None, None]
-        rA = A[..., k, :][..., None, :] / piv
-        rI = Inv[..., k, :][..., None, :] / piv
-        f = A[..., :, k][..., :, None]
-        mask = (jnp.arange(n) == k)[:, None]
-        f = jnp.where(mask, jnp.zeros_like(f), f)
-        A = jnp.where(mask, rA, A - f * rA)
-        Inv = jnp.where(mask, rI, Inv - f * rI)
-    return Inv
-
-
-def chol_small(P):
-    """Cholesky of a small SPD matrix by UNROLLED Cholesky–Banachiewicz
-    (batched-friendly; static n ≤ 8) — same rationale as
-    :func:`inv_spd_small`: ``jnp.linalg.cholesky`` is a serial custom call
-    on TPU, paid once per lane per UKF sigma-point draw."""
-    n = P.shape[-1]
-    if n > 8:
-        return jnp.linalg.cholesky(P)
-    rows = [[None] * n for _ in range(n)]
-    for i in range(n):
-        for j in range(i + 1):
-            sacc = P[..., i, j]
-            for k in range(j):
-                sacc = sacc - rows[i][k] * rows[j][k]
-            if i == j:
-                rows[i][j] = jnp.sqrt(sacc)
-            else:
-                rows[i][j] = sacc / rows[j][j]
-    zero = jnp.zeros_like(P[..., 0, 0])
-    L = jnp.stack([jnp.stack([rows[i][j] if j <= i else zero
-                              for j in range(n)], axis=-1)
-                   for i in range(n)], axis=-2)
-    return L
+# re-exported from utils.small_linalg (shared with ops/qp_active)
+from ..utils.small_linalg import chol_small, inv_spd_small  # noqa: E402,F401
 
 
 def kf_correct(x0, P, y0m_pred, y0m, Cm, R):
