@@ -6,7 +6,6 @@ Cholesky factorization (explicitmpc.jl:203-209,262-266); no optimizer at all.
 from __future__ import annotations
 
 import numpy as np
-import scipy.linalg as sla
 
 import jax
 import jax.numpy as jnp
@@ -79,7 +78,9 @@ class ExplicitMPC(PredictiveController):
         H = init_quadprog(E, PDu, Pu, self.weights)
         self.nZ = self.nZt = E.shape[1]
         self._p_cache = None  # invalidate uploaded copy
-        self.params = dict(H_chol=sla.cho_factor(H)[0], E=E, G=G, J=J, K=K,
+        Hinv = np.linalg.inv(H)
+        Hinv = Hinv @ (2.0 * np.eye(H.shape[0]) - H @ Hinv)  # Newton refine
+        self.params = dict(H_inv=Hinv, E=E, G=G, J=J, K=K,
                            V=V, B=B, Pu=Pu, Tu=Tu, Ks=Ks, Ps=Ps,
                            M_Hp=self.weights.M_Hp, L_Hp=self.weights.L_Hp,
                            Uop=np.tile(model.uop, Hp), Yop=np.tile(model.yop, Hp))
@@ -192,7 +193,10 @@ def _build_step(nu, nd):
         Cy = F + p["Yop"] - R_hat_y
         Cu = p["Tu"] @ lastu0 + p["Uop"] - R_hat_u
         q = 2.0 * (p["E"].T @ (p["M_Hp"] @ Cy) + p["Pu"].T @ (p["L_Hp"] @ Cu))
-        Z = jax.scipy.linalg.cho_solve((p["H_chol"], False), -q)
+        # Z = −H⁻¹q with the Newton-refined host inverse: cho_solve's
+        # triangular solves are SERIAL custom calls on TPU; the matvec is
+        # one fused op and is exact to f64 roundoff for this SPD H
+        Z = -(p["H_inv"] @ q)
         u = Z[:nu] + lastu0 + p["Uop"][:nu]
         return u, Z, F
 

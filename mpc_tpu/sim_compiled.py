@@ -621,13 +621,12 @@ def _make_mhe_step(mhe):
 
     def accept_cov(P_new, P_old, invP_old):
         Ps = 0.5 * (P_new + P_new.T)
-        from .estimators.kalman import chol_small
-        L = chol_small(Ps)
+        from .utils.small_linalg import chol_small, inv_spd_small
+        L = chol_small(Ps)          # PD probe: non-PD → NaN in L
         ok = jnp.all(jnp.isfinite(Ps)) & jnp.all(jnp.isfinite(L))
         eye = jnp.eye(Ps.shape[0], dtype=Ps.dtype)
-        Li = jax.scipy.linalg.solve_triangular(
-            jnp.where(ok, L, eye), eye, lower=True)
-        invP = Li.T @ Li
+        # unrolled SPD inverse (no serial triangular-solve custom call)
+        invP = inv_spd_small(jnp.where(ok, Ps, eye))
         return (jnp.where(ok, Ps, P_old), jnp.where(ok, invP, invP_old))
 
     def shift_Z(Z):
