@@ -555,7 +555,7 @@ def _bench_mhe(platform, B=4096, He=10):
     return res
 
 
-def _bench_slmpc(platform, B=1024, chunk=64):
+def _bench_slmpc(platform, B=4096, chunk=256):
     """SLMPC fused fleet (per-lane jacfwd linearization → condensed QP →
     EKF, one jitted step; chunked vmap): the successive-linearization
     adaptive-MPC pattern the reference headlines at 71 µs/step for ONE

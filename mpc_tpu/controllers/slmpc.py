@@ -371,19 +371,22 @@ class SLMPC(PredictiveController):
         return jax.tree.map(
             lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), self.state)
 
-    def make_fleet_step(self, B, chunk=64):
+    def make_fleet_step(self, B, chunk=256):
         """Jitted fleet step over B scenarios: per-lane linearization → QP →
         EKF, vmapped in chunks of ``chunk`` under ``lax.map``.
 
-        The chunking bounds the XLA graph to ``chunk`` fused SL-MPC lanes —
-        one giant vmap over 256+ lanes overwhelms the TPU compiler, while
-        chunk=64 compiles in seconds and measured 9.7k SL-MPC solves/s at
-        B=1024 on a v5e chip (vs the reference's single-plant
-        successive-linearization benchmark, manual/nonlinmpc.md:495-502).
+        The chunking bounds each lockstep GI solve to ``chunk`` lanes — the
+        while_loop of a chunk exits at ITS OWN slowest lane instead of the
+        whole fleet's, so moderate chunks beat one full-width vmap (measured
+        on a v5e chip at B=1024: 176k solves/s at chunk=64, 212k at 256,
+        186k at 1024 full-width; B=4096/chunk=256 reaches 380k — vs the
+        reference's single-plant successive-linearization benchmark,
+        manual/nonlinmpc.md:495-502).
 
         Returns ``step(states, ym, ry, d, bounds) -> (u, converged, states)``
         with leading batch axis B on every argument except ``bounds``.
         """
+        chunk = min(int(chunk), int(B))
         if B % chunk:
             raise ValueError(f"B ({B}) must be a multiple of chunk ({chunk})")
         n = B // chunk
