@@ -27,14 +27,30 @@ class BatchedNonLinMPC:
     """
 
     def __init__(self, template: NonLinMPC, batch: int, dtype=None,
-                 mesh=None):
+                 mesh=None, chunk: int | None = None):
         """``dtype=jnp.float32`` runs the fleet in TPU-native f32 (f64
         LuDecomposition is unimplemented on TPU).  ``mesh``: a
         ``jax.sharding.Mesh`` with a ``batch`` axis — the scenario batch is
         sharded over it (params replicated; no cross-shard collectives in
-        the solve)."""
+        the solve).  ``chunk``: split the fleet into ``chunk``-lane groups
+        under ``lax.map`` so each group's lockstep SQP/GI while-loops exit
+        at the GROUP's slowest lane instead of the whole fleet's (the
+        SLMPC-fleet chunking win); single-device only.  Measured on the
+        bench's pendulum fleet (B=1024, sqp_iters=15) chunking LOSES —
+        80k solves/s full-width vs 63k at chunk=256 — because the slowest
+        lane of every chunk hits the 15-iteration cap (no tail spread to
+        exploit, only added serialization); default is full-width.  Use it
+        when lanes' SQP iteration counts genuinely vary."""
         self.t = template
         self.B = int(batch)
+        self.chunk = None
+        if chunk is not None and mesh is None:
+            chunk = min(int(chunk), self.B)
+            if self.B % chunk:
+                raise ValueError(f"batch ({batch}) must be a multiple of "
+                                 f"chunk ({chunk})")
+            if chunk < self.B:
+                self.chunk = chunk
         self._dt = dtype
         self._mesh = mesh
         if mesh is not None:
@@ -99,6 +115,27 @@ class BatchedNonLinMPC:
                                            lastu0=lastu0, Z_tilde=Zt)
 
         vone = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
+
+        if self.chunk:
+            ch, B = self.chunk, self.B
+            n = B // ch
+            resh = lambda a: a.reshape((n, ch) + a.shape[1:])
+            unr = lambda a: a.reshape((B,) + a.shape[2:])
+
+            def solve_chunked(p, st, ym, ry, d):
+                stc = jax.tree.map(resh, st)
+
+                def body(args):
+                    s, y, r, dd = args
+                    return vone(p, s, y, r, dd)
+
+                u, J, iters, viol, new_c = jax.lax.map(
+                    body, (stc, resh(ym), resh(ry), resh(d)))
+                it_stats = jnp.stack([jnp.max(iters), jnp.sum(iters) // B])
+                return (unr(u), unr(J), it_stats, jnp.max(viol),
+                        jax.tree.map(unr, new_c))
+
+            return solve_chunked
 
         def solve(p, st, ym, ry, d):
             u, J, iters, viol, new_st = vone(p, st, ym, ry, d)
