@@ -155,8 +155,13 @@ class MovingHorizonEstimator(StateEstimator):
         # per-step updates only truncate q̃/H̃, mhe/execute.jl:390-457)
         self._fast_mats = None
         self._fast_solve = None
+        self._fast_step_cache = None
         self._y_fast = None
-        self._moved_since_solve = False
+        # COUNT of window moves since the last fast solve: a multi-step
+        # general-solver interlude (NaN measurements) moves the window
+        # several times, and the warm duals must be slot-shifted once per
+        # move when the fast path resumes (a bool under-shifted by He−1)
+        self._moves_since_solve = 0
 
     # ------------------------------------------------------------------
     def setconstraint(self, **kw):
@@ -201,6 +206,7 @@ class MovingHorizonEstimator(StateEstimator):
                 val = val - np.tile(self.xop_hat, rep)
             getattr(self, attr)[:] = np.clip(np.nan_to_num(val, posinf=BIG,
                                                            neginf=-BIG), -BIG, BIG)
+        self._fast_step_cache = None    # bounds feed the cached A_rows/consts
         return self
 
     # ------------------------------------------------------------------
@@ -671,42 +677,58 @@ class MovingHorizonEstimator(StateEstimator):
             self._fast_solve = mhe_fast.make_single_solver(self._fast_mats)
         mats = self._fast_mats
         He, nx, nym = self.He, self.nx_hat, self.nym
-        b = {k: np.asarray(getattr(self, a), float) for k, a in
-             (("Xmin", "X_min"), ("Xmax", "X_max"), ("Wmin", "W_min"),
-              ("Wmax", "W_max"), ("Vmin", "V_min"), ("Vmax", "V_max"),
-              ("C_xmin", "C_xmin"), ("C_xmax", "C_xmax"),
-              ("C_wmin", "C_wmin"), ("C_wmax", "C_wmax"),
-              ("C_vmin", "C_vmin"), ("C_vmax", "C_vmax"))}
-        if self.Nk < self.He:
-            # END-align per-slot bounds (trunc_bounds, mhe/execute.jl:572-580)
-            shift = He - self.Nk
-            roll = lambda v, slots, n: np.roll(
-                v.reshape(slots, n), -shift, axis=0).reshape(-1)
-            for k, n, slots in (("Xmin", nx, He + 1), ("Xmax", nx, He + 1),
-                                ("Wmin", nx, He), ("Wmax", nx, He),
-                                ("Vmin", nym, He), ("Vmax", nym, He),
-                                ("C_xmin", nx, He + 1), ("C_xmax", nx, He + 1),
-                                ("C_wmin", nx, He), ("C_wmax", nx, He),
-                                ("C_vmin", nym, He), ("C_vmax", nym, He)):
-                b[k] = roll(b[k], slots, n)
+        # A_rows/consts depend only on (bounds, min(Nk, He)): once the
+        # window is full they are byte-identical every step, so cache the
+        # assembled arrays (re-shipping ~100 KB of unchanged constants per
+        # step costs real upload time on a tunneled TPU); setconstraint /
+        # setmodel invalidate the cache
+        ck = min(self.Nk, He)
+        cache = getattr(self, "_fast_step_cache", None)
+        if cache is not None and cache[0] == ck:
+            _, A_rows, consts = cache
+        else:
+            b = {k: np.asarray(getattr(self, a), float) for k, a in
+                 (("Xmin", "X_min"), ("Xmax", "X_max"), ("Wmin", "W_min"),
+                  ("Wmax", "W_max"), ("Vmin", "V_min"), ("Vmax", "V_max"),
+                  ("C_xmin", "C_xmin"), ("C_xmax", "C_xmax"),
+                  ("C_wmin", "C_wmin"), ("C_wmax", "C_wmax"),
+                  ("C_vmin", "C_vmin"), ("C_vmax", "C_vmax"))}
+            if self.Nk < self.He:
+                # END-align per-slot bounds (trunc_bounds,
+                # mhe/execute.jl:572-580)
+                shift = He - self.Nk
+                roll = lambda v, slots, n: np.roll(
+                    v.reshape(slots, n), -shift, axis=0).reshape(-1)
+                for k, n, slots in (("Xmin", nx, He + 1),
+                                    ("Xmax", nx, He + 1),
+                                    ("Wmin", nx, He), ("Wmax", nx, He),
+                                    ("Vmin", nym, He), ("Vmax", nym, He),
+                                    ("C_xmin", nx, He + 1),
+                                    ("C_xmax", nx, He + 1),
+                                    ("C_wmin", nx, He), ("C_wmax", nx, He),
+                                    ("C_vmin", nym, He),
+                                    ("C_vmax", nym, He)):
+                    b[k] = roll(b[k], slots, n)
+            A_rows = mhe_fast.build_rows(mats, b["C_xmin"], b["C_xmax"],
+                                         b["C_wmin"], b["C_wmax"],
+                                         b["C_vmin"], b["C_vmax"])
+            consts = dict(Su=mats["Su"], Sd=mats["Sd"], s1=mats["s1"],
+                          Cm=mats["Cm"], Ddm=mats["Ddm"], Gy=mats["Gy"],
+                          invR=np.asarray(self.invR, float),
+                          Xmin=b["Xmin"], Xmax=b["Xmax"], Wmin=b["Wmin"],
+                          Wmax=b["Wmax"], Vmin=b["Vmin"], Vmax=b["Vmax"])
+            self._fast_step_cache = (ck, A_rows, consts)
         mask_w = (np.arange(He) < self.Nk).astype(float)
         P, Pinv = mhe_fast.build_step_qp(mats, mask_w, self.invP_arr,
                                          self.invQ, self.invR, self.Cwt)
-        A_rows = mhe_fast.build_rows(mats, b["C_xmin"], b["C_xmax"],
-                                    b["C_wmin"], b["C_wmax"],
-                                    b["C_vmin"], b["C_vmax"])
-        consts = dict(Su=mats["Su"], Sd=mats["Sd"], s1=mats["s1"],
-                      Cm=mats["Cm"], Ddm=mats["Ddm"], Gy=mats["Gy"],
-                      invR=np.asarray(self.invR, float),
-                      Xmin=b["Xmin"], Xmax=b["Xmax"], Wmin=b["Wmin"],
-                      Wmax=b["Wmax"], Vmin=b["Vmin"], Vmax=b["Vmax"])
         Y0m_nn = np.nan_to_num(self.Y0m_win)
         if self._y_fast is None:
             self._y_fast = np.zeros(A_rows.shape[0])
-        elif self._moved_since_solve:
-            self._y_fast = np.asarray(
-                mhe_fast.shift_warm_duals(mats, self._y_fast, True))
-        self._moved_since_solve = False
+        else:
+            for _ in range(min(self._moves_since_solve, He)):
+                self._y_fast = np.asarray(
+                    mhe_fast.shift_warm_duals(mats, self._y_fast, True))
+        self._moves_since_solve = 0
         # ONE jitted call: assembly + GI solve + output rollout fused —
         # eager per-op assembly cost ~4 ms/step of pure dispatch on CPU
         Zd, Xd, Ymd, conv, y_new, q, r = self._fast_solve(
@@ -794,7 +816,7 @@ class MovingHorizonEstimator(StateEstimator):
                 Z[ne + nx:ne + nx + (He - 1) * nx] = Z[ne + 2 * nx:ne + nx + He * nx]
             Z[wo:wo + (He - 1) * nx] = Z[wo + nx:]
             Z[wo + (He - 1) * nx:] = 0.0
-            self._moved_since_solve = True
+            self._moves_since_solve += 1
         i = self.Nk
         self.Y0m_win[i] = y0m
         self.D0_win[i + 1] = d0
@@ -900,7 +922,7 @@ class MovingHorizonEstimator(StateEstimator):
         self.Z_tilde[self.n_eps:self.n_eps + self.nx_hat] = self.x0_hat
         self._pending_u0 = np.asarray(u, float) - self.model.uop
         self._y_fast = None
-        self._moved_since_solve = False
+        self._moves_since_solve = 0
         return x
 
     def _update_model(self, model, Qhat, Rhat):
@@ -946,6 +968,7 @@ class MovingHorizonEstimator(StateEstimator):
         # fast-path prediction matrices bake the OLD Â/B̂/Ĉ — rebuild
         self._fast_mats = None
         self._fast_solve = None
+        self._fast_step_cache = None
         self._y_fast = None
 
     def _init_cov(self):

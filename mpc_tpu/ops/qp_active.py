@@ -151,10 +151,14 @@ def solve_qp_active(P, q, A, l, u, y0=None, *, max_pivots=150, tol=1e-9,
     bandwidth of the (B, n_slots, n_slots) f64 Ginv / (B, n_slots, nvar)
     Aact tables — warm-started MPC/MHE active sets are typically ≤ 4-8
     rows, so an 8-slot buffer cuts that traffic ~10× at n≈33.  The solve
-    stays EXACT whenever the true active set fits the cap; if it doesn't,
-    the buffer fills, no further rows can activate, and the solver
-    reports ``converged=False`` (honest failure — re-solve with a larger
-    cap).  ``state0`` slot shapes must match the cap.
+    stays EXACT whenever the solve's active-set trajectory fits the cap.
+    A buffer filled with STALE warm-start rows (y0 top-k insert or a
+    cross-period ``state0`` carry) that blocks a needed activation spends
+    the one-shot cold restart first — the cold pivot order re-activates
+    only what the trajectory needs, so an optimum that fits the cap is
+    still found exactly; if the buffer fills again post-restart the
+    solver reports ``converged=False`` (honest failure — re-solve with a
+    larger cap).  ``state0`` slot shapes must match the cap.
 
     The returned :class:`QPSolution` carries ``gi_state`` for the next
     period.
@@ -449,14 +453,19 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         # arithmetic, but this IS the f32-degenerate regime)
         do_drop = (stepping & ~full & (t1 <= t2) & ~infeas_raw
                    & jnp.isfinite(t1))
-        # SLOT-BUFFER OVERFLOW (max_active < true active-set size): the
-        # selected row must activate (t2 ≤ t1) but no slot is free.  The
-        # solve CANNOT proceed correctly — taking the t2 step without
-        # activating the row breaks the GI invariant "x minimizes over the
-        # active set", after which a clean violation scan would falsely
-        # certify optimality.  Terminate with converged=False instead.
-        overflow = (stepping & ~free & jnp.isfinite(t2) & (t2 <= t1)
-                    & ~infeas_raw)
+        # SLOT-BUFFER OVERFLOW (max_active < active-set size): the selected
+        # row must activate (t2 ≤ t1) but no slot is free.  The solve
+        # CANNOT proceed correctly — taking the t2 step without activating
+        # the row breaks the GI invariant "x minimizes over the active
+        # set", after which a clean violation scan would falsely certify
+        # optimality.  A warm start (y0 top-k insert or a cross-period
+        # state0 carry) can fill the buffer with STALE rows that the
+        # optimum does not need, so a first overflow spends the one-shot
+        # cold restart (the cold pivot order re-activates only what the
+        # trajectory needs); only a POST-restart overflow terminates with
+        # converged=False.
+        overflow_raw = (stepping & ~free & jnp.isfinite(t2) & (t2 <= t1)
+                        & ~infeas_raw)
 
         # --- f32 anti-cycling.  Exact GI cannot cycle (the dual objective
         # strictly increases), but f32 DATA on near-degenerate vertices
@@ -476,8 +485,9 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         vstall = jnp.where(rehit, st["vstall"] + 1,
                            jnp.where(fresh, 0, st["vstall"]))
         restart = (~st["restarted"]) & ((zero_run > ns + 2) | (vstall >= 4)
-                                        | infeas_raw)
+                                        | infeas_raw | overflow_raw)
         infeasible = infeas_raw & st["restarted"]
+        overflow = overflow_raw & st["restarted"]
 
         app = jnp.argmin(vmask)            # first free slot
         e_b = slot_id == k_b
@@ -513,12 +523,12 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         # whose dependent direction r = e_slot would wrongly drain that
         # slot's multiplier through lam_step
         nxt = dict(
-            x=jnp.where(stepping & ~infeas_raw & ~overflow, x_step, x),
+            x=jnp.where(stepping & ~infeas_raw & ~overflow_raw, x_step, x),
             idx=jnp.where(do_add, jnp.where(ii, p_eff, idx), idx),
             side=jnp.where(do_add, jnp.where(ii, sp, side), side),
             lam=pick(jnp.where(ii, lam_p_new, lam_step),
                      lam_step * (1.0 - e_b.astype(hi)),
-                     jnp.where(stepping & ~overflow, lam_step, lam)),
+                     jnp.where(stepping & ~overflow_raw, lam_step, lam)),
             vmask=pick(vmask | ii, vmask & ~e_b, vmask),
             Ginv=Ginv_n,
             Aact=Aact_n,

@@ -200,17 +200,11 @@ class BatchedLinMPC:
             # once per rep-GROUP (the share_params win, generalized to many
             # distinct scenarios).  Public lane order (tiled: lane = r·n_d
             # + c) is preserved via the regroup/flatten transposes.
+            from .grouped import grouped_transforms
             n_d, reps_ = self.n_distinct, self.reps
             vrep = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, None))
             vgrp = jax.vmap(vrep, in_axes=(0, 0, 0, 0, 0, 0, None))
-
-            def regroup(x):
-                return jnp.swapaxes(
-                    x.reshape((reps_, n_d) + x.shape[1:]), 0, 1)
-
-            def flat(x):
-                return jnp.swapaxes(x, 0, 1).reshape(
-                    (reps_ * n_d,) + x.shape[2:])
+            regroup, flat = grouped_transforms(n_d, reps_)
 
             def stepfn_g(params, eparams, state, ym, ry, d, it_budget):
                 st_g = jax.tree_util.tree_map(regroup, state)

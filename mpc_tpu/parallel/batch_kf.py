@@ -108,17 +108,11 @@ class BatchedKalman:
             return x0c + p["xop_hat"], new
 
         if self.grouped:
+            from .grouped import grouped_transforms
             n_d, reps_ = self.n_distinct, self.reps
             vrep = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
             vgrp = jax.vmap(vrep, in_axes=(0, 0, 0, 0, 0))
-
-            def regroup(x):
-                return jnp.swapaxes(
-                    x.reshape((reps_, n_d) + x.shape[1:]), 0, 1)
-
-            def flat(x):
-                return jnp.swapaxes(x, 0, 1).reshape(
-                    (reps_ * n_d,) + x.shape[2:])
+            regroup, flat = grouped_transforms(n_d, reps_)
 
             def stepfn(p, st, ym, u, d):
                 st_g = jax.tree_util.tree_map(regroup, st)

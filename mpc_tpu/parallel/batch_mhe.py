@@ -261,13 +261,19 @@ class BatchedMHE:
                 y0 = mhe_fast.shift_warm_duals(mats, st["y_warm"], moving)
                 sol = jax.vmap(gi, in_axes=(None, 0, None, 0, 0, 0, None))(
                     Pq, q, c["A_rows"], l, u, y0, Pinv)
-                Zt = sol.x
+                # failed lanes (slot-cap overflow / pivot-cap exhaustion)
+                # must NOT contaminate persistent state: keep the shifted
+                # warm-start Z (graceful degradation, like the
+                # single-stream path) and cold-start their duals next step
+                okl = sol.converged[:, None]
+                Zt = jnp.where(okl, sol.x, Z)
                 Xf = Zt @ c["Gx"].T + cx             # (B, He·nx)
                 idx = jnp.clip(Nk - 1, 0, He - 1)
                 x_new = Xf.reshape(-1, He, nx)[:, idx]
+                y_next = jnp.where(okl, sol.y, 0.0)
                 new_st = dict(st, Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o, Z=Zt,
                               x0_hat=x_new, pending_u0=pend,
-                              y_warm=sol.y.astype(st["y_warm"].dtype))
+                              y_warm=y_next.astype(st["y_warm"].dtype))
                 return (new_st, x_new + c["xop_hat"], sol.converged,
                         jnp.max(sol.iters))
 
@@ -331,8 +337,11 @@ class BatchedMHE:
                 small["Pq"], small["Pinv"])
             self.last_pivots = piv
         else:
-            st = self.state
-            y_w = st.pop("y_warm", None) if self._fast else None
+            y_w = self.state.get("y_warm") if self._fast else None
+            # strip NON-destructively: popping from the live dict would
+            # leave self.state permanently missing y_warm if _advance
+            # raises (tunnel/XLA error), crashing every later fast step
+            st = {k: v for k, v in self.state.items() if k != "y_warm"}
             new_st, x_abs, ok, _ = self._advance(
                 self._consts, st, small["ym"], small["u_prev"],
                 small["d"], small["has_u"], small["invP"], small["Nk"])

@@ -671,3 +671,39 @@ def test_mhe_soft_constraints_fast_matches_general():
     assert np.max(e_f) > 1e-4            # the slack actually engaged
     assert np.allclose(x_f, x_g, atol=2e-6), np.abs(x_f - x_g).max()
     assert np.allclose(e_f, e_g, atol=2e-6)
+
+
+def test_mhe_fast_path_resumes_after_nan_interlude(linmodel):
+    """A multi-step NaN interlude routes the window through the general
+    solver while the window keeps MOVING; on resume the fast path must
+    slot-shift its warm duals once PER MOVE (a single shift leaves them
+    misaligned by up to He−1 slots).  Exactness check: the resumed warm
+    solve must match a cold-dual twin to solver precision, with no
+    degradation warning."""
+    import warnings
+
+    def run(cold_resume):
+        rng = np.random.default_rng(7)
+        mhe = mpc.MovingHorizonEstimator(linmodel, He=4, nint_ym=0)
+        nxh = mhe.nx_hat
+        mhe.setconstraint(xhatmin=[-100.0] * nxh, xhatmax=[100.0] * nxh)
+        xs = []
+        for i in range(14):
+            if 6 <= i < 9:                      # 3-step NaN interlude
+                y = np.array([50.0, np.nan])
+            else:
+                y = np.array([50, 31]) + rng.normal(size=2)
+            if i == 9 and cold_resume:
+                mhe._y_fast = None              # cold twin
+            with warnings.catch_warnings():
+                if i >= 9:
+                    warnings.simplefilter("error")
+                x = mhe.preparestate(y, [25])
+                mhe.updatestate([11, 50], y, [25])
+            xs.append(np.asarray(x))
+        return np.stack(xs)
+
+    warm = run(cold_resume=False)
+    cold = run(cold_resume=True)
+    assert np.all(np.isfinite(warm))
+    assert np.allclose(warm, cold, atol=1e-8)

@@ -276,3 +276,45 @@ def test_active_set_max_active_cap():
                             jnp.asarray(l), jnp.asarray(u), cache=cache,
                             max_active=max(1, n_act - 1))
     assert not bool(tight.converged)
+
+
+def test_active_set_cap_overflow_from_warm_start_pollution():
+    """A slot buffer filled with STALE warm-start rows must not make the
+    capped solve refuse an optimum that fits the cap: the first overflow
+    spends the one-shot cold restart (clearing the polluted slots), and
+    only a post-restart overflow reports converged=False."""
+    from mpc_tpu.ops.qp_active import build_gi_cache, solve_qp_active
+    rng = np.random.default_rng(7)
+    n, m = 8, 20
+    M = rng.normal(size=(n, n)); P = M @ M.T + n * np.eye(n)
+    q = rng.normal(size=n) * 2
+    A = rng.normal(size=(m, n))
+    x_un = np.linalg.solve(P, -q)
+    c = A @ x_un
+    l = c - np.abs(rng.normal(size=m)) - 1.0
+    u = c + np.abs(rng.normal(size=m)) + 1.0
+    u[0] = c[0] - 0.4
+    l[0] = u[0] - 5.0                       # exactly one active row
+    ref = scipy_qp(P, q, A, l, u)
+    act = np.sum((np.abs(A @ ref - l) < 1e-7) | (np.abs(A @ ref - u) < 1e-7))
+    assert act <= 2
+    cache = build_gi_cache(P, A)
+    y0 = np.zeros(m)
+    y0[5] = 3.0
+    y0[9] = 2.5                             # inert-row pollution fills cap=2
+    s = solve_qp_active(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                        jnp.asarray(l), jnp.asarray(u), y0=jnp.asarray(y0),
+                        cache=cache, max_active=2)
+    assert bool(s.converged)
+    assert np.allclose(np.asarray(s.x), ref, atol=1e-6)
+    # a GENUINELY over-cap active set must still refuse post-restart
+    u2 = u.copy(); u2[:4] = c[:4] - 0.3
+    l2 = l.copy(); l2[:4] = u2[:4] - 5.0
+    ref2 = scipy_qp(P, q, A, l2, u2)
+    act2 = np.sum((np.abs(A @ ref2 - l2) < 1e-7)
+                  | (np.abs(A @ ref2 - u2) < 1e-7))
+    assert act2 >= 3
+    s2 = solve_qp_active(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                         jnp.asarray(l2), jnp.asarray(u2), cache=cache,
+                         max_active=2)
+    assert not bool(s2.converged)
