@@ -186,12 +186,16 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         tol = max(tol, 3e-6)
     # MIXED PRECISION (f32 inputs + x64 available): the (m, ·) violation
     # scan runs in f32 (it touches the big A table and only RANKS rows),
-    # but ALL slot-space operators (x, λ, Ginv, Aact, Hrow) and pivot
-    # decisions run in f64 — slot tensors are (n, n)-tiny, f64 there is
+    # but slot-space DECISION operators (x, λ, Ginv) and pivot decisions
+    # run in f64 — those tensors are (n, n)-tiny, f64 there is
     # bandwidth-trivial, and it buys f64-grade pivoting: the measured f32
     # failure modes (period-8 add/drop cycles, false infeasibility
     # certificates on near-degenerate vertices) all disappear in f64
-    # (worst-lane pivots 150 → 11 on the fleet that exposed them).
+    # (worst-lane pivots 150 → 11 on the fleet that exposed them).  The
+    # Aact slot TABLE stays in dt storage: its entries are exact copies of
+    # A's f32 rows, so upcasting on use is numerically identical while the
+    # fleet's (B, ns, nvar) table — the largest slot-space array — moves
+    # half the bytes.
     hi = jnp.float64 if (dt == jnp.float32 and
                          jax.config.jax_enable_x64) else dt
     eps = jnp.asarray(tol, hi)
@@ -259,7 +263,11 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         side0 = jnp.asarray(state0["gis_side"], jnp.int32)
         vmask0 = jnp.asarray(state0["gis_vmask"], bool)
         Ginv0 = jnp.asarray(state0["gis_Ginv"], hi)
-        Aact0 = jnp.where(vmask0[:, None], A[idx0].astype(hi), 0.0)
+        # Aact is stored in the SOURCE precision dt: its entries are exact
+        # copies of A's rows (and {0,1} mask products), so upcast-on-use
+        # in the hi-precision products is numerically identical while the
+        # fleet's (B, ns, nvar) slot-table traffic halves vs f64 storage
+        Aact0 = jnp.where(vmask0[:, None], A[idx0], jnp.asarray(0.0, dt))
         # NOTE: no Newton refresh of the carried Ginv — all updates run in
         # the f64 slot space, so cross-period drift is ~1e-16 per rank-one
         # update (the refresh was an artifact of the f32-slot era, and its
@@ -273,7 +281,7 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         side0 = jnp.zeros(ns, jnp.int32)
         vmask0 = jnp.zeros(ns, bool)
         Ginv0 = eye
-        Aact0 = jnp.zeros((ns, A.shape[1]), hi)
+        Aact0 = jnp.zeros((ns, A.shape[1]), dt)
         if y0 is None:
             widx = jnp.zeros(ns, jnp.int32)
             wside = jnp.zeros(ns, jnp.int32)
@@ -306,7 +314,10 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         w = r - e
         Gv = (Ginv + jnp.outer(w, w) / jnp.maximum(sc, tiny)
               - jnp.outer(e, e))
-        Aacta = Aact * (1.0 - e)[:, None] + jnp.outer(e, arow)
+        # Aact stays in dt storage (see Aact0): mask and row are downcast
+        # exactly ({0,1} and f32-sourced values)
+        e_d = e.astype(dt)
+        Aacta = Aact * (1.0 - e_d)[:, None] + jnp.outer(e_d, arow.astype(dt))
         return Gv, Aacta
 
     def drop_update(Ginv, k):
@@ -512,7 +523,9 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         Ginv_n = (Ginv + c1 * jnp.outer(a_vec, a_vec)
                   + c2 * jnp.outer(b_vec, b_vec))
         am = jnp.where(do_add, e_app, 0.0)         # add-row write mask
-        Aact_n = Aact * (1.0 - am)[:, None] + jnp.outer(am, arow)
+        am_d = am.astype(dt)                       # Aact dt storage (exact)
+        Aact_n = (Aact * (1.0 - am_d)[:, None]
+                  + jnp.outer(am_d, arow.astype(dt)))
 
         def pick(add_v, drop_v, keep_v):
             return jnp.where(do_add, add_v, jnp.where(do_drop, drop_v,
