@@ -314,9 +314,11 @@ def _run_one(name):
             ctrls = _large_plant_controllers(n_distinct)
             # limit_solve_time: record p99-vs-Ts compliance (the reference
             # caps every solve at Ts, general.jl:109-121)
+            # grouped_chunks=8: each chunk's lockstep GI loop exits at its
+            # own slowest lane (diffuse pivot tails, mean≈2.5 max≈30)
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32,
                                 reps=B_total // n_distinct,
-                                limit_solve_time=True)
+                                limit_solve_time=True, grouped_chunks=8)
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8

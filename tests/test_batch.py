@@ -299,3 +299,26 @@ def test_batched_linmpc_grouped_lane_mapping():
                 u_s = s.moveinput(ry[lane])
                 s.updatestate(u_s, ym[lane])
                 assert np.allclose(u_b[lane], u_s, atol=1e-6), (k, lane)
+
+
+def test_batched_linmpc_grouped_chunks_matches_full():
+    """grouped_chunks splits the distinct axis under lax.map; the result
+    (and the public tiled lane order) must match full-width grouped
+    execution exactly."""
+    n_d, reps = 4, 3
+    mk = lambda: random_cstr_controllers(n_d, Hp=8, Hc=2, seed=9,
+                                         qp_solver="active_set")
+    full = BatchedLinMPC(mk(), reps=reps)
+    chk = BatchedLinMPC(mk(), reps=reps, grouped_chunks=2)
+    assert full.grouped and chk.grouped
+    rng = np.random.default_rng(5)
+    for k in range(5):
+        ym = rng.normal(size=(full.B, 2)) * 0.5
+        ry = rng.normal(size=(full.B, 2)) * 1.5
+        u_f, c_f = full.step(jnp.asarray(ym), jnp.asarray(ry))
+        u_c, c_c = chk.step(jnp.asarray(ym), jnp.asarray(ry))
+        assert int(c_f) == int(c_c) == full.B, k
+        assert np.allclose(np.asarray(u_f), np.asarray(u_c), atol=1e-9), k
+    import pytest
+    with pytest.raises(ValueError):
+        BatchedLinMPC(mk(), reps=reps, grouped_chunks=3)
