@@ -155,10 +155,11 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
                     "slot-space rank-one updates; iters = lockstep pivots)")
         # bandwidth estimate: the GI fleet is HBM-bound on its per-lane
         # tables, not MXU-bound — report the implied HBM traffic fraction
-        # too (A once per iter in f32; Ginv ~8 traversals r+w and Aact ~3 in
-        # the f64 slot space; Pinv 2 reads)
+        # too (A once per iter in f32; Ginv ~8 traversals r+w in the f64
+        # slot space; Aact ~3 in its f32 source-precision storage; Pinv 2
+        # reads)
         iter_bytes = (m_rows * n_dec * 4 + 8 * ns * ns * 8
-                      + 3 * ns * n_dec * 8 + 2 * n_dec * n_dec * 8)
+                      + 3 * ns * n_dec * 4 + 2 * n_dec * n_dec * 8)
     else:
         # ADMM sweep: A@x + Aᵀ@(ρz−y): 4mn, Minv@rhs: 2n², vector ops
         n_dec = bat.params["H"].shape[-1]
@@ -336,7 +337,7 @@ def _run_one(name):
         def make_shared():
             ctrls = _large_plant_controllers(1)
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=B_total,
-                                share_params=True)
+                                share_params=True, grouped_chunks=8)
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8

@@ -273,6 +273,38 @@ class BatchedLinMPC:
         p_ax = None if self.share_params else 0
         vone = jax.vmap(one, in_axes=(p_ax, p_ax, 0, 0, 0, 0, None))
 
+        if (self.share_params and self.grouped_chunks > 1
+                and self.mesh is None):
+            # shared-plant fleet: chunk the REPS axis under lax.map so each
+            # chunk's lockstep while-loop exits at its own slowest lane
+            # (same diffuse-tail trade as grouped_chunks on the distinct
+            # axis; params stay in_axes=None — read once per chunk)
+            nch = self.grouped_chunks
+            if self.B % nch:
+                raise ValueError(f"B ({self.B}) must be a multiple of "
+                                 f"grouped_chunks ({nch}) for a "
+                                 f"share_params fleet")
+            chb = self.B // nch
+            resh = lambda a: a.reshape((nch, chb) + a.shape[1:])
+            unr = lambda a: a.reshape((self.B,) + a.shape[2:])
+
+            def stepfn_sc(params, eparams, state, ym, ry, d, it_budget):
+                sc = jax.tree_util.tree_map(resh, state)
+
+                def body(args):
+                    s, y, r, dd = args
+                    return vone(params, eparams, s, y, r, dd, it_budget)
+
+                u, conv, obj, iters, new_c = jax.lax.map(
+                    body, (sc, resh(ym), resh(ry), resh(d)))
+                new_state = jax.tree_util.tree_map(unr, new_c)
+                n_conv = jnp.sum(conv.astype(jnp.int32))
+                it_stats = jnp.stack([jnp.max(iters),
+                                      jnp.sum(iters) // self.B])
+                return unr(u), n_conv, it_stats, new_state
+
+            return stepfn_sc
+
         def stepfn(params, eparams, state, ym, ry, d, it_budget):
             u, conv, obj, iters, new_state = vone(params, eparams, state,
                                                   ym, ry, d, it_budget)
