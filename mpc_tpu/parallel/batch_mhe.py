@@ -59,11 +59,21 @@ class BatchedMHE:
     the expected active-set size (MHE windows typically pin ≤ a handful of
     bounds) is a large win; lanes whose true active set overflows the cap
     report ``converged=False`` in ``last_ok``.  Default: full size.
+
+    ``gi_chunks``: split the fast path's GI solve into this many
+    ``lax.map`` chunks over the batch axis — each chunk's lockstep pivot
+    loop exits at ITS OWN slowest lane instead of the fleet-wide max (the
+    BatchedLinMPC grouped_chunks trade); single-device fast path only.
+    Measured on the bench's He=10 fleet (B=4096, cap 8) chunking LOSES
+    (551k full-width vs 478k at 8 chunks): the window QP's pivot counts
+    are small and uniform, so there is no tail to cut — only the large
+    diffuse-tail LinMPC configs win from chunking.  Default: full width.
     """
 
     def __init__(self, template: MovingHorizonEstimator, batch: int,
                  mesh=None, dtype=None, solver: str = "auto",
-                 gi_max_active: int | None = None):
+                 gi_max_active: int | None = None,
+                 gi_chunks: int = 1):
         if not template.direct:
             raise ValueError("BatchedMHE supports the direct (p=0) form")
         if solver not in ("auto", "general"):
@@ -239,11 +249,28 @@ class BatchedMHE:
             asm = mhe_fast.make_assembler(mats)
 
             gi_cap = gi_max_active
+            nch = int(gi_chunks)
+            if nch > 1 and (mesh is not None or batch % nch):
+                raise ValueError("gi_chunks requires a single-device fleet "
+                                 "with batch % gi_chunks == 0")
 
             def gi(Pq, q, A, l, u, y0, Pinv):
                 return solve_qp_active(Pq, q, A, l, u, y0=y0,
                                        cache=dict(gic_Pinv=Pinv),
                                        max_active=gi_cap)
+
+            vgi = jax.vmap(gi, in_axes=(None, 0, None, 0, 0, 0, None))
+
+            def solve_fleet(Pq, q, A, l, u, y0, Pinv):
+                if nch == 1:
+                    return vgi(Pq, q, A, l, u, y0, Pinv)
+                chb = batch // nch
+                resh = lambda a: a.reshape((nch, chb) + a.shape[1:])
+                sol = jax.lax.map(
+                    lambda t_: vgi(Pq, t_[0], A, t_[1], t_[2], t_[3], Pinv),
+                    (resh(q), resh(l), resh(u), resh(y0)))
+                return jax.tree_util.tree_map(
+                    lambda a: a.reshape((batch,) + a.shape[2:]), sol)
 
             def advance_fast(c, st, ym, u_prev, d, has_u, invP, Nk_prev,
                              Pq, Pinv):
@@ -259,8 +286,7 @@ class BatchedMHE:
                     lambda U, D, Y, xp: asm(ac, U, D, Y, xp, mask_w, invP)
                 )(U0, D0, jnp.nan_to_num(Y0m), x_arr)
                 y0 = mhe_fast.shift_warm_duals(mats, st["y_warm"], moving)
-                sol = jax.vmap(gi, in_axes=(None, 0, None, 0, 0, 0, None))(
-                    Pq, q, c["A_rows"], l, u, y0, Pinv)
+                sol = solve_fleet(Pq, q, c["A_rows"], l, u, y0, Pinv)
                 # failed lanes (slot-cap overflow / pivot-cap exhaustion)
                 # must NOT contaminate persistent state: keep the shifted
                 # warm-start Z (graceful degradation, like the
