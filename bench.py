@@ -421,7 +421,7 @@ def main():
     print(json.dumps(headline))
 
 
-def _bench_nonlin(platform, B=1024):
+def _bench_nonlin(platform, B=4096):
     """BatchedNonLinMPC pendulum fleet (SQP15 + UKF per lane), rotating
     setpoints (reference analogue: benchmark/3_bench_predictive_control.jl
     :370-435, pendulum NonLinMPC case studies).
