@@ -132,9 +132,28 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     def get_iters():
         return bat.last_iters   # device handle; [max, mean] QP iterations
 
+    # The Ts-deadline policy syncs it_stats to the host EVERY step (it must
+    # — an honest per-step wall clock needs a true transfer barrier), which
+    # on the tunneled rig costs the full RTT per step (~23 ms measured; on
+    # a local chip it is ~0.1 ms).  Throughput windows therefore run in the
+    # same pipelined regime as every other lane (policy off), and a
+    # SEPARATE compliance phase below re-enables the policy to measure the
+    # true per-step deadline behavior.
+    had_deadline = bool(getattr(bat, "limit_solve_time", False))
+    if had_deadline:
+        bat.limit_solve_time = False
+
     med, p10, p90, p99_step, mean_step, mean_iters, max_iters = \
         _timed_windows(bat.step, arg_seq, n_windows, iters, B_total,
                        get_iters=get_iters)
+
+    deadline_steps_ms = []
+    if had_deadline:
+        bat.limit_solve_time = True
+        for k in range(10):
+            bat.step(*arg_seq[k % 4])
+            if bat.last_step_time is not None:
+                deadline_steps_ms.append(bat.last_step_time * 1e3)
     probe_after = _probe_ms() if platform == "tpu" else None
     peak = _PEAK.get(platform)
     # analytic per-backend FLOP model × measured mean lockstep iterations —
@@ -208,10 +227,15 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
                             if probe_before is not None else None),
         "probe_ms_after": (round(probe_after, 2)
                            if probe_after is not None else None),
-        # Ts-deadline policy stats (limit_solve_time fleets only): number
-        # of timed steps whose wall clock exceeded the sampling time
-        "deadline_misses": getattr(bat, "deadline_miss_count", None),
-        "Ts_s": getattr(bat, "Ts", None),
+        # Ts-deadline policy stats (limit_solve_time fleets only), from the
+        # separate compliance phase (policy ON, per-step hard sync): steps
+        # whose wall clock exceeded Ts.  On this rig each synced step pays
+        # the tunnel RTT; on a local chip the sync is ~0.1 ms.
+        "deadline_misses": (getattr(bat, "deadline_miss_count", None)
+                            if had_deadline else None),
+        "deadline_step_ms_max": (round(max(deadline_steps_ms), 2)
+                                 if deadline_steps_ms else None),
+        "Ts_s": getattr(bat, "Ts", None) if had_deadline else None,
     }
     print(f"# {label}: construct={construct_s:.1f}s compile={compile_s:.1f}s "
           f"step={mean_step * 1000:.2f}ms p99={p99_step * 1000:.2f}ms "
