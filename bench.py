@@ -64,12 +64,16 @@ def _timed_windows(step, arg_seq, n_windows, iters_per_window, B,
     stats = [np.asarray(h) for h in iter_handles]
     iter_means = [float(s[1]) for s in stats]
     iter_maxes = [float(s[0]) for s in stats]
+    # convergence of the FINAL timed step (the first step's count would
+    # hide cross-period degradation — it did, for 3 rounds)
+    n_conv_last = int(np.asarray(out[1]))
     return (float(np.median(tput)), float(np.percentile(tput, 10)),
             float(np.percentile(tput, 90)),
             float(np.percentile(window_step_means, 99)),
             float(np.mean(window_step_means)),
             float(np.mean(iter_means)) if iter_means else None,
-            float(np.max(iter_maxes)) if iter_maxes else None)
+            float(np.max(iter_maxes)) if iter_maxes else None,
+            n_conv_last)
 
 
 # peak FLOP/s used for the MFU denominator (per chip).  v5e MXU peak is
@@ -99,35 +103,81 @@ def _probe_ms(n_reps=20):
     return (time.time() - t0) / n_reps * 1e3
 
 
+def _plant_stack(ctrls, reps):
+    """Tiled per-lane TRUE-plant matrices (lane = r·n_d + c order) for the
+    closed-loop bench regime."""
+    A = np.stack([np.asarray(c.estim.model.A, np.float32) for c in ctrls])
+    Bu = np.stack([np.asarray(c.estim.model.Bu, np.float32) for c in ctrls])
+    C = np.stack([np.asarray(c.estim.model.C, np.float32) for c in ctrls])
+    t = lambda M: np.tile(M, (reps, 1, 1))
+    return dict(A=t(A), Bu=t(Bu), C=t(C))
+
+
 def _bench_config(make_batch, B_total, n_windows, iters, label, target,
                   platform):
     import jax
     import jax.numpy as jnp
+    from mpc_tpu.utils.config import jit32
 
     t0 = time.time()
-    bat, ny = make_batch()
+    bat, ny, plant = make_batch()
     construct_s = time.time() - t0
     probe_before = _probe_ms() if platform == "tpu" else None
 
     rng = np.random.default_rng(1)
-    # 4 rotating setpoint phases, uploaded once (receding-horizon serving):
-    # a base profile plus per-phase deltas — warm starts carry over but each
-    # step still moves every lane's QP (identical repeats would converge in
-    # ~1 iteration; full ±2σ re-randomization every step is not a serving
-    # regime and drives first-order ADMM to cold-start iteration counts)
-    ym0 = rng.normal(size=(B_total, ny)) * 0.5
+    # CLOSED-LOOP serving regime: each lane's TRUE plant is simulated on
+    # device inside the same jit as the fleet step (measure → solve →
+    # propagate), so measurements respond to the applied inputs.  The
+    # previous open-loop regime (exogenous random ym that never responds
+    # to u) ramped every lane into deep saturation — estimator integrators
+    # absorbed an ever-growing plant-model "mismatch" until predicted
+    # outputs pinned the ±60 bounds and active sets overflowed the slot
+    # cap (convergence decayed 4096 → ~3450 over 30 steps; the old
+    # "converged" field read the FIRST step and hid it).  4 rotating
+    # setpoint phases keep every step doing real QP work; measurement
+    # noise rotates with the phases.
     ry0 = rng.normal(size=(B_total, ny)) * 2.0
-    arg_seq = [(jnp.asarray(ym0 + rng.normal(size=(B_total, ny)) * 0.1,
+    arg_seq = [(jnp.asarray(rng.normal(size=(B_total, ny)) * 0.1,
                             jnp.float32),
                 jnp.asarray(ry0 + rng.normal(size=(B_total, ny)) * 0.2,
                             jnp.float32))
                for _ in range(4)]
-    ym, ry = arg_seq[0]
+    noise0, ry = arg_seq[0]
 
     t0 = time.time()
-    u, n_conv = bat.step(ym, ry)
+    u, n_conv = bat.step(jnp.zeros((B_total, ny), jnp.float32), ry)
     jax.block_until_ready(u)
     compile_s = time.time() - t0
+
+    # one jitted composite per step: ym = C x_true + noise, fleet solve,
+    # x_true ← A x_true + Bu u (plant matrices passed as args — closures
+    # would inline them as constants into the remote-compile payload)
+    raw = bat._step
+    A_t, B_t, C_t = jax.device_put((plant["A"], plant["Bu"], plant["C"]))
+    d0 = jnp.zeros((B_total, bat.nd), jnp.float32)
+    bud = jax.device_put(np.asarray(2 ** 30, np.int32))
+
+    @jit32
+    def closed(params, eparams, state, xt, noise, ry_, d_, budget,
+               Ap, Bp, Cp):
+        ym_ = jnp.einsum("bij,bj->bi", Cp, xt) + noise
+        u_, nc, it, new_state = raw(params, eparams, state, ym_, ry_, d_,
+                                    budget)
+        xt2 = (jnp.einsum("bij,bj->bi", Ap, xt)
+               + jnp.einsum("bij,bj->bi", Bp, u_))
+        return u_, nc, it, new_state, xt2
+
+    loop = {"xt": jnp.zeros((B_total, plant["A"].shape[-1]), jnp.float32)}
+
+    def cl_step(noise, ry_):
+        u_, nc, it, bat.state, loop["xt"] = closed(
+            bat.params, bat.eparams, bat.state, loop["xt"], noise, ry_,
+            d0, bud, A_t, B_t, C_t)
+        bat.last_iters = it
+        return u_, nc
+
+    u, n_conv = cl_step(noise0, ry)      # compile the composite
+    jax.block_until_ready(u)
 
     def get_iters():
         return bat.last_iters   # device handle; [max, mean] QP iterations
@@ -143,15 +193,22 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     if had_deadline:
         bat.limit_solve_time = False
 
-    med, p10, p90, p99_step, mean_step, mean_iters, max_iters = \
-        _timed_windows(bat.step, arg_seq, n_windows, iters, B_total,
-                       get_iters=get_iters)
+    (med, p10, p90, p99_step, mean_step, mean_iters, max_iters,
+     n_conv_last) = _timed_windows(cl_step, arg_seq, n_windows, iters,
+                                   B_total, get_iters=get_iters)
+    n_conv = n_conv_last    # convergence of the FINAL timed step
 
     deadline_steps_ms = []
     if had_deadline:
+        # compliance phase: policy ON (per-step hard sync), driven at the
+        # closed loop's final operating point (ym fixed = measured output
+        # of the final true state — the policy times the solver, not the
+        # trajectory)
+        import jax.numpy as _jnp
+        ym_fix = _jnp.einsum("bij,bj->bi", C_t, loop["xt"]) + noise0
         bat.limit_solve_time = True
         for k in range(10):
-            bat.step(*arg_seq[k % 4])
+            _, n_conv_d = bat.step(ym_fix, arg_seq[k % 4][1])
             if bat.last_step_time is not None:
                 deadline_steps_ms.append(bat.last_step_time * 1e3)
     probe_after = _probe_ms() if platform == "tpu" else None
@@ -324,7 +381,7 @@ def _run_one(name):
                                 reps=B_total // n_distinct)
             bat.step(jnp.zeros((B_total, 2), jnp.float32),
                      jnp.zeros((B_total, 2), jnp.float32))  # builds _dzero
-            return bat, 2
+            return bat, 2, _plant_stack(ctrls, B_total // n_distinct)
 
         return _bench_config(
             make_small, B_total, max(n_windows, 10), n_iters,
@@ -346,7 +403,7 @@ def _run_one(name):
                                 limit_solve_time=True, grouped_chunks=8)
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
-            return bat, 8
+            return bat, 8, _plant_stack(ctrls, B_total // n_distinct)
 
         return _bench_config(
             make_large, B_total, max(2, n_windows - 2), n_iters,
@@ -364,7 +421,7 @@ def _run_one(name):
                                 share_params=True, grouped_chunks=8)
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
-            return bat, 8
+            return bat, 8, _plant_stack(ctrls, B_total)
 
         return _bench_config(
             make_shared, B_total, max(2, n_windows - 2), n_iters,
