@@ -204,9 +204,9 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         # closed loop's final operating point (ym fixed = measured output
         # of the final true state — the policy times the solver, not the
         # trajectory)
-        import jax.numpy as _jnp
-        ym_fix = _jnp.einsum("bij,bj->bi", C_t, loop["xt"]) + noise0
+        ym_fix = jnp.einsum("bij,bj->bi", C_t, loop["xt"]) + noise0
         bat.limit_solve_time = True
+        bat.deadline_miss_count = 0     # pre-phase steps must not count
         for k in range(10):
             _, n_conv_d = bat.step(ym_fix, arg_seq[k % 4][1])
             if bat.last_step_time is not None:

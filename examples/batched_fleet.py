@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Batched MPC at scale: thousands of controllers solving in lockstep.
 
-On a TPU chip this pipeline measures ~732k solves/s hard-synced (see
+On a TPU chip this pipeline measures ~1.02M solves/s hard-synced (see
 bench.py; earlier multi-million figures were a dispatch-rate artifact); this
 example runs a small fleet on CPU for illustration.
 """

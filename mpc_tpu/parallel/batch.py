@@ -117,6 +117,10 @@ class BatchedLinMPC:
         self.grouped_chunks = int(grouped_chunks)
         if self.grouped_chunks < 1:
             raise ValueError("grouped_chunks must be ≥ 1")
+        if self.grouped_chunks > 1 and mesh is not None:
+            raise ValueError("grouped_chunks is a single-device "
+                             "optimization; it cannot be combined with a "
+                             "mesh-sharded fleet")
         if (self.grouped and self.grouped_chunks > 1
                 and self.n_distinct % self.grouped_chunks):
             raise ValueError(f"n_distinct ({self.n_distinct}) must be a "
@@ -224,7 +228,7 @@ class BatchedLinMPC:
             vgrp = jax.vmap(vrep, in_axes=(0, 0, 0, 0, 0, 0, None))
             regroup, flat = grouped_transforms(n_d, reps_)
 
-            nch = self.grouped_chunks if self.grouped_chunks > 1 else 1
+            nch = self.grouped_chunks
 
             if nch > 1:
                 # chunk the DISTINCT axis under lax.map: each chunk's
