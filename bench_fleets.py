@@ -52,6 +52,65 @@ def main():
             "value": round(B_total / dt, 1), "unit": "updates/s",
             "step_ms": round(dt * 1e3, 3)}))
 
+    # ---------------- ExplicitMPC fleet ----------------
+    # unconstrained analytic MPC (Z̃ = −H̃⁻¹q̃) + SKF feedback, closed
+    # loop around each lane's true plant (reference per-call analogue:
+    # benchmark/3_bench_predictive_control.jl ExplicitMPC cases)
+    from mpc_tpu.parallel import BatchedExplicitMPC
+    from mpc_tpu.utils.config import jit32
+
+    B_total, n_distinct = 16384, 64
+    ctrls_e, plants = [], []
+    for i in range(n_distinct):
+        rngi = np.random.default_rng(100 + i)
+        g = rngi.uniform(0.8, 1.6, size=4) * np.array([1.9, 1.9, -0.74,
+                                                       0.74])
+        Ge = np.array([[mpc.tf(g[0], [18, 1]), mpc.tf(g[1], [18, 1])],
+                       [mpc.tf(g[2], [8, 1]), mpc.tf(g[3], [8, 1])]],
+                      dtype=object)
+        me = mpc.LinModel(Ge, 2.0)
+        ctrls_e.append(mpc.ExplicitMPC(me, Hp=10, Hc=2, Mwt=[1, 1],
+                                       Nwt=[0.1, 0.1]))
+        plants.append((np.asarray(me.A), np.asarray(me.Bu),
+                       np.asarray(me.C)))
+    reps_e = B_total // n_distinct
+    fleet_e = BatchedExplicitMPC(ctrls_e, dtype=jnp.float32, reps=reps_e)
+    tile = lambda i: jnp.asarray(np.tile(
+        np.stack([p[i] for p in plants]), (reps_e, 1, 1)), jnp.float32)
+    A_t, B_t, C_t = tile(0), tile(1), tile(2)
+    raw_e = fleet_e._step
+
+    @jit32
+    def closed_e(p, ep, st, xt, noise, ry, d, Ap, Bp, Cp):
+        ym = jnp.einsum("bij,bj->bi", Cp, xt) + noise
+        u, new_st = raw_e(p, ep, st, ym, ry, d)
+        xt2 = (jnp.einsum("bij,bj->bi", Ap, xt)
+               + jnp.einsum("bij,bj->bi", Bp, u))
+        return u, new_st, xt2
+
+    seq_e = [(jnp.asarray(rng.normal(size=(B_total, 2)) * 0.1, jnp.float32),
+              jnp.asarray(rng.normal(size=(B_total, 2)) * 2.0, jnp.float32))
+             for _ in range(4)]
+    d_e = jnp.zeros((B_total, 0), jnp.float32)
+    xt = jnp.zeros((B_total, plants[0][0].shape[0]), jnp.float32)
+    u, fleet_e.state, xt = closed_e(fleet_e.params, fleet_e.eparams,
+                                    fleet_e.state, xt, *seq_e[0], d_e,
+                                    A_t, B_t, C_t)
+    np.asarray(u)
+    iters = 30
+    t0 = time.time()
+    for k in range(iters):
+        u, fleet_e.state, xt = closed_e(fleet_e.params, fleet_e.eparams,
+                                        fleet_e.state, xt, *seq_e[k % 4],
+                                        d_e, A_t, B_t, C_t)
+    np.asarray(u)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": f"BatchedExplicitMPC solves/s/chip (2x2, Hp=10, closed "
+                  f"loop, B={B_total}, {platform})",
+        "value": round(B_total / dt, 1), "unit": "solves/s",
+        "step_ms": round(dt * 1e3, 3)}))
+
     # ---------------- NonLinMPC fleet ----------------
     def f(x, u, d, par):
         g, L, K, m = par

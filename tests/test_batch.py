@@ -322,3 +322,41 @@ def test_batched_linmpc_grouped_chunks_matches_full():
     import pytest
     with pytest.raises(ValueError):
         BatchedLinMPC(mk(), reps=reps, grouped_chunks=3)
+
+
+def test_batched_explicitmpc_matches_singles():
+    """BatchedExplicitMPC (grouped, reps>1) lane r·n_d + c must match
+    controller c driven standalone with that lane's own streams
+    (preparestate → moveinput → updatestate)."""
+    from mpc_tpu.parallel import BatchedExplicitMPC
+
+    def mk():
+        ctrls = []
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            g = rng.uniform(0.8, 1.6, size=4) * np.array([1.9, 1.9, -0.74,
+                                                          0.74])
+            G = np.array([[mpc.tf(g[0], [18, 1]), mpc.tf(g[1], [18, 1])],
+                          [mpc.tf(g[2], [8, 1]), mpc.tf(g[3], [8, 1])]],
+                         dtype=object)
+            m = mpc.LinModel(G, 2.0)
+            ctrls.append(mpc.ExplicitMPC(m, Hp=8, Hc=2, Mwt=[1, 1],
+                                         Nwt=[0.1, 0.1]))
+        return ctrls
+
+    n_d, reps = 3, 2
+    bat = BatchedExplicitMPC(mk(), reps=reps)
+    singles = {(r, c): mk()[c] for r in range(reps) for c in range(n_d)}
+    rng = np.random.default_rng(7)
+    for k in range(4):
+        ym = rng.normal(size=(bat.B, 2)) * 0.5
+        ry = rng.normal(size=(bat.B, 2)) * 1.5
+        u_b = np.asarray(bat.step(jnp.asarray(ym), jnp.asarray(ry)))
+        for r in range(reps):
+            for c in range(n_d):
+                lane = r * n_d + c
+                s = singles[(r, c)]
+                s.estim.preparestate(ym[lane])
+                u_s = s.moveinput(ry[lane])
+                s.estim.updatestate(u_s, ym[lane])
+                assert np.allclose(u_b[lane], u_s, atol=1e-8), (k, lane)
