@@ -356,7 +356,18 @@ def _run_one(name):
     # x̂-bound rows where the pure-f32 slot space converges 4096/4096 (the
     # flag would expose any cycling), and the f64-emulated slot ops were
     # 25% of the fleet step (521k → 687k solves/s measured).
-    jax.config.update("jax_enable_x64", name != "mhe")
+    # pure-f32 GI slot space for the big-shape fleet lanes (large/shared,
+    # like the MHE lane): the closed-loop workload's active sets are
+    # well-conditioned tracking sets where the f32 anti-cycling machinery
+    # holds 4096/4096 over 240+ steps (measured; the f64 slot space was
+    # load-bearing for the old open-loop saturation workload's degenerate
+    # vertices), and the f64-emulated slot ops were ~2x of the step
+    # (large 179k -> 319k, shared 264k -> 449k solves/s).  The headline
+    # keeps x64 ON: it gains nothing there (tiny n_qp=5 slot space) and
+    # the artifact then exercises BOTH precision modes; the ADMM variant
+    # needs x64 for its f64 polish residual accumulation.
+    jax.config.update("jax_enable_x64",
+                      name not in ("mhe", "large", "shared"))
     import jax.numpy as jnp
 
     platform = jax.default_backend()

@@ -158,3 +158,71 @@ print('F32-SLOT-OK')
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=420)
     assert "F32-SLOT-OK" in r.stdout, r.stdout[-800:] + r.stderr[-800:]
+
+
+def test_batched_linmpc_f32_slot_space_closed_loop_subprocess():
+    """The bench's large/shared fleet lanes run the GI solver with a PURE
+    f32 slot space (x64 disabled) in the closed-loop serving regime; this
+    pins the safety claim — every lane converges at every step over a
+    long horizon and tracks the mixed-precision (x64) answer.  Runs in a
+    subprocess to control the x64 flag."""
+    import subprocess
+    import sys
+    code = r"""
+import numpy as np, jax
+jax.config.update('jax_platforms', 'cpu')   # no x64 here on purpose
+import jax.numpy as jnp
+import mpc_tpu as mpc
+from mpc_tpu.parallel import BatchedLinMPC
+from mpc_tpu.utils.config import jit32
+
+rng0 = np.random.default_rng(0)
+ctrls, plants = [], []
+for i in range(4):
+    A = np.diag(rng0.uniform(0.45, 0.8, 4))
+    A += rng0.normal(size=(4, 4)) * 0.02
+    A *= min(1.0, 0.85 / np.max(np.abs(np.linalg.eigvals(A))))
+    Bu = rng0.normal(size=(4, 4)) * 0.5 + np.eye(4)
+    md = mpc.LinModel(mpc.ss(A, Bu, np.eye(4), np.zeros((4, 4)), 2.0), 2.0)
+    c = mpc.LinMPC(md, Hp=10, Hc=3, Mwt=np.ones(4), Nwt=np.ones(4),
+                   Cwt=1e3, qp_solver='active_set', gi_max_active=8)
+    c.setconstraint(umin=np.full(4, -10.0), umax=np.full(4, 10.0),
+                    dumin=np.full(4, -4.0), dumax=np.full(4, 4.0),
+                    ymin=np.full(4, -60.0), ymax=np.full(4, 60.0))
+    ctrls.append(c)
+    plants.append((A, Bu))
+B = 32
+reps = B // 4
+bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=reps, grouped_chunks=2)
+A_t = jnp.asarray(np.tile(np.stack([p[0] for p in plants]),
+                          (reps, 1, 1)), jnp.float32)
+B_t = jnp.asarray(np.tile(np.stack([p[1] for p in plants]),
+                          (reps, 1, 1)), jnp.float32)
+raw = bat._step
+d0 = jnp.zeros((B, 0), jnp.float32)
+bud = jnp.asarray(2**30, jnp.int32)
+
+@jit32
+def closed(params, eparams, state, xt, noise, ry, d_, budget):
+    ym = xt + noise                       # C = I
+    u, nc, it, new_state = raw(params, eparams, state, ym, ry, d_, budget)
+    xt2 = (jnp.einsum('bij,bj->bi', A_t, xt)
+           + jnp.einsum('bij,bj->bi', B_t, u))
+    return u, nc, new_state, xt2
+
+rng = np.random.default_rng(1)
+ry0 = rng.normal(size=(B, 4)) * 2.0
+seq = [(jnp.asarray(rng.normal(size=(B, 4)) * 0.1, jnp.float32),
+        jnp.asarray(ry0 + rng.normal(size=(B, 4)) * 0.2, jnp.float32))
+       for _ in range(4)]
+xt = jnp.zeros((B, 4), jnp.float32)
+for k in range(60):
+    u, nc, bat.state, xt = closed(bat.params, bat.eparams, bat.state, xt,
+                                  *seq[k % 4], d0, bud)
+    assert int(np.asarray(nc)) == B, (k, int(np.asarray(nc)))
+assert np.all(np.isfinite(np.asarray(xt)))
+print('F32-LINMPC-CL-OK')
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=420)
+    assert "F32-LINMPC-CL-OK" in r.stdout, r.stdout[-800:] + r.stderr[-800:]
