@@ -180,8 +180,16 @@ def make_assembler(mats):
                           mats["n_eps"])
     p_form = mats["p_form"]
 
-    def assemble(c, U0, D0, Y0m, x_prior, mask_w, invP):
+    def assemble(c, U0, D0, Y0m, x_prior, mask_w, invP, mask_v=None):
+        """``mask_v`` (He, nym), optional: per-element V-row validity —
+        ``mask_w`` broadcast AND non-NaN measurement.  Defaults to the
+        broadcast of ``mask_w`` (no NaN in the window).  With a diagonal
+        ``invR`` the elementwise masking reproduces the general solver's
+        NaN semantics (masked V residuals, mhe.py objective) exactly; the
+        matching H̃ downdate is :func:`make_nan_downdate`."""
         dt = U0.dtype
+        if mask_v is None:
+            mask_v = mask_w[:, None] * jnp.ones((1, nym), mask_w.dtype)
         uvec = U0.reshape(-1)
         Df = (D0[:-1] if p_form == 0 else D0[1:]).reshape(-1)
         cx = c["Su"] @ uvec + c["Sd"] @ Df + c["s1"]          # (He·nx,)
@@ -190,13 +198,13 @@ def make_assembler(mats):
         cy = (cxm.reshape(He, nx) @ c["Cm"].T + D0[1:] @ c["Ddm"].T)
         r = (Y0m - cy).reshape(-1)                            # (He·nym,)
         # gradient: q = −2·Gyᵀ R̄ r − 2·E_aᵀ invP̄ x_prior
-        rr = ((Y0m - cy) @ c["invR"]) * mask_w[:, None]
+        rr = (((Y0m - cy) * mask_v) @ c["invR"]) * mask_v
         q = -2.0 * (rr.reshape(-1) @ c["Gy"])
         q = q.at[n_eps:n_eps + nx].add(-2.0 * (invP @ x_prior))
         # bounds per base-row section (arrival, X̂ window, Ŵ, V̂)
         big = jnp.asarray(BIG, dt)
         mxr = jnp.repeat(mask_w, nx) > 0
-        mvr = jnp.repeat(mask_w, nym) > 0
+        mvr = mask_v.reshape(-1) > 0
         lo = jnp.concatenate([
             c["Xmin"][:nx],
             jnp.where(mxr, c["Xmin"][nx:] - cx, -big),
@@ -218,6 +226,61 @@ def make_assembler(mats):
         return q, l_full, u_full, cx, r
 
     return assemble
+
+
+def make_nan_downdate(mats):
+    """Per-lane (H̃, H̃⁻¹) low-rank downdate for NaN'd V rows (diag invR).
+
+    A NaN measurement element removes exactly one scalar V row from the
+    window objective (the general solver's masked-residual semantics,
+    reference ``src/estimator/mhe/transcription.jl:1173-1186``), i.e. the
+    shared H̃ loses ``2·invR_jj · gy_j gy_jᵀ`` for each NaN'd element j.
+    This returns a jax fn ``downdate(Pq, Pinv, w_nan) -> (Pq_l, Pinv_l)``
+    with ``w_nan`` (He·nym,) the per-lane removed weights (``2·invR_jj``
+    where NaN inside the valid window, else 0): ``Pq_l`` by one small
+    matmul, ``Pinv_l`` by a Sherman–Morrison chain over the He·nym
+    candidate rows (zero-weight rows are exact no-ops) plus one Newton
+    refinement step to bound f32 drift.  vmap it over the lane axis —
+    this is what keeps a 1%-NaN fleet on the fast path instead of
+    de-fast-pathing all B lanes to the general solver for He steps.
+
+    Matvecs are written as broadcast-multiply + sum: under x64 an f64
+    ``dot_general`` on TPU is emulated as a multi-pass while-loop (~100×
+    slower than elementwise, see ops/qp_active.py mv/vm).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    Gy_np = np.asarray(mats["Gy"], float)
+    m_rows = Gy_np.shape[0]
+
+    def downdate(Pq, Pinv, w_nan):
+        Gy_q = jnp.asarray(Gy_np, Pq.dtype)
+        wq = w_nan.astype(Pq.dtype)
+        Pq_l = Pq - (Gy_q * wq[:, None]).T @ Gy_q
+        Gy_p = jnp.asarray(Gy_np, Pinv.dtype)
+        wp = w_nan.astype(Pinv.dtype)
+
+        def body(P, j):
+            g = Gy_p[j]
+            s = wp[j]
+            u = jnp.sum(P * g[None, :], axis=1)        # P @ g (symmetric P)
+            denom = 1.0 - s * jnp.sum(g * u)
+            return P + (s / denom) * jnp.outer(u, u), 0
+
+        P_l, _ = jax.lax.scan(body, Pinv, jnp.arange(m_rows))
+        if P_l.dtype != jnp.float64:
+            # one Newton step vs the downdated H̃ bounds the f32 SM chain's
+            # drift (the GI kernel expects a refined inverse in its cache).
+            # Skipped in f64 — the chain is already accurate there, and a
+            # per-lane (n,n) f64 matmul is the pathological emulated
+            # dot_general on TPU (~50 ms per dot at fleet shapes)
+            Pq_p = Pq_l.astype(P_l.dtype)
+            P_l = P_l @ (2.0 * jnp.eye(P_l.shape[0], dtype=P_l.dtype)
+                         - Pq_p @ P_l)
+        return Pq_l, P_l
+
+    return downdate
 
 
 def shift_warm_duals(mats, y, moving):

@@ -320,10 +320,109 @@ class BatchedLinMPC:
 
         return stepfn
 
+    def _make_multistep(self):
+        """K control periods per device dispatch (serving mode).
+
+        The per-step dispatch through the tunneled runtime is 2-4× of the
+        wall step on the big-shape fleets (round-4 traces: large config
+        ~9.6 ms device vs ~22 ms wall); a ``lax.scan`` over K periods inside
+        ONE dispatch amortizes it K-fold.  The per-period exogenous inputs
+        (ym/ry/d) ship as one stacked upload; per-period outputs return
+        stacked.  Trade-off: host visibility (per-step u, deadline walls)
+        drops to once per K periods — pick K by how stale the host's view
+        of the fleet may be, not by throughput alone.
+
+        Ts-deadline policy in this mode is IN-GRAPH (the reference caps
+        every solve at Ts, general.jl:109-121): the iteration budget is
+        derived inside the scan from the host-measured per-iteration cost
+        EWMA (updated once per dispatch from the dispatch wall clock and
+        the summed per-period max-iteration counts), and per-period misses
+        are ESTIMATED as it_max·iter_cost > Ts — accounting rides the same
+        dispatch instead of paying a tunnel RTT per step.
+        """
+        step = self._step
+        Ts = self.Ts
+
+        def scan_fn(params, eparams, state, ym_s, ry_s, d_s, iter_cost):
+            dt = ym_s.dtype
+            use_pol = iter_cost > 0
+            budget = jnp.where(
+                use_pol,
+                jnp.clip(0.8 * Ts / jnp.maximum(iter_cost, 1e-12),
+                         50, 2 ** 30),
+                2 ** 30).astype(jnp.int32)
+
+            def body(st, inp):
+                ym, ry, d = inp
+                u, nc, it, st2 = step(params, eparams, st, ym, ry, d,
+                                      budget)
+                # lockstep wall cost tracks the max-iteration lane
+                miss = use_pol & (it[0].astype(dt) * iter_cost > Ts)
+                return st2, (u, nc, it, miss)
+
+            st2, (U, NC, IT, MISS) = jax.lax.scan(
+                body, state, (ym_s, ry_s, d_s))
+            return U, NC, IT, MISS, st2
+
+        return scan_fn
+
+    def multistep(self, ym_seq, ry_seq, d_seq=None):
+        """Run ``K = ym_seq.shape[0]`` control periods in ONE dispatch.
+
+        ``ym_seq``/``ry_seq``: (K, B, nym)/(K, B, ny) stacked per-period
+        inputs; ``d_seq``: optional (K, B, nd).  Returns ``(U, n_conv)``
+        with ``U`` (K, B, nu) and ``n_conv`` (K,) per-period converged
+        counts, both DEVICE arrays.  Bit-equivalent to K successive
+        ``step`` calls (tested); see ``_make_multistep`` for the
+        dispatch-amortization rationale and the in-graph deadline policy.
+        """
+        dt = self.params["H"].dtype
+        ym_seq = jnp.asarray(ym_seq, dt)
+        ry_seq = jnp.asarray(ry_seq, dt)
+        K = ym_seq.shape[0]
+        if d_seq is None:
+            key = (K, self.B, self.nd)
+            if getattr(self, "_dzero_seq", (None,))[0] != key:
+                z = jnp.zeros(key, dt)
+                jax.block_until_ready(z)
+                self._dzero_seq = (key, z)
+            d_seq = self._dzero_seq[1]
+        else:
+            d_seq = jnp.asarray(d_seq, dt)
+        if getattr(self, "_mstep", None) is None:
+            self._mstep = jit32(self._make_multistep())
+        ic = (self._iter_cost if (self.limit_solve_time and self._iter_cost)
+              else 0.0)
+        import time as _time
+        t0 = _time.perf_counter()
+        U, NC, IT, MISS, self.state = self._mstep(
+            self.params, self.eparams, self.state, ym_seq, ry_seq, d_seq,
+            jnp.asarray(ic, dt))
+        self.last_iters = IT[-1]     # final period's [max, mean] (device)
+        if self.limit_solve_time:
+            # one host sync per DISPATCH (not per step): drain, then update
+            # the per-iteration cost EWMA from the dispatch wall clock and
+            # the summed lockstep max-iteration counts (np.asarray is the
+            # only true barrier on the axon runtime — see step())
+            it_host = np.asarray(IT)
+            wall = _time.perf_counter() - t0
+            total_it = float(it_host[:, 0].sum())
+            first = self.last_step_time is None
+            if not first and total_it > 0:
+                c = wall / total_it
+                self._iter_cost = c if self._iter_cost is None else \
+                    0.7 * self._iter_cost + 0.3 * c
+            self.last_step_time = wall / K
+            n_miss = int(np.asarray(MISS).sum())
+            self.last_deadline_miss = bool(np.asarray(MISS)[-1])
+            if not first:
+                self.deadline_miss_count += n_miss
+        return U, NC
+
     def step(self, ym, ry, d=None):
         if d is None:
             # cached: per-step jnp.zeros would ship a scalar each call
-            # (one tunnel RTT per step on the remote TPU)
+            # (one tunnel RTT on the remote TPU)
             if getattr(self, "_dzero", None) is None:
                 self._dzero = jnp.zeros((self.B, self.nd),
                                         self.params["H"].dtype)

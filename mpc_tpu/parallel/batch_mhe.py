@@ -60,6 +60,18 @@ class BatchedMHE:
     bounds) is a large win; lanes whose true active set overflows the cap
     report ``converged=False`` in ``last_ok``.  Default: full size.
 
+    **NaN semantics (fleet approximation)**: the per-lane V-row masking of
+    NaN measurements — the solution-critical part — is exact (equivalent to
+    the general in-graph solver, and to the single-stream estimator's
+    masked objective).  The ARRIVAL covariance however is fleet-shared and
+    advanced by the data-independent host recursion; the single-stream
+    estimator (and the reference, mhe/execute.jl:729-752) SKIPS the
+    arrival correct when the window's exiting measurement is NaN, which
+    would make P̄ per-lane path-dependent forever after any dropout.  The
+    fleet keeps the correction for all lanes; the difference is a
+    geometrically decaying arrival-weight perturbation on the NaN lane
+    only (measured ~2e-2 → 5e-4 within 2 steps on the 2×1 bench model).
+
     ``gi_chunks``: split the fast path's GI solve into this many
     ``lax.map`` chunks over the batch axis — each chunk's lockstep pivot
     loop exits at ITS OWN slowest lane instead of the fleet-wide max (the
@@ -305,6 +317,203 @@ class BatchedMHE:
 
             self._advance_fast = jit32(advance_fast)
 
+            # ---- NaN-tolerant fast variant (per-lane H̃ downdate) --------
+            # One lane's sensor dropout must not de-fast-path the whole
+            # fleet: with a DIAGONAL invR, a NaN element removes exactly one
+            # scalar V row from that lane's window QP — a low-rank downdate
+            # of the SHARED H̃ (Sherman–Morrison on the cached inverse).
+            # Cost is ~He·nym masked rank-one updates per lane; the clean
+            # dispatch path is untouched (zero overhead without NaN).
+            invR_np = np.asarray(t.invR, float)
+            self._nan_fast_ok = bool(
+                np.allclose(invR_np, np.diag(np.diag(invR_np))))
+            if self._nan_fast_ok:
+                ddn = mhe_fast.make_nan_downdate(self._mats)
+                vdd = jax.vmap(ddn, in_axes=(None, None, 0))
+                r_diag = 2.0 * np.diag(invR_np)
+                nym_ = t.nym
+
+                def advance_fast_nan(c, st, ym, u_prev, d, has_u, invP,
+                                     Nk_prev, Pq, Pinv):
+                    (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
+                     mask_w, moving) = shift_insert(c, st, ym, u_prev, d,
+                                                    has_u, Nk_prev)
+                    ac = dict(Su=c["Su"], Sd=c["Sd"], s1=c["s1"],
+                              Cm=c["Cm_hat"], Ddm=c["Ddm_hat"], Gy=c["Gy"],
+                              invR=c["invR"], Xmin=c["Xmin"], Xmax=c["Xmax"],
+                              Wmin=c["Wmin"], Wmax=c["Wmax"],
+                              Vmin=c["Vmin"], Vmax=c["Vmax"])
+                    finite = jnp.isfinite(Y0m)
+                    mask_v = (mask_w[None, :, None]
+                              * finite.astype(mask_w.dtype))   # (B, He, nym)
+                    w_nan = (jnp.asarray(r_diag, Pinv.dtype)[None, None, :]
+                             * (mask_w[None, :, None] > 0)
+                             * (~finite)).reshape(Y0m.shape[0], -1)
+                    Pq_l, Pinv_l = vdd(Pq, Pinv, w_nan)
+                    q, l, u, cx, r = jax.vmap(
+                        lambda U, D, Y, xp, mv: asm(ac, U, D, Y, xp, mask_w,
+                                                    invP, mask_v=mv)
+                    )(U0, D0, jnp.nan_to_num(Y0m), x_arr, mask_v)
+                    y0 = mhe_fast.shift_warm_duals(mats, st["y_warm"],
+                                                   moving)
+                    sol = jax.vmap(
+                        lambda Pql, qq, ll, uu, yy, Pil: solve_qp_active(
+                            Pql, qq, c["A_rows"], ll, uu, y0=yy,
+                            cache=dict(gic_Pinv=Pil), max_active=gi_cap)
+                    )(Pq_l, q, l, u, y0, Pinv_l)
+                    okl = sol.converged[:, None]
+                    Zt = jnp.where(okl, sol.x, Z)
+                    Xf = Zt @ c["Gx"].T + cx
+                    idx = jnp.clip(Nk - 1, 0, He - 1)
+                    x_new = Xf.reshape(-1, He, nx)[:, idx]
+                    y_next = jnp.where(okl, sol.y, 0.0)
+                    new_st = dict(st, Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o,
+                                  Z=Zt, x0_hat=x_new, pending_u0=pend,
+                                  y_warm=y_next.astype(st["y_warm"].dtype))
+                    return (new_st, x_new + c["xop_hat"], sol.converged,
+                            jnp.max(sol.iters))
+
+                self._advance_fast_nan = jit32(advance_fast_nan)
+            else:
+                self._advance_fast_nan = None
+        else:
+            self._nan_fast_ok = False
+            self._advance_fast_nan = None
+
+    def multistep(self, ym_seq, u_prev_seq=None, d_seq=None):
+        """K estimation periods in ONE device dispatch (serving mode).
+
+        ``ym_seq`` (K, B, nym); ``u_prev_seq`` optional (K, B, nu) — the
+        input applied before each period; ``d_seq`` optional (K, B, nd).
+        Returns the stacked absolute estimates (K, B, nx̂) as a DEVICE
+        array.  Equivalent to K successive ``step`` calls (tested).
+
+        The host-side per-period data — the data-independent
+        arrival-covariance recursion, window counts and (fast path) the
+        shared H̃ + inverse — is precomputed for all K periods and shipped
+        as ONE stacked upload; the K window-shift+solve advances run under
+        a single ``lax.scan``, amortizing the per-dispatch tunnel overhead
+        (see BatchedLinMPC._make_multistep).  A NaN anywhere in the
+        sequence routes the WHOLE dispatch through the per-lane-H̃ NaN
+        variant (diag invR) or the general solver.
+        """
+        t = self.t
+        dt = self._dt if self._dt is not None else np.float64
+        ym_np = np.asarray(ym_seq, dt)
+        K = ym_np.shape[0]
+        has_u = u_prev_seq is not None
+        u_np = (np.asarray(u_prev_seq, dt) if has_u
+                else np.zeros((K, self.B, t.model.nu), dt))
+        d_np = (np.asarray(d_seq, dt) if d_seq is not None
+                else np.zeros((K, self.B, t.model.nd), dt))
+        # routing for the whole dispatch (mirrors step(); conservative: one
+        # NaN anywhere → NaN handling for all K periods)
+        seq_nan = bool(np.isnan(ym_np).any())
+        nan_live = seq_nan or self._nan_guard > 0
+        use_fast = self._fast and (not nan_live or self._nan_fast_ok)
+        use_nan = use_fast and nan_live
+        # ---- host mirror: K-period recursion (data-independent) ----------
+        from ..estimators import mhe_fast
+        P, invP, Nk = self.P_arr, self.invP_arr, self.Nk
+        invPs, Nks, Pqs, Pinvs, movings = [], [], [], [], []
+        last_nan_k = -1
+        for k in range(K):
+            moving = (Nk + 1) > t.He
+            movings.append(moving)
+            if moving:
+                P = self._P_correct(P)
+                invP = np.linalg.inv(P)
+            invPs.append(np.asarray(invP, dt))
+            Nks.append(np.int32(Nk))
+            if use_fast:
+                Nk_next = t.He if moving else Nk + 1
+                mask_w = (np.arange(t.He) < Nk_next).astype(float)
+                Pq, Pinv = mhe_fast.build_step_qp(
+                    self._mats, mask_w, invP, t.invQ, t.invR, t.Cwt)
+                Pqs.append(np.asarray(Pq, dt))
+                Pinvs.append(Pinv)
+            if np.isnan(ym_np[k]).any():
+                last_nan_k = k
+            if not moving:
+                Nk += 1
+            if Nk == t.He:
+                P = self._P_predict(P)
+                invP = np.linalg.inv(P)
+        # NaN drain accounting: guard = He minus the MOVING periods since
+        # the last NaN insertion (NaNs only shift out of a moving window)
+        if last_nan_k >= 0:
+            drained = sum(movings[last_nan_k + 1:])
+            self._nan_guard = max(0, t.He - drained)
+        elif self._nan_guard:
+            self._nan_guard = max(0, self._nan_guard - sum(movings))
+        self.P_arr, self.invP_arr, self.Nk = P, invP, Nk
+        # ---- one stacked upload + one scanned dispatch -------------------
+        big = dict(ym=ym_np, u_prev=u_np, d=d_np,
+                   invP=np.stack(invPs), Nk=np.stack(Nks),
+                   has_u=np.bool_(has_u))
+        if use_fast:
+            big["Pq"] = np.stack(Pqs)
+            big["Pinv"] = np.stack(Pinvs)      # f64: GI hi-precision cache
+        if self._shard_b is not None:
+            batched = {"ym", "u_prev", "d"}
+            big = {k: jax.device_put(v, self._shard_b if k in batched
+                                     else self._shard_r)
+                   for k, v in big.items()}
+        else:
+            big = jax.device_put(big)
+        if getattr(self, "_mscan", None) is None:
+            self._mscan = {}
+        kind = "nan" if use_nan else ("fast" if use_fast else "gen")
+        if kind not in self._mscan:
+            if use_fast:
+                adv = (self._advance_fast_nan if use_nan
+                       else self._advance_fast)
+
+                def scan_fast(c, st, ym_s, u_s, d_s, hu, invP_s, Nk_s,
+                              Pq_s, Pinv_s):
+                    def body(st_, inp):
+                        st2, x_abs, ok, piv = adv(c, st_, *inp[:3], hu,
+                                                  *inp[3:])
+                        return st2, (x_abs, ok, piv)
+
+                    st2, (X, OK, PIV) = jax.lax.scan(
+                        body, st, (ym_s, u_s, d_s, invP_s, Nk_s, Pq_s,
+                                   Pinv_s))
+                    return st2, X, OK, PIV
+
+                self._mscan[kind] = jit32(scan_fast)
+            else:
+                advg = self._advance
+
+                def scan_gen(c, st, ym_s, u_s, d_s, hu, invP_s, Nk_s):
+                    def body(st_, inp):
+                        st2, x_abs, ok, piv = advg(c, st_, *inp[:3], hu,
+                                                   *inp[3:])
+                        return st2, (x_abs, ok, piv)
+
+                    st2, (X, OK, PIV) = jax.lax.scan(
+                        body, st, (ym_s, u_s, d_s, invP_s, Nk_s))
+                    return st2, X, OK, PIV
+
+                self._mscan[kind] = jit32(scan_gen)
+        if use_fast:
+            self.state, X, OK, PIV = self._mscan[kind](
+                self._consts, self.state, big["ym"], big["u_prev"],
+                big["d"], big["has_u"], big["invP"], big["Nk"],
+                big["Pq"], big["Pinv"])
+            self.last_pivots = PIV[-1]
+        else:
+            y_w = self.state.get("y_warm") if self._fast else None
+            st = {k: v for k, v in self.state.items() if k != "y_warm"}
+            new_st, X, OK, _ = self._mscan[kind](
+                self._consts, st, big["ym"], big["u_prev"], big["d"],
+                big["has_u"], big["invP"], big["Nk"])
+            if y_w is not None:
+                new_st["y_warm"] = jnp.zeros_like(y_w)
+            self.state = new_st
+        self.last_ok = OK[-1]
+        return X
+
     def step(self, ym, u_prev=None, d=None):
         """Append measurements for every stream and solve in lockstep.
         ``u_prev`` is the input applied at the previous step (B, nu);
@@ -326,13 +535,18 @@ class BatchedMHE:
             self.invP_arr = np.linalg.inv(self.P_arr)
         nu = t.model.nu
         ym_h = np.asarray(ym, dt)
-        # NaN measurements change per-lane V-row weights → general solver
-        # until every NaN has drained out of the windows (He steps)
+        # NaN measurements change per-lane V-row weights → the per-lane
+        # H̃-downdate fast variant while any window may hold a NaN (diag
+        # invR), else the general solver until the NaNs drain (He MOVING
+        # steps — a NaN inserted during the fill phase only starts
+        # shifting out once the window moves)
         if np.isnan(ym_h).any():
             self._nan_guard = t.He
-        elif self._nan_guard:
+        elif self._nan_guard and moving:
             self._nan_guard -= 1
-        use_fast = self._fast and self._nan_guard == 0
+        nan_live = self._nan_guard > 0
+        use_fast = self._fast and (not nan_live or self._nan_fast_ok)
+        use_nan = use_fast and nan_live
         small = dict(
             ym=ym_h,
             u_prev=(np.asarray(u_prev, dt) if has_u
@@ -357,7 +571,8 @@ class BatchedMHE:
         else:
             small = jax.device_put(small)
         if use_fast:
-            self.state, x_abs, ok, piv = self._advance_fast(
+            adv = self._advance_fast_nan if use_nan else self._advance_fast
+            self.state, x_abs, ok, piv = adv(
                 self._consts, self.state, small["ym"], small["u_prev"],
                 small["d"], small["has_u"], small["invP"], small["Nk"],
                 small["Pq"], small["Pinv"])

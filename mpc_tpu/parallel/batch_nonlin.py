@@ -149,13 +149,50 @@ class BatchedNonLinMPC:
 
         return solve
 
-    def step(self, ym, ry, d=None):
-        if d is None:
-            if getattr(self, "_dzero", None) is None:
-                self._dzero = jnp.zeros((self.B, self.t.estim.model.nd),
-                                        self._dt)
-                jax.block_until_ready(self._dzero)
-            d = self._dzero
+    def multistep(self, ym_seq, ry_seq, d_seq=None):
+        """K control periods in ONE device dispatch (serving mode).
+
+        ``ym_seq``/``ry_seq``: (K, B, nym)/(K, B, ny); ``d_seq`` optional
+        (K, B, nd).  Returns ``(U, J)`` stacked (K, B, ·) DEVICE arrays;
+        ``last_iters``/``last_viol`` hold the FINAL period's stats.
+        Equivalent to K successive ``step`` calls (tested); amortizes the
+        per-dispatch tunnel overhead that is 2-4× of the wall step on
+        big-shape fleets (see BatchedLinMPC._make_multistep).
+        """
+        self._ensure_params()
+        ja = ((lambda a: jnp.asarray(a, self._dt)) if self._dt is not None
+              else jnp.asarray)
+        ym_seq, ry_seq = ja(ym_seq), ja(ry_seq)
+        K = ym_seq.shape[0]
+        if d_seq is None:
+            key = (K, self.B, self.t.estim.model.nd)
+            if getattr(self, "_dzero_seq", (None,))[0] != key:
+                z = jnp.zeros(key, self._dt)
+                jax.block_until_ready(z)
+                self._dzero_seq = (key, z)
+            d_seq = self._dzero_seq[1]
+        else:
+            d_seq = ja(d_seq)
+        if getattr(self, "_mstep", None) is None:
+            solve = self._solve
+
+            def scan_fn(p, state, ym_s, ry_s, d_s):
+                def body(st, inp):
+                    u, J, it, viol, st2 = solve(p, st, *inp)
+                    return st2, (u, J, it, viol)
+
+                st2, (U, J, IT, VIOL) = jax.lax.scan(
+                    body, state, (ym_s, ry_s, d_s))
+                return U, J, IT, VIOL, st2
+
+            self._mstep = jit32(scan_fn)
+        U, J, IT, VIOL, self.state = self._mstep(
+            self._p_cache, self.state, ym_seq, ry_seq, d_seq)
+        self.last_iters = IT[-1]
+        self.last_viol = VIOL[-1]
+        return U, J
+
+    def _ensure_params(self):
         # upload the template's ~40 numpy params once per version, not per
         # step (on a tunneled TPU each eager transfer costs a full RTT)
         ver = getattr(self.t, "_params_version", None)
@@ -169,6 +206,15 @@ class BatchedNonLinMPC:
                              if self._shard_r is not None
                              else jax.device_put(tree))
             self._p_ver = ver
+
+    def step(self, ym, ry, d=None):
+        if d is None:
+            if getattr(self, "_dzero", None) is None:
+                self._dzero = jnp.zeros((self.B, self.t.estim.model.nd),
+                                        self._dt)
+                jax.block_until_ready(self._dzero)
+            d = self._dzero
+        self._ensure_params()
         ja = ((lambda a: jnp.asarray(a, self._dt)) if self._dt is not None
               else jnp.asarray)
         ym, ry, d = ja(ym), ja(ry), ja(d)

@@ -101,3 +101,39 @@ def test_batched_fleet_deadline_stats():
     assert bat.last_deadline_miss is True
     assert bat.deadline_miss_count >= 1
     assert bat.last_iter_budget >= 50
+
+
+def test_multistep_deadline_in_graph():
+    """The serving scan's Ts policy is IN-GRAPH: the iteration budget is
+    derived inside the dispatch from the host-measured per-iteration cost
+    EWMA, and per-period misses are estimated without a per-step host sync
+    (the per-step sync cost a tunnel RTT per period on the remote rig)."""
+    from mpc_tpu.parallel import BatchedLinMPC
+    G = mpc.ss(np.diag([0.6, 0.5]), np.eye(2), np.eye(2),
+               np.zeros((2, 2)), 1e-6)
+    ctrls = [mpc.LinMPC(mpc.LinModel(G, 1e-6), Hp=8, Hc=3,
+                        Cwt=1e3) for _ in range(2)]
+    for c in ctrls:
+        c.setconstraint(umin=np.full(2, -0.3), umax=np.full(2, 0.3),
+                        ymin=np.full(2, -0.2), ymax=np.full(2, 0.2))
+    bat = BatchedLinMPC(ctrls, reps=2, limit_solve_time=True)
+    B = bat.B
+    rng = np.random.default_rng(31)
+    K = 4
+    ym_s = rng.normal(size=(K, B, 2)) * 0.1
+    ry_s = np.tile(np.array([5.0, -5.0]), (K, B, 1))  # infeasible: many iters
+    # dispatch 1 includes compile (neither EWMA nor misses); dispatch 2
+    # seeds the per-iteration cost EWMA (policy still off in-graph)
+    U, NC = bat.multistep(ym_s, ry_s)
+    assert U.shape == (K, B, 2)
+    U, NC = bat.multistep(ym_s, ry_s)
+    assert bat._iter_cost is not None and bat._iter_cost > 0
+    n0 = bat.deadline_miss_count
+    # dispatch 3: policy ON in-graph; Ts = 1 µs is unmeetable → every
+    # period estimated as a miss, counted from ONE host sync per dispatch
+    U, NC = bat.multistep(ym_s, ry_s)
+    assert bat.deadline_miss_count - n0 == K
+    assert bat.last_deadline_miss is True
+    # and the derived budget clamps the solver (floor 50 + check slack)
+    it_max = float(np.asarray(bat.last_iters)[0])
+    assert it_max <= 80
