@@ -67,6 +67,7 @@ class NonLinMPC(PredictiveController):
                  Cwt=1e5, Ewt=0.0, JE=None, gc=None, nc=0, p=None,
                  Wy=None, Wu=None, Wd=None, Wr=None,
                  transcription=None, sqp_iters=30, sqp_tol=1e-8,
+                 kkt_tol=0.0, kkt_feas_tol=1e-4,
                  trust_radius=None, qp_solver="admm",
                  hessian="gauss_newton", **estim_kwargs):
         if isinstance(model_or_estim, StateEstimator):
@@ -122,6 +123,16 @@ class NonLinMPC(PredictiveController):
         self.p = p if p is not None else model.p
         self.sqp_iters = int(sqp_iters)
         self.sqp_tol = float(sqp_tol)
+        # KKT early exit (reference analogue: Ipopt's tol/constr_viol_tol
+        # stopping pair, classified per solve in src/general.jl:44-61):
+        # kkt_tol > 0 lets the SQP loop exit once the RELATIVE stationarity
+        # residual ‖∇f + Jᵀy‖∞/(1+‖∇f‖∞) < kkt_tol AND the worst single
+        # constraint violation < kkt_feas_tol — at f32 fleet precision the
+        # default step-norm test (1e-8) is unreachable and lanes burn to
+        # the iteration cap after they are KKT-converged.  Default 0 keeps
+        # the legacy step-norm-only exit.
+        self.kkt_tol = float(kkt_tol)
+        self.kkt_feas_tol = float(kkt_feas_tol)
         self.trust_radius = trust_radius
         if qp_solver not in ("admm", "active_set"):
             raise ValueError("qp_solver must be 'admm' or 'active_set'")
@@ -525,6 +536,7 @@ class NonLinMPC(PredictiveController):
         Ewt = self.weights.Ewt
         rollout = self._rollout_fns()
         sqp_iters, sqp_tol = self.sqp_iters, self.sqp_tol
+        kkt_tol, kkt_feas_tol = self.kkt_tol, self.kkt_feas_tol
         is_ms = self.is_ms
         use_as = self.qp_solver == "active_set"
         use_exact_h = self.hessian == "exact"
@@ -667,11 +679,52 @@ class NonLinMPC(PredictiveController):
                 return obj(Zt) + mu * viol(Zt)
 
             def sqp_body(carry):
-                Zt, y_d, it, step_norm, mu, tr, _, lam_c = carry
+                Zt, y_d, it, step_norm, mu, tr, _, lam_c, _, _ = carry
                 Z, eps = split(Zt)
                 (Y0, xend, S, Jy, Jx, Js, gcv, Jgc) = constraint_data(
                     p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk)
                 g = grad_f(Zt)
+                # --- KKT residual at the CURRENT iterate with the carried
+                # multiplier estimates (the per-lane honesty signal: the
+                # old fleet "converged" was feasibility-only) — reuses the
+                # constraint values/Jacobians already computed above, no
+                # extra rollouts.  Worst single-row violation:
+                U0v = p["Pu"] @ Z + Tu_lastu0
+                DUv = Z[:nDU]
+                vparts = [
+                    jnp.max(jnp.maximum(p["U0min"] - p["C_umin"] * eps - U0v,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(U0v - p["U0max"] - p["C_umax"] * eps,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(p["DUmin"] - p["C_dumin"] * eps - DUv,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(DUv - p["DUmax"] - p["C_dumax"] * eps,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(p["Y0min"] - p["C_ymin"] * eps - Y0,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(Y0 - p["Y0max"] - p["C_ymax"] * eps,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(p["x0min"] - p["c_xmin"] * eps - xend,
+                                        0.0), initial=0.0),
+                    jnp.max(jnp.maximum(xend - p["x0max"] - p["c_xmax"] * eps,
+                                        0.0), initial=0.0),
+                ]
+                if neq:
+                    vparts.append(jnp.max(jnp.abs(S), initial=0.0))
+                if nw:
+                    Wv_now = W_of(U0v, Y0)
+                    vparts.append(jnp.max(jnp.maximum(
+                        p["Wmin_b"] - p["C_wmin"] * eps - Wv_now, 0.0),
+                        initial=0.0))
+                    vparts.append(jnp.max(jnp.maximum(
+                        Wv_now - p["Wmax_b"] - p["C_wmax"] * eps, 0.0),
+                        initial=0.0))
+                if nc:
+                    vparts.append(jnp.max(jnp.maximum(gcv, 0.0),
+                                          initial=0.0))
+                if n_eps:
+                    vparts.append(jnp.maximum(-eps, 0.0))
+                viol_now = jnp.max(jnp.stack(vparts))
                 if use_exact_h:
                     # Exact Lagrangian Hessian ∇²J + Σᵢ yᵢ∇²cᵢ with the
                     # PREVIOUS iteration's multipliers (the reference's ±
@@ -796,6 +849,16 @@ class NonLinMPC(PredictiveController):
                 A = jnp.vstack(rows)
                 l = jnp.concatenate(lo)
                 u_b = jnp.concatenate(up)
+                # relative stationarity ‖∇f + Aᵀy + Jsᵀλ‖∞/(1+‖∇f‖∞) with
+                # the CARRIED multiplier estimates (dual warm start makes
+                # them consistent with this iterate near convergence);
+                # trust-row duals are excluded — an active trust box means
+                # not-converged, which the step-norm test already catches
+                grad_L = g + A.T @ y_d[:A.shape[0]]
+                if neq:
+                    grad_L = grad_L + Js.T @ lam_c
+                stat_now = (jnp.linalg.norm(grad_L, jnp.inf)
+                            / (1.0 + jnp.linalg.norm(g, jnp.inf)))
                 # dual warm start: the QP multipliers stabilize across SQP
                 # iterations, and ADMM converges in far fewer sweeps from the
                 # previous iteration's y (the primal step dz → 0 near the
@@ -897,13 +960,17 @@ class NonLinMPC(PredictiveController):
                      jnp.where(a == 0.0, tr * 0.25,
                      jnp.where(a <= 0.11, tr * 0.5, tr)))
                 tr = jnp.maximum(tr, 1e-3)
-                return Zt_new, sol.y, it + 1, sn, mu, tr, a, lam_new
+                return (Zt_new, sol.y, it + 1, sn, mu, tr, a, lam_new,
+                        stat_now, viol_now)
 
             def sqp_cond(carry):
-                _, _, it, step_norm, _, tr, a, _ = carry
+                _, _, it, step_norm, _, tr, a, _, stat, viol_c = carry
                 retry = (a == 0.0) & (tr > 1.1e-3)  # rejected, can still shrink
-                return (it < sqp_iters) & ((it < 2) | (step_norm > sqp_tol)
-                                           | retry)
+                kkt_ok = ((kkt_tol > 0.0) & (stat < kkt_tol)
+                          & (viol_c < kkt_feas_tol))
+                return (it < sqp_iters) & ((it < 2)
+                                           | ((step_norm > sqp_tol)
+                                              & ~kkt_ok) | retry)
 
             Zt0 = Zs
             n_in = (2 * nu * Hp + 2 * nDU + 2 * ny * Hp + 2 * nW
@@ -913,11 +980,12 @@ class NonLinMPC(PredictiveController):
             # nearly stationary; linmpc.py persists y_dual the same way)
             y0 = (jnp.zeros(n_dual, dt) if y_prev is None
                   else jnp.asarray(y_prev, dt))
-            Zt, y_d, iters, sn, _, _, _, _ = jax.lax.while_loop(
+            Zt, y_d, iters, sn, _, _, _, _, stat_f, _ = jax.lax.while_loop(
                 sqp_cond, sqp_body,
                 (Zt0, y0, jnp.array(0), jnp.asarray(jnp.inf, dt),
                  jnp.asarray(1e4, dt), jnp.asarray(tr0, dt),
-                 jnp.asarray(1.0, dt), jnp.zeros(max(neq, 0), dt)))
+                 jnp.asarray(1.0, dt), jnp.zeros(max(neq, 0), dt),
+                 jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt)))
             J_final = obj(Zt)
             viol_final = viol_inf(Zt)
             # final rollout for getinfo diagnostics
@@ -931,7 +999,11 @@ class NonLinMPC(PredictiveController):
                           p["U0min"][:nu] - p["C_umin"][:nu] * eps_f,
                           p["U0max"][:nu] + p["C_umax"][:nu] * eps_f)
             u = u0 + p["uop"]
-            return u, Zt, Zs, y_d, J_final, viol_final, iters, Y0f, xendf, U0f
+            # stat_f: the KKT stationarity residual of the LAST iteration's
+            # exit check (the value that gated convergence); per-lane honest
+            # convergence = (stat_f < kkt_tol) & (viol_final < feas tol)
+            return (u, Zt, Zs, y_d, J_final, viol_final, stat_f, iters,
+                    Y0f, xendf, U0f)
 
         @jit32
         def diag(p, x0_hat, lastu0, d0, D_hat_0, R_y, R_u, yk, ry, Zt):
@@ -1078,13 +1150,14 @@ class NonLinMPC(PredictiveController):
                          jnp.asarray(R_hat_u), jnp.asarray(yk),
                          jnp.asarray(ry), jnp.asarray(self.Z_tilde),
                          None if y_prev is None else jnp.asarray(y_prev))
-        u, Zt, Zs, y_d, J, viol, iters, Y0f, xendf, U0f = out
+        u, Zt, Zs, y_d, J, viol, stat, iters, Y0f, xendf, U0f = out
         self.y_dual = np.asarray(y_d)
         self._solved_once = True
         self.lastu0_at_solve = self.lastu0.copy()
         self.Z_tilde = np.asarray(Zt)
         self.R_hat_y, self.R_hat_u = R_hat_y, R_hat_u
-        self._last = dict(J=float(J), viol=float(viol), iters=int(iters),
+        self._last = dict(J=float(J), viol=float(viol), stat=float(stat),
+                          iters=int(iters),
                           d=d, D_hat=D_hat, Y0=np.asarray(Y0f),
                           xend=np.asarray(xendf), U0=np.asarray(U0f),
                           yk=yk.copy(), failed=False,
@@ -1121,6 +1194,10 @@ class NonLinMPC(PredictiveController):
         info["epsilon"] = info["ϵ"] = float(self.Z_tilde[-1]) if self.n_eps else 0.0
         info["J"] = self._last.get("J")
         info["viol"] = self._last.get("viol")
+        # relative KKT stationarity residual at the exit check (see
+        # _make_step; the reference exposes the solver's termination status
+        # per solve, src/general.jl:44-61)
+        info["kkt_stat"] = self._last.get("stat")
         info["iters"] = self._last.get("iters")
         U0 = self._last.get("U0")
         if U0 is None:

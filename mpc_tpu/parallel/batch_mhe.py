@@ -160,16 +160,21 @@ class BatchedMHE:
         else:
             self._consts = jax.device_put(consts)
             self.state = jax.device_put(state)
-        # host mirrors for the data-independent parts
+        # host mirrors for the data-independent parts (LinModel covestim:
+        # the arrival-cov recursion never depends on the data, so ONE host
+        # recursion serves every lane).  For a NonLinModel the recursion
+        # linearizes at each lane's arrival state → it lives ON DEVICE as
+        # per-lane state (see _advance_nl below).
         self.Nk = 0
         self.P_arr = t.P0_hat.copy()
         self.invP_arr = np.linalg.inv(self.P_arr)
         self._nan_guard = 0       # steps until NaN-touched windows drain
         ce = t.covestim
-        self._P_correct = lambda P: np.asarray(
-            _kf_P_correct(P, ce.Cm_hat, ce.R_hat))
-        self._P_predict = lambda P: np.asarray(
-            ce.A_hat @ P @ ce.A_hat.T + ce.Q_hat)
+        if self._lin:
+            self._P_correct = lambda P: np.asarray(
+                _kf_P_correct(P, ce.Cm_hat, ce.R_hat))
+            self._P_predict = lambda P: np.asarray(
+                ce.A_hat @ P @ ce.A_hat.T + ce.Q_hat)
 
         ne = t.n_eps
         is_lin = self._lin
@@ -253,6 +258,80 @@ class BatchedMHE:
             return new_st, x_new + c["xop_hat"], ok, jnp.zeros((), jnp.int32)
 
         self._advance = jit32(advance)
+
+        if not self._lin:
+            # ---- NonLinModel fleet: per-lane in-graph arrival covariance --
+            # The reference advances P̄ with the covestim estimator at each
+            # stream's own arrival state (mhe/execute.jl:729-779) — for a
+            # fleet that is per-lane state, advanced in-graph with the
+            # EKF-linearized law (jacfwd of f̂/ĥm at x̄arr; exactly the
+            # covestim=ExtendedKalmanFilter recursion incl. its per-lane
+            # NaN skip via kf_correct).  A UKF covestim's sigma-point
+            # recursion is approximated by this linearization (documented).
+            from ..estimators.kalman import kf_correct
+            from ..utils.small_linalg import inv_spd_small
+            f_hat, h_hat_m = t.f_hat, t.h_hat_m
+            Q_ce = cast(ce.Q_hat)
+            R_ce = cast(ce.R_hat)
+            Q_ce_d, R_ce_d = jax.device_put((Q_ce, R_ce), self._shard_r) \
+                if self._shard_r is not None else jax.device_put((Q_ce, R_ce))
+            state_np = dict(P_arr=np.tile(np.asarray(t.P0_hat, np_dt)[None],
+                                          (batch, 1, 1)))
+            self.state = dict(self.state, **(
+                jax.device_put(state_np, self._shard_b)
+                if self._shard_b is not None else jax.device_put(state_np)))
+
+            def advance_nl(c, st, ym, u_prev, d, has_u, Nk_prev):
+                (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
+                 mask_w, moving) = shift_insert(c, st, ym, u_prev, d, has_u,
+                                                Nk_prev)
+                P = st["P_arr"]
+
+                def corr1(xa, P1, y0, d0_):
+                    Hm = jax.jacfwd(
+                        lambda xx: jnp.asarray(h_hat_m(xx, d0_)))(xa)
+                    y0p = jnp.asarray(h_hat_m(xa, d0_))
+                    _, Pc = kf_correct(xa, P1, y0p, y0, Hm, R_ce_d)
+                    return Pc
+
+                Pc = jax.vmap(corr1)(x_arr, P, Y0m[:, 0], D0[:, 0])
+                P1 = jnp.where(moving, Pc, P)
+                invP = jax.vmap(inv_spd_small)(P1)
+                mask_v = (mask_w[None, :, None] > 0) & jnp.isfinite(Y0m)
+                p = dict(
+                    U=U0, D=D0, Y0m=jnp.nan_to_num(Y0m),
+                    mask_w=mask_w, mask_v=mask_v,
+                    invP=invP, invQ=c["invQ"], invR=c["invR"],
+                    x_arr_prior=x_arr, fop_m_xop=c["fop_m_xop"],
+                    Xmin=c["Xmin"], Xmax=c["Xmax"], Wmin=c["Wmin"],
+                    Wmax=c["Wmax"], Vmin=c["Vmin"], Vmax=c["Vmax"],
+                    C_xmin=c["C_xmin"], C_xmax=c["C_xmax"],
+                    C_wmin=c["C_wmin"], C_wmax=c["C_wmax"],
+                    C_vmin=c["C_vmin"], C_vmax=c["C_vmax"], Nk=Nk)
+                in_ax = {k: (None if k in
+                             ("mask_w", "invQ", "invR", "fop_m_xop",
+                              "Xmin", "Xmax", "Wmin", "Wmax", "Vmin",
+                              "Vmax", "C_xmin", "C_xmax", "C_wmin",
+                              "C_wmax", "C_vmin", "C_vmax", "Nk")
+                             else 0)
+                         for k in p}
+                Zt, x_new, X, Ym, J, ok = jax.vmap(
+                    t._solve_jit, in_axes=(in_ax, 0))(p, Z)
+
+                def pred1(xa, P1_, u0_, d0_):
+                    F = jax.jacfwd(
+                        lambda xx: jnp.asarray(f_hat(xx, u0_, d0_)))(xa)
+                    Pn = F @ P1_ @ F.T + Q_ce_d
+                    return 0.5 * (Pn + Pn.T)
+
+                Pp = jax.vmap(pred1)(x_arr, P1, U0[:, 0], D0[:, 0])
+                P2 = jnp.where(Nk >= He, Pp, P1)
+                new_st = dict(st, Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o, Z=Zt,
+                              x0_hat=x_new, pending_u0=pend, P_arr=P2)
+                return new_st, x_new + c["xop_hat"], ok, jnp.zeros(
+                    (), jnp.int32)
+
+            self._advance_nl = jit32(advance_nl)
 
         if self._fast:
             from ..estimators import mhe_fast
@@ -412,6 +491,46 @@ class BatchedMHE:
         nan_live = seq_nan or self._nan_guard > 0
         use_fast = self._fast and (not nan_live or self._nan_fast_ok)
         use_nan = use_fast and nan_live
+        if not self._lin:
+            # NonLinModel fleet: everything per-period is in-graph (per-lane
+            # arrival covariance); only the Nk window count mirrors on host
+            Nks = []
+            Nk = self.Nk
+            for _ in range(K):
+                Nks.append(np.int32(Nk))
+                if (Nk + 1) <= t.He:
+                    Nk += 1
+            self.Nk = Nk
+            big = dict(ym=ym_np, u_prev=u_np, d=d_np, Nk=np.stack(Nks),
+                       has_u=np.bool_(has_u))
+            if self._shard_b is not None:
+                batched = {"ym", "u_prev", "d"}
+                big = {k: jax.device_put(v, self._shard_b if k in batched
+                                         else self._shard_r)
+                       for k, v in big.items()}
+            else:
+                big = jax.device_put(big)
+            if getattr(self, "_mscan", None) is None:
+                self._mscan = {}
+            if "nl" not in self._mscan:
+                advn = self._advance_nl
+
+                def scan_nl(c, st, ym_s, u_s, d_s, hu, Nk_s):
+                    def body(st_, inp):
+                        st2, x_abs, ok, piv = advn(c, st_, *inp[:3], hu,
+                                                   inp[3])
+                        return st2, (x_abs, ok)
+
+                    st2, (X, OK) = jax.lax.scan(
+                        body, st, (ym_s, u_s, d_s, Nk_s))
+                    return st2, X, OK
+
+                self._mscan["nl"] = jit32(scan_nl)
+            self.state, X, OK = self._mscan["nl"](
+                self._consts, self.state, big["ym"], big["u_prev"],
+                big["d"], big["has_u"], big["Nk"])
+            self.last_ok = OK[-1]
+            return X
         # ---- host mirror: K-period recursion (data-independent) ----------
         from ..estimators import mhe_fast
         P, invP, Nk = self.P_arr, self.invP_arr, self.Nk
@@ -528,6 +647,32 @@ class BatchedMHE:
         dt = self._dt if self._dt is not None else np.float64
         has_u = u_prev is not None
         moving = (self.Nk + 1) > t.He
+        if not self._lin:
+            # NonLinModel fleet: the whole step (window bookkeeping +
+            # per-lane EKF-linearized arrival covariance + GN window solve)
+            # is one jitted in-graph advance; only Nk mirrors on host
+            nu = t.model.nu
+            small = dict(
+                ym=np.asarray(ym, dt),
+                u_prev=(np.asarray(u_prev, dt) if has_u
+                        else np.zeros((self.B, nu), dt)),
+                d=(np.asarray(d, dt) if d is not None
+                   else np.zeros((self.B, t.model.nd), dt)),
+                Nk=np.int32(self.Nk), has_u=np.bool_(has_u))
+            if self._shard_b is not None:
+                batched = {"ym", "u_prev", "d"}
+                small = {k: jax.device_put(v, self._shard_b if k in batched
+                                           else self._shard_r)
+                         for k, v in small.items()}
+            else:
+                small = jax.device_put(small)
+            self.state, x_abs, ok, _ = self._advance_nl(
+                self._consts, self.state, small["ym"], small["u_prev"],
+                small["d"], small["has_u"], small["Nk"])
+            self.last_ok = ok
+            if not moving:
+                self.Nk += 1
+            return x_abs
         # host mirror of the data-independent arrival-cov recursion:
         # correct at a moving preparestate (before the solve uses invP̄)
         if moving:

@@ -105,14 +105,14 @@ class BatchedNonLinMPC:
             D0 = jnp.tile(d0, Hp)
             Ry = jnp.tile(ry, Hp)
             Ru = jnp.tile(uop, Hp)
-            u, Zt, _Zs, y_d, J, viol, iters, Y0f, xendf, U0f = step_fn(
+            u, Zt, _Zs, y_d, J, viol, stat, iters, Y0f, xendf, U0f = step_fn(
                 p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, ry, st["Z_tilde"],
                 None)
             lastu0 = u - uop
             # UKF prediction
             x0n, Pn = pred(x0c, Pc, lastu0, d0, m_hat, S_hat, Q_hat, fop_m_xop)
-            return u, J, iters, viol, dict(x0_hat=x0n, P_hat=Pn,
-                                           lastu0=lastu0, Z_tilde=Zt)
+            return u, J, iters, viol, stat, dict(x0_hat=x0n, P_hat=Pn,
+                                                 lastu0=lastu0, Z_tilde=Zt)
 
         vone = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
 
@@ -129,23 +129,27 @@ class BatchedNonLinMPC:
                     s, y, r, dd = args
                     return vone(p, s, y, r, dd)
 
-                u, J, iters, viol, new_c = jax.lax.map(
+                u, J, iters, viol, stat, new_c = jax.lax.map(
                     body, (stc, resh(ym), resh(ry), resh(d)))
                 it_stats = jnp.stack([jnp.max(iters), jnp.sum(iters) // B])
-                return (unr(u), unr(J), it_stats, jnp.max(viol),
+                kkt = jnp.stack([unr(viol), unr(stat)], axis=1)
+                return (unr(u), unr(J), it_stats, jnp.max(viol), kkt,
                         jax.tree.map(unr, new_c))
 
             return solve_chunked
 
         def solve(p, st, ym, ry, d):
-            u, J, iters, viol, new_st = vone(p, st, ym, ry, d)
+            u, J, iters, viol, stat, new_st = vone(p, st, ym, ry, d)
             # fleet diagnostics (benchmark parity with the reference's
-            # per-solver iteration stats): [max, mean] SQP iterations and
-            # the worst constraint/defect violation across lanes
+            # per-solver status/iteration stats, general.jl:44-61): [max,
+            # mean] SQP iterations, the worst constraint/defect violation
+            # across lanes, and the PER-LANE (viol, kkt stationarity) pair
+            # — the honest per-lane convergence signal
             it_stats = jnp.stack([jnp.max(iters),
                                   jnp.sum(iters) // iters.shape[0]])
             viol_max = jnp.max(viol)
-            return u, J, it_stats, viol_max, new_st
+            kkt = jnp.stack([viol, stat], axis=1)      # (B, 2)
+            return u, J, it_stats, viol_max, kkt, new_st
 
         return solve
 
@@ -178,18 +182,19 @@ class BatchedNonLinMPC:
 
             def scan_fn(p, state, ym_s, ry_s, d_s):
                 def body(st, inp):
-                    u, J, it, viol, st2 = solve(p, st, *inp)
-                    return st2, (u, J, it, viol)
+                    u, J, it, viol, kkt, st2 = solve(p, st, *inp)
+                    return st2, (u, J, it, viol, kkt)
 
-                st2, (U, J, IT, VIOL) = jax.lax.scan(
+                st2, (U, J, IT, VIOL, KKT) = jax.lax.scan(
                     body, state, (ym_s, ry_s, d_s))
-                return U, J, IT, VIOL, st2
+                return U, J, IT, VIOL, KKT, st2
 
             self._mstep = jit32(scan_fn)
-        U, J, IT, VIOL, self.state = self._mstep(
+        U, J, IT, VIOL, KKT, self.state = self._mstep(
             self._p_cache, self.state, ym_seq, ry_seq, d_seq)
         self.last_iters = IT[-1]
         self.last_viol = VIOL[-1]
+        self.last_kkt = KKT[-1]     # final period's per-lane (viol, stat)
         return U, J
 
     def _ensure_params(self):
@@ -220,8 +225,9 @@ class BatchedNonLinMPC:
         ym, ry, d = ja(ym), ja(ry), ja(d)
         if self._shard_b is not None:
             ym, ry, d = jax.device_put((ym, ry, d), self._shard_b)
-        u, J, it_stats, viol_max, self.state = self._solve(
+        u, J, it_stats, viol_max, kkt, self.state = self._solve(
             self._p_cache, self.state, ym, ry, d)
         self.last_iters = it_stats   # [max, mean] SQP iterations (device)
         self.last_viol = viol_max    # worst lane violation (device)
+        self.last_kkt = kkt          # per-lane (viol, kkt_stat) — device
         return u, J

@@ -554,3 +554,61 @@ def test_batched_mhe_nan_variant_matches_general_fleet():
             used_nan = True
         u_prev = rng.normal(size=(B, 1)) * 0.2
     assert used_nan and bm._nan_guard == 0
+
+
+def test_batched_mhe_nonlinear_matches_singles():
+    """NonLinModel MHE fleet (round-5): the per-lane arrival covariance
+    advances IN-GRAPH with the EKF-linearized covestim law — with
+    covestim=ExtendedKalmanFilter the fleet is an exact mirror of the
+    single-stream estimator (same kf_correct/predict formulas, same
+    jacfwd linearization points), including the per-lane NaN skip."""
+    from mpc_tpu.parallel import BatchedMHE
+
+    def f(x, u, d, par):
+        g, L, K_, m_ = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K_ / m_ * x[1]
+                          + u[0] / (m_ * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0]])
+
+    def mk():
+        pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                               solver=mpc.RungeKutta(4))
+        ce = mpc.ExtendedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[0.5],
+                                      nint_ym=[1], sigmaQint_ym=[0.1])
+        e = mpc.MovingHorizonEstimator(pend, He=4, sigmaQ=[0.1, 1.0],
+                                       sigmaR=[0.5], nint_ym=[1],
+                                       sigmaQint_ym=[0.1], covestim=ce)
+        return e
+
+    B = 3
+    bat = BatchedMHE(mk(), B)
+    assert not bat._lin and not bat._fast
+    singles = [mk() for _ in range(B)]
+    rng = np.random.default_rng(41)
+    u_prev = None
+    for k in range(8):
+        ym = rng.normal(size=(B, 1)) * 0.3
+        if k == 4:
+            ym[0, 0] = np.nan          # per-lane NaN: in-graph masking
+        xb = np.asarray(bat.step(ym, u_prev=u_prev))
+        xs = np.array([singles[i].preparestate(ym[i]) for i in range(B)])
+        assert np.allclose(xb, xs, atol=2e-6), (k, np.abs(xb - xs).max())
+        u_prev = rng.normal(size=(B, 1)) * 0.3
+        for i in range(B):
+            singles[i].updatestate(u_prev[i], ym[i])
+    # multistep ≡ step-by-step for the nonlinear fleet
+    bat2 = BatchedMHE(mk(), B)
+    rng2 = np.random.default_rng(41)
+    u0 = None
+    ym0 = rng2.normal(size=(B, 1)) * 0.3
+    bat2.step(ym0)
+    K = 5
+    ym_s = rng2.normal(size=(K, B, 1)) * 0.3
+    u_s = rng2.normal(size=(K, B, 1)) * 0.3
+    bat3 = BatchedMHE(mk(), B)
+    bat3.step(ym0)
+    X = bat2.multistep(ym_s, u_s)
+    for k in range(K):
+        xk = np.asarray(bat3.step(ym_s[k], u_prev=u_s[k]))
+        assert np.allclose(np.asarray(X[k]), xk, atol=1e-9), k
