@@ -21,7 +21,9 @@ import numpy as np
 
 def _timed_windows(step, arg_seq, n_windows, iters_per_window, B,
                    get_iters=None):
-    """Median/p10/p90 throughput over K HARD-SYNCED timed windows.
+    """Median/p10/p90 throughput over N HARD-SYNCED timed windows.
+    ``B`` is the number of SOLVES per dispatch — for the round-5 serving
+    mode (K control periods per ``lax.scan`` dispatch) pass ``B·K``.
 
     ``arg_seq`` is a list of (ym, ry) pairs cycled through per step: the
     receding-horizon serving regime — warm starts carry over (honest), but
@@ -136,81 +138,123 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     # "converged" field read the FIRST step and hid it).  4 rotating
     # setpoint phases keep every step doing real QP work; measurement
     # noise rotates with the phases.
+    #
+    # Round-5 SERVING MODE: K control periods run under ONE lax.scan
+    # dispatch (per-period noise/setpoints stacked on the leading axis) —
+    # the round-4 traces put per-dispatch tunnel overhead at 2-4× of the
+    # device step on the big-shape lanes (large: ~9.6 ms device vs ~22 ms
+    # wall), and the scan amortizes it K-fold.  Trade-off: host visibility
+    # drops to once per K periods.  K=1 is also measured ("k1_" fields)
+    # so the artifact attributes the dispatch gap explicitly.
+    K = int(os.environ.get("MPC_BENCH_K", "8"))
     ry0 = rng.normal(size=(B_total, ny)) * 2.0
-    arg_seq = [(jnp.asarray(rng.normal(size=(B_total, ny)) * 0.1,
-                            jnp.float32),
-                jnp.asarray(ry0 + rng.normal(size=(B_total, ny)) * 0.2,
-                            jnp.float32))
+    arg_seq = [(np.asarray(rng.normal(size=(B_total, ny)) * 0.1,
+                           np.float32),
+                np.asarray(ry0 + rng.normal(size=(B_total, ny)) * 0.2,
+                           np.float32))
                for _ in range(4)]
-    noise0, ry = arg_seq[0]
+    # per-dispatch stacked sequences: dispatch s's K periods cycle the 4
+    # phases starting at phase s (uploaded once, cycled by the driver)
+    arg_seq_k = [tuple(jnp.asarray(np.stack([arg_seq[(s + i) % 4][j]
+                                             for i in range(K)]))
+                       for j in (0, 1)) for s in range(4)]
+    arg_seq_1 = [tuple(jnp.asarray(a[None]) for a in pair)
+                 for pair in arg_seq]
+    noise0, ry = (jnp.asarray(arg_seq[0][0]), jnp.asarray(arg_seq[0][1]))
 
     t0 = time.time()
     u, n_conv = bat.step(jnp.zeros((B_total, ny), jnp.float32), ry)
     jax.block_until_ready(u)
     compile_s = time.time() - t0
 
-    # one jitted composite per step: ym = C x_true + noise, fleet solve,
-    # x_true ← A x_true + Bu u (plant matrices passed as args — closures
-    # would inline them as constants into the remote-compile payload)
+    # one jitted composite per DISPATCH: scan K× (ym = C x_true + noise,
+    # fleet solve, x_true ← A x_true + Bu u); plant matrices passed as
+    # args — closures would inline them as constants into the
+    # remote-compile payload.  Outputs are reduced in-graph (final u,
+    # final-period conv, K-reduced iteration stats): pulling (K, B, nu)
+    # per sync would measure the transfer, not the kernel.
     raw = bat._step
     A_t, B_t, C_t = jax.device_put((plant["A"], plant["Bu"], plant["C"]))
     d0 = jnp.zeros((B_total, bat.nd), jnp.float32)
     bud = jax.device_put(np.asarray(2 ** 30, np.int32))
 
     @jit32
-    def closed(params, eparams, state, xt, noise, ry_, d_, budget,
-               Ap, Bp, Cp):
-        ym_ = jnp.einsum("bij,bj->bi", Cp, xt) + noise
-        u_, nc, it, new_state = raw(params, eparams, state, ym_, ry_, d_,
-                                    budget)
-        xt2 = (jnp.einsum("bij,bj->bi", Ap, xt)
-               + jnp.einsum("bij,bj->bi", Bp, u_))
-        return u_, nc, it, new_state, xt2
+    def closed_k(params, eparams, state, xt, noise_s, ry_s, d_, budget,
+                 Ap, Bp, Cp):
+        def body(carry, inp):
+            st, xt_ = carry
+            noise, ry_ = inp
+            ym_ = jnp.einsum("bij,bj->bi", Cp, xt_) + noise
+            u_, nc, it, st2 = raw(params, eparams, st, ym_, ry_, d_,
+                                  budget)
+            xt2 = (jnp.einsum("bij,bj->bi", Ap, xt_)
+                   + jnp.einsum("bij,bj->bi", Bp, u_))
+            return (st2, xt2), (u_[0], nc, it)
+
+        (st2, xt2), (u_h, NC, IT) = jax.lax.scan(
+            body, (state, xt), (noise_s, ry_s))
+        it2 = jnp.stack([jnp.max(IT[:, 0]),
+                         jnp.sum(IT[:, 1]) // IT.shape[0]])
+        return u_h[-1], NC[-1], it2, st2, xt2
 
     loop = {"xt": jnp.zeros((B_total, plant["A"].shape[-1]), jnp.float32)}
 
-    def cl_step(noise, ry_):
-        u_, nc, it, bat.state, loop["xt"] = closed(
-            bat.params, bat.eparams, bat.state, loop["xt"], noise, ry_,
+    def cl_step(noise_s, ry_s):
+        u_, nc, it, bat.state, loop["xt"] = closed_k(
+            bat.params, bat.eparams, bat.state, loop["xt"], noise_s, ry_s,
             d0, bud, A_t, B_t, C_t)
         bat.last_iters = it
         return u_, nc
 
-    u, n_conv = cl_step(noise0, ry)      # compile the composite
+    u, n_conv = cl_step(*arg_seq_k[0])   # compile the K-scan composite
     jax.block_until_ready(u)
 
     def get_iters():
         return bat.last_iters   # device handle; [max, mean] QP iterations
 
-    # The Ts-deadline policy syncs it_stats to the host EVERY step (it must
-    # — an honest per-step wall clock needs a true transfer barrier), which
-    # on the tunneled rig costs the full RTT per step (~23 ms measured; on
-    # a local chip it is ~0.1 ms).  Throughput windows therefore run in the
-    # same pipelined regime as every other lane (policy off), and a
-    # SEPARATE compliance phase below re-enables the policy to measure the
-    # true per-step deadline behavior.
+    # Throughput windows run with the deadline policy OFF (its per-step
+    # host sync costs the tunnel RTT); the compliance phase below uses the
+    # round-5 IN-GRAPH policy via multistep (budget + miss estimates ride
+    # the dispatch, one sync per K periods).
     had_deadline = bool(getattr(bat, "limit_solve_time", False))
     if had_deadline:
         bat.limit_solve_time = False
 
     (med, p10, p90, p99_step, mean_step, mean_iters, max_iters,
-     n_conv_last) = _timed_windows(cl_step, arg_seq, n_windows, iters,
-                                   B_total, get_iters=get_iters)
-    n_conv = n_conv_last    # convergence of the FINAL timed step
+     n_conv_last) = _timed_windows(cl_step, arg_seq_k, n_windows, iters,
+                                   B_total * K, get_iters=get_iters)
+    n_conv = n_conv_last    # convergence of the FINAL timed period
+
+    # K=1 reference (short): attributes the dispatch gap in the artifact
+    u, _ = cl_step(*arg_seq_1[0])
+    jax.block_until_ready(u)
+    (med1, _, _, _, _, _, _, _) = _timed_windows(
+        cl_step, arg_seq_1, 2, max(4, iters // 2), B_total)
 
     deadline_steps_ms = []
+    deadline_tput = None
     if had_deadline:
-        # compliance phase: policy ON (per-step hard sync), driven at the
-        # closed loop's final operating point (ym fixed = measured output
-        # of the final true state — the policy times the solver, not the
-        # trajectory)
-        ym_fix = jnp.einsum("bij,bj->bi", C_t, loop["xt"]) + noise0
+        # compliance phase (round-5): policy ON through multistep — the
+        # iteration budget is derived IN-GRAPH from the per-iteration cost
+        # EWMA and per-period misses are estimated in-graph; the host
+        # syncs once per dispatch (was: one RTT per step).  Driven at the
+        # closed loop's final operating point.
+        ym_fix = np.asarray(jnp.einsum("bij,bj->bi", C_t, loop["xt"])
+                            + noise0, np.float32)
+        ym_k = np.stack([ym_fix] * K)
+        ry_k = np.stack([arg_seq[i % 4][1] for i in range(K)])
         bat.limit_solve_time = True
         bat.deadline_miss_count = 0     # pre-phase steps must not count
-        for k in range(10):
-            _, n_conv_d = bat.step(ym_fix, arg_seq[k % 4][1])
-            if bat.last_step_time is not None:
-                deadline_steps_ms.append(bat.last_step_time * 1e3)
+        bat.multistep(ym_k, ry_k)       # compile + seed wall (untimed)
+        bat.multistep(ym_k, ry_k)       # seed the per-iteration EWMA
+        t_d = time.time()
+        n_disp = 2                      # policy ON in-graph, timed
+        for _ in range(n_disp):
+            bat.multistep(ym_k, ry_k)
+        dt_d = time.time() - t_d
+        deadline_tput = B_total * K * n_disp / dt_d
+        if bat.last_step_time is not None:
+            deadline_steps_ms.append(bat.last_step_time * 1e3)
     probe_after = _probe_ms() if platform == "tpu" else None
     peak = _PEAK.get(platform)
     # analytic per-backend FLOP model × measured mean lockstep iterations —
@@ -260,6 +304,13 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         "vs_baseline": round(med / target, 3),
         "p10_solves_per_s": round(p10, 1),
         "p90_solves_per_s": round(p90, 1),
+        # round-5 serving mode: K control periods per lax.scan dispatch
+        # (amortizes the 2-4× per-dispatch tunnel overhead); k1_ is the
+        # same loop at K=1 — the gap between them IS the dispatch tax.
+        # Per-period host visibility is the trade: pick K by how stale the
+        # host's view may be, not by throughput alone.
+        "steps_per_dispatch": K,
+        "k1_solves_per_s": round(med1, 1),
         "n_windows": n_windows,
         # analytic LOWER BOUND on MXU utilization for the benched backend
         # (no setup/polish/estimator-update FLOPs, no f64-emulation passes)
@@ -284,14 +335,17 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
                             if probe_before is not None else None),
         "probe_ms_after": (round(probe_after, 2)
                            if probe_after is not None else None),
-        # Ts-deadline policy stats (limit_solve_time fleets only), from the
-        # separate compliance phase (policy ON, per-step hard sync): steps
-        # whose wall clock exceeded Ts.  On this rig each synced step pays
-        # the tunnel RTT; on a local chip the sync is ~0.1 ms.
+        # Ts-deadline policy stats (limit_solve_time fleets only): round-5
+        # IN-GRAPH policy through multistep — budget from the per-iteration
+        # cost EWMA, per-period misses estimated in-graph, ONE host sync
+        # per K periods (the old per-step sync paid the tunnel RTT per
+        # step, ~23 ms; the policy phase now runs near throughput speed).
         "deadline_misses": (getattr(bat, "deadline_miss_count", None)
                             if had_deadline else None),
-        "deadline_step_ms_max": (round(max(deadline_steps_ms), 2)
-                                 if deadline_steps_ms else None),
+        "deadline_step_ms_mean": (round(max(deadline_steps_ms), 2)
+                                  if deadline_steps_ms else None),
+        "deadline_tput_solves_per_s": (round(deadline_tput, 1)
+                                       if deadline_tput else None),
         "Ts_s": getattr(bat, "Ts", None) if had_deadline else None,
     }
     print(f"# {label}: construct={construct_s:.1f}s compile={compile_s:.1f}s "
@@ -367,7 +421,8 @@ def _run_one(name):
     # the artifact then exercises BOTH precision modes; the ADMM variant
     # needs x64 for its f64 polish residual accumulation.
     jax.config.update("jax_enable_x64",
-                      name not in ("mhe", "large", "shared"))
+                      name not in ("mhe", "large", "shared", "explicit",
+                                   "mhe_nonlin"))
     import jax.numpy as jnp
 
     platform = jax.default_backend()
@@ -443,8 +498,12 @@ def _run_one(name):
         return _bench_nonlin(platform)
     if name == "mhe":
         return _bench_mhe(platform)
+    if name == "mhe_nonlin":
+        return _bench_mhe_nonlin(platform)
     if name == "slmpc":
         return _bench_slmpc(platform)
+    if name == "explicit":
+        return _bench_explicit(platform)
     raise ValueError(f"unknown bench config {name}")
 
 
@@ -491,8 +550,10 @@ def main():
         "best of N subprocess runs, each a median over >=10 hard-synced "
         "windows; cross-run spread + probe_ms sentinel attribute contention")
     keys_l = ("metric", "value", "p10_solves_per_s", "p90_solves_per_s",
+              "steps_per_dispatch", "k1_solves_per_s",
               "mfu_est", "qp_backend", "hbm_gbps_est", "flops_per_step",
-              "qp_iters_mean", "converged", "deadline_misses", "Ts_s")
+              "qp_iters_mean", "converged", "deadline_misses",
+              "deadline_tput_solves_per_s", "Ts_s")
     if os.environ.get("MPC_BENCH_LARGE", "1") == "1":
         large = _spawn("large")
         headline["large_config"] = {k: large.get(k) for k in keys_l}
@@ -507,16 +568,33 @@ def main():
         headline["nonlin_config"] = _spawn("nonlin")
     if os.environ.get("MPC_BENCH_MHE", "1") == "1":
         headline["mhe_config"] = _spawn("mhe")
+    if os.environ.get("MPC_BENCH_MHE_NONLIN", "1") == "1":
+        # nonlinear-MHE fleet (round-4 verdict #4: the reference's own MHE
+        # benchmark case, benchmark/2_bench_state_estim.jl:155-185, had no
+        # throughput number here)
+        headline["mhe_nonlin_config"] = _spawn("mhe_nonlin")
     if os.environ.get("MPC_BENCH_SLMPC", "1") == "1":
         headline["slmpc_config"] = _spawn("slmpc")
+    if os.environ.get("MPC_BENCH_EXPLICIT", "1") == "1":
+        # ExplicitMPC fleet as a tracked artifact lane (round-4 verdict
+        # #6: the 15.5M number lived only in bench_fleets prose)
+        headline["explicit_config"] = _spawn("explicit")
 
     print(json.dumps(headline))
 
 
 def _bench_nonlin(platform, B=4096):
-    """BatchedNonLinMPC pendulum fleet (SQP15 + UKF per lane), rotating
+    """BatchedNonLinMPC pendulum fleet (SQP + UKF per lane), rotating
     setpoints (reference analogue: benchmark/3_bench_predictive_control.jl
     :370-435, pendulum NonLinMPC case studies).
+
+    Round-5 honesty + depth: the lane's ``converged`` is now a PER-LANE
+    KKT test — relative stationarity < kkt_tol (stated below) AND worst
+    violation < 1e-4 — replacing the old fleet-wide feasibility stamp
+    (round-4 verdict: "4096/4096 converged" meant "feasible", with the
+    fleet at its SQP iteration cap).  The same KKT residual drives the
+    in-solve early exit (kkt_tol), which is what cuts the iteration
+    depth; K periods run per dispatch (serving mode).
 
     Round-4 A/B at B=256: the default ADMM subproblem solver does 4.3k
     solves/s (59 ms step); the GI active-set subproblem backend does 29k
@@ -527,70 +605,117 @@ def _bench_nonlin(platform, B=4096):
     import mpc_tpu as mpc
     from mpc_tpu.parallel import BatchedNonLinMPC
 
+    KKT_TOL = 1e-3          # stated stationarity tolerance (relative)
+    FEAS_TOL = 1e-4         # stated feasibility tolerance
+    K = int(os.environ.get("MPC_BENCH_K", "8"))
+
     def f(x, u, d, par):
-        g, L, K, m = par
-        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K / m * x[1]
+        g, L, Kp, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - Kp / m * x[1]
                           + u[0] / (m * L ** 2)])
 
     h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
     pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
                            solver=mpc.RungeKutta(4))
+    # alpha=0.5: the classic UKF alpha=1e-3 puts ~1/α² ≈ 1e6-scale sigma
+    # weights into the mean/cov sums — catastrophic cancellation in f32
+    # (measured: 2.3° state error from a ZERO innovation; the round-4
+    # lane silently mis-tracked by ~15° because of it).  alpha ≥ 0.1
+    # keeps the f32 UKF within 1e-5 of f64.
     estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
-                                      nint_ym=[1], sigmaQint_ym=[0.1])
+                                      nint_ym=[1], sigmaQint_ym=[0.1],
+                                      alpha=0.5)
+    # MultipleShooting: at the INVERTED (unstable) equilibrium the
+    # SingleShooting Jacobian chains condition like e^{λ·Hp·Ts} ≈ 1e3,
+    # squaring to ~1e7 in the GN Hessian — beyond f32, so SS lanes ran to
+    # the SQP cap with O(1) stationarity residuals (honest measurement of
+    # round-4's hidden problem).  Per-stage MS sensitivities keep the
+    # subproblem f32-conditioned: stat ~1e-4, mean ~2 SQP iterations.
     t = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
-                      sqp_iters=15, qp_solver="active_set")
+                      sqp_iters=15, qp_solver="active_set",
+                      transcription=mpc.MultipleShooting(),
+                      kkt_tol=KKT_TOL, kkt_feas_tol=FEAS_TOL)
     t.setconstraint(umin=[-1.5], umax=[1.5])
     fleet = BatchedNonLinMPC(t, batch=B, dtype=jnp.float32)
     rng = np.random.default_rng(2)
     # closed-loop regime (see _bench_config): the TRUE pendulum propagates
     # on device inside the same jit — swing-up from rest to the rotating
-    # 170-180° setpoints, measurements respond to the applied torque
-    seq = [(jnp.asarray(rng.normal(size=(B, 1)) * 1.0, jnp.float32),
-            jnp.full((B, 1), deg, jnp.float32))
+    # 170-180° setpoints, measurements respond to the applied torque.
+    # K periods per lax.scan dispatch (serving mode).
+    seq = [(np.asarray(rng.normal(size=(B, 1)) * 1.0, np.float32),
+            np.full((B, 1), deg, np.float32))
            for deg in (180.0, 170.0, 175.0, 180.0)]
-    u, J = fleet.step(jnp.zeros((B, 1), jnp.float32), seq[0][1])
+    seq_k = [tuple(jnp.asarray(np.stack([seq[(s + i) % 4][j]
+                                         for i in range(K)]))
+                   for j in (0, 1)) for s in range(4)]
+    u, J = fleet.step(jnp.zeros((B, 1), jnp.float32),
+                      jnp.asarray(seq[0][1]))
     np.asarray(u)                      # compile + hard sync
     raw = fleet._solve
     fd, h_user, p_mod = pend._fd, pend._h_user, pend.p
     from mpc_tpu.utils.config import jit32
 
     @jit32
-    def closed(pc, st, xt, noise, ry):
+    def closed_k(pc, st, xt, noise_s, ry_s):
         dd = jnp.zeros(0, jnp.float32)
-        ym = (jax.vmap(lambda x: jnp.asarray(h_user(x, dd, p_mod),
-                                             jnp.float32))(xt) + noise)
-        u_, J_, it_, viol_, new_st = raw(pc, st, ym, ry,
-                                         jnp.zeros((B, 0), jnp.float32))
-        xt2 = jax.vmap(lambda x, uu: jnp.asarray(fd(x, uu, dd, p_mod),
-                                                 jnp.float32))(xt, u_)
-        return u_, J_, it_, viol_, new_st, xt2
+
+        def body(carry, inp):
+            st_, xt_ = carry
+            noise, ry = inp
+            ym = (jax.vmap(lambda x: jnp.asarray(h_user(x, dd, p_mod),
+                                                 jnp.float32))(xt_) + noise)
+            u_, J_, it_, viol_, kkt_, st2 = raw(
+                pc, st_, ym, ry, jnp.zeros((B, 0), jnp.float32))
+            xt2 = jax.vmap(lambda x, uu: jnp.asarray(fd(x, uu, dd, p_mod),
+                                                     jnp.float32))(xt_, u_)
+            return (st2, xt2), (u_[0], it_, viol_, kkt_)
+
+        (st2, xt2), (u_h, IT, VIOL, KKT) = jax.lax.scan(
+            body, (st, xt), (noise_s, ry_s))
+        it2 = jnp.stack([jnp.max(IT[:, 0]),
+                         jnp.sum(IT[:, 1]) // IT.shape[0]])
+        # final period's per-lane KKT pair — the honest convergence data
+        return u_h[-1], it2, VIOL[-1], KKT[-1], st2, xt2
 
     xt = jnp.zeros((B, 2), jnp.float32)
     pc = fleet._p_cache
-    u, J_, it, viol_d, fleet.state, xt = closed(pc, fleet.state, xt,
-                                                *seq[0])
+    out = closed_k(pc, fleet.state, xt, *seq_k[0])
+    u, it, viol_d, kkt_d, fleet.state, xt = out
     np.asarray(u)                      # compile the composite
-    for k in range(10):                # swing-up transient (warm)
-        u, J_, it, viol_d, fleet.state, xt = closed(pc, fleet.state, xt,
-                                                    *seq[k % 4])
+    for k in range(2):                 # swing-up transient (warm)
+        u, it, viol_d, kkt_d, fleet.state, xt = closed_k(
+            pc, fleet.state, xt, *seq_k[k % 4])
     np.asarray(u)
-    n_iters = 8
+    n_disp = max(2, 8 // K + 1)
     t0 = time.time()
-    for k in range(n_iters):
-        u, J_, it, viol_d, fleet.state, xt = closed(pc, fleet.state, xt,
-                                                    *seq[k % 4])
+    for k in range(n_disp):
+        u, it, viol_d, kkt_d, fleet.state, xt = closed_k(
+            pc, fleet.state, xt, *seq_k[k % 4])
     np.asarray(u)
-    dt = (time.time() - t0) / n_iters
+    dt = (time.time() - t0) / (n_disp * K)
     it = np.asarray(it)
     viol = float(np.asarray(viol_d))
+    kkt = np.asarray(kkt_d)            # (B, 2): per-lane (viol, stat)
+    conv_lanes = int(np.sum((kkt[:, 0] < FEAS_TOL) & (kkt[:, 1] < KKT_TOL)))
     res = {"metric": f"BatchedNonLinMPC solves/s/chip (pendulum, Hp=15, "
-                     f"SQP15+UKF, active_set, B={B}, {platform})",
+                     f"SQP15+UKF, active_set, K={K}/dispatch, B={B}, "
+                     f"{platform})",
            "value": round(B / dt, 1), "unit": "solves/s",
-           "step_ms": round(dt * 1e3, 2),
+           "step_ms": round(dt * 1e3, 2), "steps_per_dispatch": K,
            "sqp_iters_max": float(it[0]), "sqp_iters_mean": float(it[1]),
-           "viol_max": viol, "converged": int(viol < 1e-3) * B}
+           "viol_max": viol,
+           # per-lane KKT convergence at the FINAL timed period:
+           # stationarity ||gradL||/(1+||gradf||) < kkt_tol AND worst
+           # violation < feas_tol (general.jl:44-61 status analogue)
+           "converged": conv_lanes,
+           "convergence_criterion": f"per-lane KKT: stat<{KKT_TOL:g} "
+                                    f"& viol<{FEAS_TOL:g}",
+           "sqp_stationarity_p99": float(np.percentile(kkt[:, 1], 99)),
+           "sqp_stationarity_max": float(kkt[:, 1].max())}
     print(f"# nonlin: {res['value']}/s step={res['step_ms']}ms "
-          f"viol={viol:.2e}", file=sys.stderr)
+          f"viol={viol:.2e} conv={conv_lanes}/{B} "
+          f"stat_p99={res['sqp_stationarity_p99']:.2e} "
+          f"iters_mean={it[1]}", file=sys.stderr)
 
     # ± exact-Hessian axis on the ECONOMIC pendulum (the reference
     # benchmarks every pendulum case with and without exact Hessians,
@@ -611,7 +736,7 @@ def _bench_nonlin(platform, B=4096):
                                 solver=mpc.RungeKutta(4))
         estim2 = mpc.UnscentedKalmanFilter(
             pend2, sigmaQ=[0.1, 1.0], sigmaR=[5.0, 5.0], nint_ym=[1, 0],
-            sigmaQint_ym=[0.1])
+            sigmaQint_ym=[0.1], alpha=0.5)   # f32 fleet: see nonlin lane
         te = mpc.NonLinMPC(estim2, Hp=15, Hc=2, Mwt=[0.5, 0.0], Nwt=[2.5],
                            Cwt=np.inf, Ewt=3.5e3, JE=JE, sqp_iters=15,
                            qp_solver="active_set", hessian=hess)
@@ -658,12 +783,16 @@ def _bench_mhe(platform, B=4096, He=10):
     # bounds, and overflowing lanes would report converged=False (checked)
     fleet = BatchedMHE(t, B, dtype=jnp.float32, gi_max_active=8)
     rng = np.random.default_rng(3)
+    K = int(os.environ.get("MPC_BENCH_K", "8"))
     # TRUE simulated trajectories (host NumPy, pre-generated): persistent
     # random inputs + process noise drive each lane's real plant, ym =
     # C x_true + measurement noise — the estimation analogue of the
     # closed-loop bench regime (an all-noise ym with u ≡ 0 left the U
     # window untouched and estimated a phantom stationary plant)
-    n_total = He + 1 + 3 * 6 + 2
+    n_win, n_disp = 3, 2               # dispatches per window (K periods ea)
+    # fill + compile dispatch + timed windows + (1 warm + 3 timed)
+    # NaN-phase dispatches
+    n_total = He + 1 + (1 + n_win * n_disp + 4) * K + 2
     A_p, Bu_p, C_p = (np.asarray(m.A), np.asarray(m.Bu), np.asarray(m.C))
     x_true = np.zeros((B, m.nx))
     u_seq = 0.5 * rng.standard_normal((4, B, 1))
@@ -677,26 +806,54 @@ def _bench_mhe(platform, B=4096, He=10):
     for k in range(He + 1):   # fill the window (bookkeeping + compile)
         x = fleet.step(ys[k], u_prev=(us[k - 1] if k else None))
     np.asarray(x)                      # hard sync (see _timed_windows)
+    kk = He + 1
+    # serving mode: K periods per multistep dispatch; compile the scan
+    x = fleet.multistep(np.stack(ys[kk:kk + K]),
+                        np.stack(us[kk - 1:kk - 1 + K]))
+    np.asarray(x)
+    kk += K
     # median of 3 hard-synced windows (a single window made this the most
     # contention-sensitive lane in the artifact: 428k-750k across runs)
-    n_win, n_iters = 3, 6
     win = []
-    kk = He + 1
     for _ in range(n_win):
         t0 = time.time()
-        for _ in range(n_iters):
-            x = fleet.step(ys[kk], u_prev=us[kk - 1])
-            kk += 1
+        for _ in range(n_disp):
+            x = fleet.multistep(np.stack(ys[kk:kk + K]),
+                                np.stack(us[kk - 1:kk - 1 + K]))
+            kk += K
         np.asarray(x)
-        win.append((time.time() - t0) / n_iters)
+        win.append((time.time() - t0) / (n_disp * K))
     dt = float(np.median(win))
     n_ok = int(np.asarray(fleet.last_ok).sum())
     res = {"metric": f"BatchedMHE solves/s/chip (2x1 LinModel, He={He}, "
-                     f"x-bounds, B={B}, {platform})",
+                     f"x-bounds, K={K}/dispatch, B={B}, {platform})",
            "value": round(B / dt, 1), "unit": "solves/s",
-           "step_ms": round(dt * 1e3, 2), "converged": n_ok}
-    print(f"# mhe: {res['value']}/s step={res['step_ms']}ms conv={n_ok}/{B}",
-          file=sys.stderr)
+           "step_ms": round(dt * 1e3, 2), "steps_per_dispatch": K,
+           "converged": n_ok}
+    # ---- 1%-NaN serving robustness (round-4 verdict #3): dropouts in 1%
+    # of lanes must not collapse the fleet — the per-lane H̃-downdate
+    # variant keeps every lane on the fast path (the old guard routed ALL
+    # lanes to the general solver for He steps, a ~50-75× collapse)
+    nan_lanes = rng.choice(B, max(1, B // 100), replace=False)
+    ys_w = np.stack(ys[kk:kk + K]).copy()
+    ys_w[0, nan_lanes, 0] = np.nan
+    x = fleet.multistep(ys_w, np.stack(us[kk - 1:kk - 1 + K]))
+    np.asarray(x)                      # compile the NaN-variant scan
+    kk += K
+    t0 = time.time()
+    for j in range(3):
+        ys_n = np.stack(ys[kk:kk + K]).copy()
+        ys_n[0, nan_lanes, 0] = np.nan       # one dropout period/dispatch
+        x = fleet.multistep(ys_n, np.stack(us[kk - 1:kk - 1 + K]))
+        kk += K
+    np.asarray(x)
+    dt_nan = (time.time() - t0) / (3 * K)
+    res["nan_1pct_solves_per_s"] = round(B / dt_nan, 1)
+    res["nan_1pct_vs_clean"] = round(dt / dt_nan, 3)
+    res["nan_1pct_converged"] = int(np.asarray(fleet.last_ok).sum())
+    print(f"# mhe: {res['value']}/s step={res['step_ms']}ms conv={n_ok}/{B} "
+          f"nan1pct={res['nan_1pct_solves_per_s']}/s "
+          f"({res['nan_1pct_vs_clean']}x clean)", file=sys.stderr)
     return res
 
 
@@ -763,6 +920,173 @@ def _bench_slmpc(platform, B=4096, chunk=256):
            "step_ms": round(dt * 1e3, 2), "converged": n_ok}
     print(f"# slmpc: {res['value']}/s step={res['step_ms']}ms "
           f"conv={n_ok}/{B}", file=sys.stderr)
+    return res
+
+
+def _bench_mhe_nonlin(platform, B=1024, He=10):
+    """Nonlinear-MHE fleet: pendulum NonLinModel window GN-SQP with
+    per-lane in-graph EKF arrival covariance (the reference's own MHE
+    benchmark case, benchmark/2_bench_state_estim.jl:155-185: pendulum,
+    He=10, bounds, Ipopt — here the whole fleet solves in lockstep)."""
+    import jax
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+    from mpc_tpu.parallel import BatchedMHE
+
+    K = int(os.environ.get("MPC_BENCH_K", "4"))
+
+    def f(x, u, d, par):
+        g, L, Kp, m = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - Kp / m * x[1]
+                          + u[0] / (m * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+    ce = mpc.ExtendedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
+                                  nint_ym=[1], sigmaQint_ym=[0.1])
+    t = mpc.MovingHorizonEstimator(pend, He=He, sigmaQ=[0.1, 1.0],
+                                   sigmaR=[5.0], nint_ym=[1],
+                                   sigmaQint_ym=[0.1], covestim=ce)
+    t.setconstraint(xhatmin=[-2 * np.pi, -50.0, -50.0],
+                    xhatmax=[2 * np.pi, 50.0, 50.0])
+    fleet = BatchedMHE(t, B, dtype=jnp.float32)
+    # TRUE pendulum trajectories (host NumPy RK4, pre-generated): random
+    # persistent torque, ym = angle + noise
+    rng = np.random.default_rng(5)
+    g_, L_, Kp_, m_ = 9.8, 0.4, 1.2, 0.3
+    Ts = 0.1
+
+    def f_np(x, u):
+        return np.stack([x[:, 1],
+                         -g_ / L_ * np.sin(x[:, 0]) - Kp_ / m_ * x[:, 1]
+                         + u[:, 0] / (m_ * L_ ** 2)], axis=1)
+
+    def rk4(x, u):
+        k1 = f_np(x, u)
+        k2 = f_np(x + 0.5 * Ts * k1, u)
+        k3 = f_np(x + 0.5 * Ts * k2, u)
+        k4 = f_np(x + Ts * k3, u)
+        return x + Ts / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    n_win, n_disp = 3, 2
+    n_total = He + 1 + (n_win * n_disp + 1) * K + 2
+    x_true = np.zeros((B, 2))
+    u_seq = 0.5 * rng.standard_normal((4, B, 1)).astype(np.float64)
+    ys, us = [], []
+    for k in range(n_total):
+        u_k = u_seq[k % 4]
+        ys.append((x_true[:, :1] * 180 / np.pi
+                   + rng.normal(size=(B, 1)) * 2.0))
+        us.append(u_k)
+        x_true = rk4(x_true, u_k)
+    for k in range(He + 1):            # window fill + compile
+        x = fleet.step(ys[k], u_prev=(us[k - 1] if k else None))
+    np.asarray(x)
+    kk = He + 1
+    x = fleet.multistep(np.stack(ys[kk:kk + K]),
+                        np.stack(us[kk - 1:kk - 1 + K]))
+    np.asarray(x)                      # compile the scan
+    kk += K
+    win = []
+    for _ in range(n_win):
+        t0 = time.time()
+        for _ in range(n_disp):
+            x = fleet.multistep(np.stack(ys[kk:kk + K]),
+                                np.stack(us[kk - 1:kk - 1 + K]))
+            kk += K
+        np.asarray(x)
+        win.append((time.time() - t0) / (n_disp * K))
+    dt = float(np.median(win))
+    n_ok = int(np.asarray(fleet.last_ok).sum())
+    res = {"metric": f"nonlinear BatchedMHE solves/s/chip (pendulum, "
+                     f"He={He}, x-bounds, GN-SQP+EKF arrival cov, "
+                     f"K={K}/dispatch, B={B}, {platform})",
+           "value": round(B / dt, 1), "unit": "solves/s",
+           "step_ms": round(dt * 1e3, 2), "steps_per_dispatch": K,
+           "converged": n_ok, "batch": B}
+    print(f"# mhe_nonlin: {res['value']}/s step={res['step_ms']}ms "
+          f"conv={n_ok}/{B}", file=sys.stderr)
+    return res
+
+
+def _bench_explicit(platform, B_total=16384, n_distinct=64):
+    """BatchedExplicitMPC closed-loop fleet (unconstrained analytic MPC +
+    SKF feedback; reference per-call analogue: ExplicitMPC cases in
+    benchmark/3_bench_predictive_control.jl).  Promoted from bench_fleets
+    prose into the tracked artifact (round-4 verdict #6)."""
+    import jax
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+    from mpc_tpu.parallel import BatchedExplicitMPC
+    from mpc_tpu.utils.config import jit32
+
+    K = int(os.environ.get("MPC_BENCH_K", "8"))
+    rng = np.random.default_rng(6)
+    ctrls, plants = [], []
+    for i in range(n_distinct):
+        rngi = np.random.default_rng(100 + i)
+        g = rngi.uniform(0.8, 1.6, size=4) * np.array([1.9, 1.9, -0.74,
+                                                       0.74])
+        Ge = np.array([[mpc.tf(g[0], [18, 1]), mpc.tf(g[1], [18, 1])],
+                       [mpc.tf(g[2], [8, 1]), mpc.tf(g[3], [8, 1])]],
+                      dtype=object)
+        me = mpc.LinModel(Ge, 2.0)
+        ctrls.append(mpc.ExplicitMPC(me, Hp=10, Hc=2, Mwt=[1, 1],
+                                     Nwt=[0.1, 0.1]))
+        plants.append((np.asarray(me.A), np.asarray(me.Bu),
+                       np.asarray(me.C)))
+    reps = B_total // n_distinct
+    fleet = BatchedExplicitMPC(ctrls, dtype=jnp.float32, reps=reps)
+    tile = lambda i: jnp.asarray(np.tile(
+        np.stack([p[i] for p in plants]), (reps, 1, 1)), jnp.float32)
+    A_t, B_t, C_t = tile(0), tile(1), tile(2)
+    raw = fleet._step
+
+    @jit32
+    def closed_k(p, ep, st, xt, noise_s, ry_s, d_, Ap, Bp, Cp):
+        def body(carry, inp):
+            st_, xt_ = carry
+            noise, ry = inp
+            ym = jnp.einsum("bij,bj->bi", Cp, xt_) + noise
+            u, st2 = raw(p, ep, st_, ym, ry, d_)
+            xt2 = (jnp.einsum("bij,bj->bi", Ap, xt_)
+                   + jnp.einsum("bij,bj->bi", Bp, u))
+            return (st2, xt2), u[0]
+
+        (st2, xt2), u_h = jax.lax.scan(body, (st, xt), (noise_s, ry_s))
+        return u_h[-1], st2, xt2
+
+    seq = [(np.asarray(rng.normal(size=(B_total, 2)) * 0.1, np.float32),
+            np.asarray(rng.normal(size=(B_total, 2)) * 2.0, np.float32))
+           for _ in range(4)]
+    seq_k = [tuple(jnp.asarray(np.stack([seq[(s + i) % 4][j]
+                                         for i in range(K)]))
+                   for j in (0, 1)) for s in range(4)]
+    d_e = jnp.zeros((B_total, 0), jnp.float32)
+    xt = jnp.zeros((B_total, plants[0][0].shape[0]), jnp.float32)
+    u, fleet.state, xt = closed_k(fleet.params, fleet.eparams, fleet.state,
+                                  xt, *seq_k[0], d_e, A_t, B_t, C_t)
+    np.asarray(u)                      # compile + hard sync
+    n_win, n_disp = 3, 4
+    win = []
+    for w in range(n_win):
+        t0 = time.time()
+        for k in range(n_disp):
+            u, fleet.state, xt = closed_k(fleet.params, fleet.eparams,
+                                          fleet.state, xt, *seq_k[k % 4],
+                                          d_e, A_t, B_t, C_t)
+        np.asarray(u)
+        win.append((time.time() - t0) / (n_disp * K))
+    dt = float(np.median(win))
+    res = {"metric": f"BatchedExplicitMPC solves/s/chip (2x2, Hp=10, "
+                     f"closed loop, K={K}/dispatch, B={B_total}, "
+                     f"{platform})",
+           "value": round(B_total / dt, 1), "unit": "solves/s",
+           "step_ms": round(dt * 1e3, 4), "steps_per_dispatch": K,
+           "batch": B_total}
+    print(f"# explicit: {res['value']}/s step={res['step_ms']}ms",
+          file=sys.stderr)
     return res
 
 

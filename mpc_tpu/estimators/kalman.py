@@ -223,6 +223,9 @@ class UnscentedKalmanFilter(StateEstimator):
         m0 = 1 - nx_hat / gamma ** 2
         w = 1 / (2 * gamma ** 2)
         self.gamma = float(gamma)  # python float: weak-typed under jax promotion
+        # kept for the f32-fleet envelope guard (BatchedNonLinMPC): the
+        # sigma weights scale ~1/α², which amplifies f32 rounding
+        self.alpha = float(alpha)
         self.m_hat = np.concatenate([[m0], np.full(2 * nx_hat, w)])
         self.S_hat = np.concatenate([[m0 + 1 - alpha ** 2 + beta], np.full(2 * nx_hat, w)])
 

@@ -43,6 +43,26 @@ class BatchedNonLinMPC:
         when lanes' SQP iteration counts genuinely vary."""
         self.t = template
         self.B = int(batch)
+        # f32-UKF envelope guard: the classic UKF alpha=1e-3 puts
+        # ~1/α² ≈ 1e6-scale sigma weights into the mean/cov sums, and in
+        # an f32 fleet the cancellation error reaches O(degrees) of state
+        # error per correction (measured: 2.3° from a ZERO innovation on
+        # the pendulum; the closed loop silently mis-tracked by ~15°).
+        # alpha ≥ 0.1 keeps the f32 UKF within ~1e-5 of f64.
+        import jax.numpy as _jnp
+        if dtype == _jnp.float32:
+            from ..estimators import UnscentedKalmanFilter
+            est = template.estim
+            if (isinstance(est, UnscentedKalmanFilter)
+                    and getattr(est, "alpha", 1.0) < 0.1):
+                import warnings
+                warnings.warn(
+                    f"UnscentedKalmanFilter(alpha={est.alpha:g}) in a "
+                    f"float32 fleet: sigma weights ~1/alpha^2 amplify f32 "
+                    f"rounding to O(degrees) of state error per step — "
+                    f"construct the estimator with alpha >= 0.1 for f32 "
+                    f"fleets (the mean/cov are exact in alpha for linear "
+                    f"measurement maps).")
         self.chunk = None
         if chunk is not None and mesh is None:
             chunk = min(int(chunk), self.B)
