@@ -385,6 +385,11 @@ class SLMPC(PredictiveController):
 
         Returns ``step(states, ym, ry, d, bounds) -> (u, converged, states)``
         with leading batch axis B on every argument except ``bounds``.
+
+        ``chunk`` larger than ``B`` is CLAMPED to ``B`` (full-width vmap)
+        — the default chunk=256 should not force every small fleet to
+        pass an explicit value; pass ``chunk=B`` explicitly if you want
+        to be alerted to a mismatch via the divisibility check below.
         """
         chunk = min(int(chunk), int(B))
         if B % chunk:

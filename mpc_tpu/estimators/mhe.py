@@ -660,11 +660,18 @@ class MovingHorizonEstimator(StateEstimator):
 
     # ------------------------------------------------------------------
     def _fast_applicable(self):
-        """Construct-time-matrix + GI path: LinModel, SingleShooting,
-        no custom constraints, and no NaN measurement in the window (a NaN
-        changes the per-lane V-row weights and hence H̃)."""
+        """Construct-time-matrix + GI path: LinModel, no custom
+        constraints, and no NaN measurement in the window (a NaN changes
+        the per-lane V-row weights and hence H̃).  MultipleShooting
+        windows are served by the SAME path (round-5): for a LinModel the
+        defect equalities are linear, so condensing X̂ = Gx·Z_ss + c_x is
+        EXACT — the fast solver works on the SS-form decisions
+        [ϵ; x̂arr; Ŵ] and the MS-layout Z̃ (with its X̂ block) is
+        reconstructed from the rollout for warm starts / the general
+        fallback (reference MS-MHE decision layout:
+        mhe/transcription.jl:92-111,406-545).  TrapezoidalCollocation
+        never reaches here (it requires a NonLinModel)."""
         return (isinstance(self.model, LinModel) and self.nc == 0
-                and not self.is_ms
                 and not np.any(np.isnan(self.Y0m_win[:self.Nk])))
 
     def _solve_window_fast(self):
@@ -744,7 +751,16 @@ class MovingHorizonEstimator(StateEstimator):
         self._y_fast = np.asarray(y_new)
         X = np.asarray(Xd)
         Ym = np.asarray(Ymd)
-        self.Z_tilde = Z.copy()
+        if self.is_ms:
+            # MS layout [ϵ; x̂arr; X̂; Ŵ]: the condensed solve returns the
+            # SS-form [ϵ; x̂arr; Ŵ]; reinsert the (exactly eliminated) X̂
+            # block from the rollout so general-path fallbacks and warm
+            # shifts see a consistent MS warm start
+            ne, nx_ = self.n_eps, self.nx_hat
+            self.Z_tilde = np.concatenate([
+                Z[:ne + nx_], X.reshape(-1), Z[ne + nx_:]])
+        else:
+            self.Z_tilde = Z.copy()
         idx = int(np.clip(self.Nk - 1, 0, He - 1))
         self.x0_hat = (X[idx] if self.Nk > 0
                        else Z[self.n_eps:self.n_eps + nx]).copy()

@@ -490,7 +490,13 @@ def _gi_impl(P, q, A, l, u, y0, *, max_pivots, tol, cache=None, state0=None,
         # (c) an infeasibility certificate on the first try.  Escape = ONE
         # cold restart from the unconstrained minimum (the cold pivot
         # order avoids the degenerate vertex); post-restart certificates
-        # are honored and reported.
+        # are honored and reported.  NOTE: the restart budget is ONE SHOT
+        # SHARED across all escape triggers (stall, cycling, infeasibility,
+        # slot-cap overflow): a lane that spends it clearing warm-start
+        # pollution cannot escape a later f32 degenerate cycle in the same
+        # solve and burns pivots to max_pivots, reporting converged=False —
+        # honest but slower (advisor r04; kept one-shot deliberately, a
+        # second restart from the same cold point cannot help).
         zero_run = jnp.where(stepping & (t <= tiny), st["zrun"] + 1, 0)
         rehit = fresh & ((j == st["d1"]) | (j == st["d2"]))
         vstall = jnp.where(rehit, st["vstall"] + 1,

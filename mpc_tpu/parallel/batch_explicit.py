@@ -34,6 +34,17 @@ class BatchedExplicitMPC:
 
     def __init__(self, controllers, dtype=None, reps: int = 1):
         c0 = controllers[0]
+        # homogeneity contract (advisor r04): heterogeneous fleets would
+        # otherwise die inside np.stack with an opaque shape error
+        for i, c in enumerate(controllers[1:], 1):
+            m0, mi = c0.estim.model, c.estim.model
+            key0 = (c0.Hp, c0.Hc, m0.nu, m0.ny, m0.nd)
+            keyi = (c.Hp, c.Hc, mi.nu, mi.ny, mi.nd)
+            if keyi != key0:
+                raise ValueError(
+                    f"BatchedExplicitMPC needs homogeneous controllers: "
+                    f"controller 0 has (Hp, Hc, nu, ny, nd)={key0}, "
+                    f"controller {i} has {keyi}")
         self.n_distinct = len(controllers)
         self.reps = int(reps)
         self.B = self.n_distinct * self.reps

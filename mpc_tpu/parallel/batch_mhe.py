@@ -90,6 +90,15 @@ class BatchedMHE:
             raise ValueError("BatchedMHE supports the direct (p=0) form")
         if solver not in ("auto", "general"):
             raise ValueError("solver must be 'auto' or 'general'")
+        # validate gi_chunks UNCONDITIONALLY: it only takes effect on the
+        # GI fast path, and a user requesting it on a general-solver fleet
+        # would otherwise silently run unchunked (advisor r04)
+        if int(gi_chunks) < 1:
+            raise ValueError("gi_chunks must be ≥ 1")
+        if int(gi_chunks) > 1 and (mesh is not None
+                                   or int(batch) % int(gi_chunks)):
+            raise ValueError("gi_chunks requires a single-device fleet "
+                             "with batch % gi_chunks == 0")
         self.t = template
         self.B = int(batch)
         # dtype=jnp.float32 runs the vmapped window QP in TPU-native f32
@@ -113,15 +122,30 @@ class BatchedMHE:
                 else np.asarray(a))
         from ..models import LinModel
         self._lin = isinstance(t.model, LinModel)
-        self._fast = (solver == "auto" and self._lin and t.nc == 0
-                      and not t.is_ms)
+        # MS windows ride the SAME fast path (round-5): for a LinModel the
+        # defect equalities are linear, so condensing X̂ out is exact — the
+        # fleet carries the SS-form decisions [ϵ; x̂arr; Ŵ] and the MS
+        # layout is reconstructed only for the general-solver fallback
+        # (see MovingHorizonEstimator._fast_applicable)
+        self._fast = (solver == "auto" and self._lin and t.nc == 0)
+        self._ms_cond = bool(self._fast and t.is_ms)
+        if int(gi_chunks) > 1 and not self._fast:
+            import warnings
+            warnings.warn("gi_chunks only affects the GI fast path; this "
+                          "fleet resolves to the general in-graph solver "
+                          f"(solver={solver!r}, LinModel={self._lin}, "
+                          f"nc={t.nc}, ms={t.is_ms}) and will run "
+                          "unchunked")
         # ---- device-resident per-stream window state ----------------------
         state = dict(
             Y0m=np.full((batch, He, nym), np.nan, np_dt),
             U0=np.zeros((batch, He, nu), np_dt),
             D0=np.zeros((batch, He + 1, nd), np_dt),
             X0_old=np.zeros((batch, He, nx), np_dt),
-            Z=np.zeros((batch, t.nZt), np_dt),
+            # condensed SS-form decisions for fast MS fleets (X̂ exact-
+            # eliminated); full t.nZt layout otherwise
+            Z=np.zeros((batch, (t.n_eps + nx + He * nx) if self._ms_cond
+                        else t.nZt), np_dt),
             x0_hat=np.zeros((batch, nx), np_dt),
             pending_u0=np.zeros((batch, nu), np_dt),
         )
@@ -201,11 +225,19 @@ class BatchedMHE:
             D0 = jnp.where(moving, shift(st["D0"]), st["D0"])
             X0o = jnp.where(moving, shift(st["X0_old"]), st["X0_old"])
             Z = st["Z"]
+            ms_full = t.is_ms and not self._ms_cond  # MS layout in state
+            wo = ne + nx + (He * nx if ms_full else 0)   # Ŵ block offset
             if He > 1:
-                # warm start shift (Ŵ block) + arrival seed
-                Zs = Z.at[:, ne + nx:ne + nx + (He - 1) * nx].set(
-                    Z[:, ne + 2 * nx:])
-                Zs = Zs.at[:, ne + nx + (He - 1) * nx:].set(0.0)
+                # warm start shift: X̂ block (full-MS layout only) then Ŵ
+                # block + arrival seed (mirrors _add_data,
+                # mhe/transcription.jl:936-1075)
+                Zs = Z
+                if ms_full:
+                    xo = ne + nx
+                    Zs = Zs.at[:, xo:xo + (He - 1) * nx].set(
+                        Z[:, xo + nx:xo + He * nx])
+                Zs = Zs.at[:, wo:wo + (He - 1) * nx].set(Zs[:, wo + nx:])
+                Zs = Zs.at[:, wo + (He - 1) * nx:].set(0.0)
                 Z = jnp.where(moving, Zs, Z)
             Nk = jnp.where(moving, Nk_prev, Nk_prev + 1)
             i = Nk - 1
@@ -224,11 +256,26 @@ class BatchedMHE:
             mask_w = (jnp.arange(He) < Nk).astype(Y0m.dtype)
             return (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk, mask_w, moving)
 
+        ms_cond = self._ms_cond
+
         def advance(c, st, ym, u_prev, d, has_u, invP, Nk_prev):
             """General backend: the in-graph GN/ADMM window solver."""
             (Y0m, U0, D0, X0o, Z, pend, x_arr, Nk,
              mask_w, moving) = shift_insert(c, st, ym, u_prev, d, has_u,
                                             Nk_prev)
+            if ms_cond:
+                # fast-MS fleet falling back to the general solver: the
+                # state carries the CONDENSED [ϵ; x̂arr; Ŵ] decisions —
+                # reinsert the exactly-eliminated X̂ block from the rollout
+                # (Gx·Z + c_x) so the MS-layout solver gets a consistent
+                # warm start, and condense back after the solve
+                def expand(z, U0l, D0l):
+                    cx = (c["Su"] @ U0l.reshape(-1)
+                          + c["Sd"] @ D0l[:-1].reshape(-1) + c["s1"])
+                    Xb = c["Gx"] @ z + cx
+                    return jnp.concatenate([z[:ne + nx], Xb, z[ne + nx:]])
+
+                Z = jax.vmap(expand)(Z, U0, D0)
             mask_v = (mask_w[None, :, None] > 0) & jnp.isfinite(Y0m)
             p = dict(
                 U=U0, D=D0, Y0m=jnp.nan_to_num(Y0m),
@@ -253,6 +300,10 @@ class BatchedMHE:
                      for k in p}
             Zt, x_new, X, Ym, J, ok = jax.vmap(
                 t._solve_jit, in_axes=(in_ax, 0))(p, Z)
+            if ms_cond:
+                wo_ms = ne + nx + He * nx
+                Zt = jnp.concatenate([Zt[:, :ne + nx], Zt[:, wo_ms:]],
+                                     axis=1)
             new_st = dict(st, Y0m=Y0m, U0=U0, D0=D0, X0_old=X0o, Z=Zt,
                           x0_hat=x_new, pending_u0=pend)
             return new_st, x_new + c["xop_hat"], ok, jnp.zeros((), jnp.int32)
@@ -340,10 +391,7 @@ class BatchedMHE:
             asm = mhe_fast.make_assembler(mats)
 
             gi_cap = gi_max_active
-            nch = int(gi_chunks)
-            if nch > 1 and (mesh is not None or batch % nch):
-                raise ValueError("gi_chunks requires a single-device fleet "
-                                 "with batch % gi_chunks == 0")
+            nch = int(gi_chunks)   # validated in __init__ (unconditionally)
 
             def gi(Pq, q, A, l, u, y0, Pinv):
                 return solve_qp_active(Pq, q, A, l, u, y0=y0,

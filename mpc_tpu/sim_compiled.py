@@ -894,7 +894,7 @@ class CompiledNonLinLoop:
             D0 = jnp.tile(d0, Hp)
             Ry = jnp.tile(ry, Hp)
             Ru = p["Uop"]
-            u, Zt, _Zs, y_d, J, viol, iters, _, _, _ = step_fn(
+            u, Zt, _Zs, y_d, J, viol, _stat, iters, _, _, _ = step_fn(
                 p, x0c, st["lastu0"], d0, D0, Ry, Ru, yk, ry,
                 st["Z_tilde"], None)
             lastu0 = u - e["uop"]

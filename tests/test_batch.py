@@ -612,3 +612,46 @@ def test_batched_mhe_nonlinear_matches_singles():
     for k in range(K):
         xk = np.asarray(bat3.step(ym_s[k], u_prev=u_s[k]))
         assert np.allclose(np.asarray(X[k]), xk, atol=1e-9), k
+
+
+def test_batched_mhe_multipleshooting_fast_matches_singles():
+    """MS-MHE fleets ride the condensed fast path (round-5): for a
+    LinModel the defect equalities are linear so eliminating X̂ is exact —
+    the MS fleet runs the SAME kernels as the SS fleet and must match the
+    per-stream MS singles (which also condense) and the SS fleet's
+    estimates exactly."""
+    from mpc_tpu.parallel import BatchedMHE
+    from mpc_tpu.controllers.transcription import MultipleShooting
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+
+    def mk(tr):
+        e = mpc.MovingHorizonEstimator(
+            m, He=4, transcription=tr() if tr else None)
+        e.setconstraint(xhatmin=[-0.5] * e.nx_hat,
+                        xhatmax=[0.5] * e.nx_hat)
+        return e
+
+    B = 3
+    bat_ms = BatchedMHE(mk(MultipleShooting), B)
+    bat_ss = BatchedMHE(mk(None), B)
+    assert bat_ms._fast and bat_ms._ms_cond
+    singles = [mk(MultipleShooting) for _ in range(B)]
+    rng = np.random.default_rng(43)
+    u_prev = np.zeros((B, 1))
+    for k in range(9):
+        ym = rng.normal(size=(B, 1))
+        xm = np.asarray(bat_ms.step(ym, u_prev))
+        xs_fleet = np.asarray(bat_ss.step(ym, u_prev))
+        xs = np.array([singles[i].preparestate(ym[i]) for i in range(B)])
+        assert np.allclose(xm, xs, atol=1e-8), k
+        assert np.allclose(xm, xs_fleet, atol=1e-9), k
+        u_prev = rng.normal(size=(B, 1)) * 0.2
+        for i in range(B):
+            singles[i].updatestate(u_prev[i], ym[i])
+    # NaN dropout keeps the MS fleet on the (nan-variant) fast path too
+    ym = rng.normal(size=(B, 1))
+    ym[1, 0] = np.nan
+    xm = np.asarray(bat_ms.step(ym, u_prev))
+    xs_fleet = np.asarray(bat_ss.step(ym, u_prev))
+    assert np.allclose(xm, xs_fleet, atol=1e-9)
+    assert np.asarray(bat_ms.last_ok).all()
