@@ -537,6 +537,10 @@ class NonLinMPC(PredictiveController):
         rollout = self._rollout_fns()
         sqp_iters, sqp_tol = self.sqp_iters, self.sqp_tol
         kkt_tol, kkt_feas_tol = self.kkt_tol, self.kkt_feas_tol
+        # structured nullspace applies to PLAIN MultipleShooting only:
+        # collocation defect rows have ∂S/∂x̂_j ≠ −I (trap: −I + Ts/2·∂k₂;
+        # ortho: its own K-block coupling) — those keep the generic QR
+        use_struct = (type(self.transcription) is MultipleShooting)
         is_ms = self.is_ms
         use_as = self.qp_solver == "active_set"
         use_exact_h = self.hessian == "exact"
@@ -564,6 +568,8 @@ class NonLinMPC(PredictiveController):
                 J = J + Ewt * JE(Ue, Ye, De, getp(p), eps)
             return J
 
+        f_hat_c, h_hat_c = estim.f_hat, estim.h_hat
+
         def constraint_data(p, Zt, x0_hat, lastu0, Df, Dh, d, D_hat, yk):
             """Values+Jacobians of the nonlinear pieces at the iterate."""
             Z, eps = split(Zt)
@@ -574,8 +580,48 @@ class NonLinMPC(PredictiveController):
                 return Y0, xend, S
 
             Y0, xend, S = yx(Zt)
-            Jall = jax.jacfwd(yx)(Zt)
-            Jy, Jx, Js = Jall
+            if use_struct:
+                # plain-MS Jacobians assembled from PER-STAGE jacfwd
+                # (nx̂+nu forward tangents per stage instead of nZt=47
+                # through the whole transcription): Y/xend/S depend on Z
+                # only through the stage-local maps —
+                # S_j = f̂(x̂_{j-1}, u_j) + c − x̂_j, Y_j = ĥ(x̂_j)
+                X = Z[nDU:nDU + nx_hat * Hp].reshape(Hp, nx_hat)
+                X_prev = jnp.vstack([x0_hat[None, :], X[:-1]])
+                U0m = (p["Pu"] @ Z + p["Tu"] @ lastu0).reshape(Hp, nu)
+                fx = jax.vmap(lambda x, u, df: jax.jacfwd(
+                    lambda xx: jnp.asarray(f_hat_c(xx, u, df)))(x))(
+                        X_prev, U0m, Df)                 # (Hp, nx̂, nx̂)
+                fu = jax.vmap(lambda x, u, df: jax.jacfwd(
+                    lambda uu: jnp.asarray(f_hat_c(x, uu, df)))(u))(
+                        X_prev, U0m, Df)                 # (Hp, nx̂, nu)
+                hx = jax.vmap(lambda x, dh: jax.jacfwd(
+                    lambda xx: jnp.asarray(h_hat_c(xx, dh)))(x))(
+                        X, Dh)                           # (Hp, ny, nx̂)
+                rr = jnp.arange(Hp)
+                Jy4 = jnp.zeros((Hp, ny, Hp, nx_hat), Zt.dtype)
+                Jy4 = Jy4.at[rr, :, rr, :].set(hx)
+                Jy = jnp.zeros((ny * Hp, nZt), Zt.dtype).at[
+                    :, nDU:nDU + nx_hat * Hp].set(
+                        Jy4.reshape(ny * Hp, nx_hat * Hp))
+                JsX4 = jnp.zeros((Hp, nx_hat, Hp, nx_hat), Zt.dtype)
+                JsX4 = JsX4.at[rr, :, rr, :].set(
+                    -jnp.eye(nx_hat, dtype=Zt.dtype)[None])
+                JsX4 = JsX4.at[rr[1:], :, rr[:-1], :].set(fx[1:])
+                # ΔU columns: ∂S_j/∂ΔU = fu_j @ ∂u_j/∂ΔU (Pu rows)
+                Pu_du = p["Pu"][:, :nDU].reshape(Hp, nu, nDU)
+                Js_du = jnp.einsum("jxu,jud->jxd", fu,
+                                   Pu_du).reshape(neq, nDU)
+                Js = jnp.zeros((neq, nZt), Zt.dtype)
+                Js = Js.at[:, :nDU].set(Js_du)
+                Js = Js.at[:, nDU:nDU + nx_hat * Hp].set(
+                    JsX4.reshape(neq, nx_hat * Hp))
+                Jx = jnp.zeros((nx_hat, nZt), Zt.dtype).at[
+                    :, nDU + (Hp - 1) * nx_hat:nDU + Hp * nx_hat].set(
+                        jnp.eye(nx_hat, dtype=Zt.dtype))
+            else:
+                Jall = jax.jacfwd(yx)(Zt)
+                Jy, Jx, Js = Jall
             gcv = jnp.zeros(0)
             Jgc = jnp.zeros((0, nZt))
             if nc:
@@ -869,11 +915,112 @@ class NonLinMPC(PredictiveController):
                     # a tiny inequality-only reduced QP it solves accurately.
                     # (Stacking the neq≈nx̂·Hp equality rows into ADMM gave
                     # inexact steps that stalled the OC swing-up at |S|≈6.)
-                    Qf, Rf = jnp.linalg.qr(Js.T, mode="complete")
-                    Q1, Nn = Qf[:, :neq], Qf[:, neq:]
-                    Rsq = Rf[:neq, :]
-                    dp = Q1 @ jax.scipy.linalg.solve_triangular(
-                        Rsq.T, -S, lower=True)
+                    nv = nZt - neq
+                    if use_struct:
+                        # STRUCTURED nullspace for plain MultipleShooting
+                        # (round-5): the generic complete QR of the
+                        # (nZt, neq) defect Jacobian is a serial Householder
+                        # chain — 131 ms/SQP-iteration at the pendulum fleet
+                        # shape (B=4096, 47×45), THE per-iteration cost on
+                        # TPU (CLAUDE.md: serial linalg in jitted loops).
+                        # The MS defect rows are block-bidiagonal with
+                        # ∂S_j/∂x̂_j = −I exactly (outputs_ms: S =
+                        # F(x̂_{j-1}, u) − x̂_j), so:
+                        # * null basis by sensitivity propagation:
+                        #   N_raw = [[I_nv]; [T]], Jx·T = −J_du — an
+                        #   Hp-step forward scan of (nx̂, nx̂) matvecs;
+                        # * thin QR of (nZt, nv≈nu·Hc) orthonormalizes it
+                        #   (~6 ms).  Orthonormality is LOAD-BEARING in
+                        #   f32: the raw condensing basis carries the
+                        #   e^{λ·Hp·Ts} sensitivity chains that broke
+                        #   SingleShooting;
+                        # * minimal-norm equality solves project a
+                        #   particular solution: x − Nn(Nnᵀx);
+                        # * equality multipliers from the X̂-block rows:
+                        #   Jxᵀλ = −r_x (backward scan).
+                        JsX = Js[:, nDU:nDU + neq]
+                        Jdu_c = jnp.concatenate(
+                            [Js[:, :nDU], Js[:, nDU + neq:]], axis=1)
+                        sub = JsX.reshape(Hp, nx_hat, Hp, nx_hat)
+                        jj = jnp.arange(1, Hp)
+                        Ablk = sub[jj, :, jj - 1, :]     # (Hp-1, nx̂, nx̂)
+
+                        def jx_solve(Bmat):
+                            """Jx·T = B by forward substitution
+                            (row j: A_j t_{j-1} − t_j = b_j)."""
+                            Bs = Bmat.reshape(Hp, nx_hat, -1)
+                            t0_ = -Bs[0]
+
+                            def fwd(tp, inp):
+                                Aj, bj = inp
+                                tj = Aj @ tp - bj
+                                return tj, tj
+
+                            _, trest = jax.lax.scan(fwd, t0_,
+                                                    (Ablk, Bs[1:]))
+                            return jnp.concatenate(
+                                [t0_[None], trest], 0).reshape(neq, -1)
+
+                        T_sens = jx_solve(-Jdu_c)
+                        N_raw = jnp.zeros((nZt, nv), dt)
+                        N_raw = N_raw.at[:nDU, :nDU].set(
+                            jnp.eye(nDU, dtype=dt))
+                        N_raw = N_raw.at[nDU:nDU + neq, :].set(T_sens)
+                        if n_eps:
+                            N_raw = N_raw.at[-1, -1].set(1.0)
+                        # statically-unrolled modified Gram–Schmidt (two
+                        # passes — "twice is enough"): nv ≈ nu·Hc is tiny
+                        # and even a thin batched jnp QR costs ~6 ms per
+                        # SQP iteration at fleet shape; the identity block
+                        # guarantees independence (‖col‖ ≥ 1), so no
+                        # pivoting/guarding is needed
+                        cols = []
+                        for ci in range(nv):
+                            v_c = N_raw[:, ci]
+                            for _ in range(2):
+                                for q_c in cols:
+                                    v_c = v_c - (q_c @ v_c) * q_c
+                            v_c = v_c / jnp.linalg.norm(v_c)
+                            cols.append(v_c)
+                        Nn = jnp.stack(cols, axis=1)     # thin (nZt, nv)
+
+                        def eq_min_norm(rhs):
+                            """Minimal-norm x with Js·x = rhs."""
+                            x_any = jnp.zeros(nZt, dt).at[
+                                nDU:nDU + neq].set(jx_solve(
+                                    rhs[:, None])[:, 0])
+                            return x_any - Nn @ (Nn.T @ x_any)
+
+                        def eq_mult(resid_):
+                            """λ with Jsᵀλ = −resid (X̂-block rows):
+                            λ_j = r_j + A_{j+1}ᵀ λ_{j+1}, backward."""
+                            rs = resid_[nDU:nDU + neq].reshape(Hp, nx_hat)
+                            lam_last = rs[Hp - 1]
+
+                            def bwd(ln, inp):
+                                Aj1, rj = inp
+                                lj = rj + Aj1.T @ ln
+                                return lj, lj
+
+                            _, lrest = jax.lax.scan(
+                                bwd, lam_last, (Ablk, rs[:-1]),
+                                reverse=True)
+                            return jnp.concatenate(
+                                [lrest, lam_last[None]], 0).reshape(neq)
+                    else:
+                        Qf, Rf = jnp.linalg.qr(Js.T, mode="complete")
+                        Q1, Nn = Qf[:, :neq], Qf[:, neq:]
+                        Rsq = Rf[:neq, :]
+
+                        def eq_min_norm(rhs):
+                            return Q1 @ jax.scipy.linalg.solve_triangular(
+                                Rsq.T, rhs, lower=True)
+
+                        def eq_mult(resid_):
+                            return jax.scipy.linalg.solve_triangular(
+                                Rsq, -(Q1.T @ resid_), lower=False)
+
+                    dp = eq_min_norm(-S)
                     Hr = Nn.T @ H @ Nn
                     gr = Nn.T @ (g + H @ dp)
                     # trust-region box on the tangential step ‖v‖∞ ≤ Δ: a
@@ -881,7 +1028,6 @@ class NonLinMPC(PredictiveController):
                     # over-long Newton direction (the swing-up crawled at
                     # α=0.01 along |dz|≈4 steps far outside the linearization's
                     # validity; the normal step dp stays full — restoration)
-                    nv = nZt - neq
                     A_r = jnp.vstack([A @ Nn, jnp.eye(nv, dtype=dt)])
                     l_r = jnp.concatenate([l - A @ dp, jnp.full(nv, -1.0, dt) * tr])
                     u_r = jnp.concatenate([u_b - A @ dp, jnp.full(nv, 1.0, dt) * tr])
@@ -899,8 +1045,7 @@ class NonLinMPC(PredictiveController):
                     m_in = A.shape[0]
                     resid = (H @ dz + g + A.T @ sol.y[:m_in]
                              + Nn @ sol.y[m_in:])
-                    lam = jax.scipy.linalg.solve_triangular(
-                        Rsq, -(Q1.T @ resid), lower=False)
+                    lam = eq_mult(resid)
                     lam_new = lam
                     dual_inf = jnp.maximum(jnp.linalg.norm(sol.y[:m_in], jnp.inf),
                                            jnp.linalg.norm(lam, jnp.inf))
@@ -909,15 +1054,15 @@ class NonLinMPC(PredictiveController):
                     # (Maratos-type crawl: swing-up steps accepted only at
                     # α=0.01).  Re-evaluate the defects at the trial point and
                     # take the minimal-norm restoration c = −Js⁺S(Zt+dz)
-                    # (Nocedal & Wright §15.6, reusing the QR above); the line
-                    # search tries Zt + α·dz + α²·c so SOC vanishes as α→0.
+                    # (Nocedal & Wright §15.6, reusing the factorization
+                    # above); the line search tries Zt + α·dz + α²·c so SOC
+                    # vanishes as α→0.
                     def S_of(Zt_):
                         Z_, _ = split(Zt_)
                         _, _, S_, _ = rollout(p, Z_, x0_hat, lastu0, Df, Dh)
                         return S_
 
-                    c_soc = Q1 @ jax.scipy.linalg.solve_triangular(
-                        Rsq.T, -S_of(Zt + dz), lower=True)
+                    c_soc = eq_min_norm(-S_of(Zt + dz))
                 else:
                     A_r = jnp.vstack([A, jnp.eye(nZt, dtype=dt)])
                     l_r = jnp.concatenate([l, jnp.full(nZt, -1.0, dt) * tr])

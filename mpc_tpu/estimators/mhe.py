@@ -47,7 +47,7 @@ class MovingHorizonEstimator(StateEstimator):
                  sigmaQ=None, sigmaR=None, sigmaQint_u=None, sigmaQint_ym=None,
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
                  Q_hat=None, R_hat=None, P0_hat=None, Cwt=np.inf,
-                 covestim=None, direct=True, sqp_iters=12,
+                 covestim=None, direct=True, sqp_iters=12, sqp_tol=1e-6,
                  gc=None, nc=0, p=None, transcription=None):
         if He is None or He < 1:
             raise ValueError("estimation horizon He should be ≥ 1")
@@ -70,6 +70,11 @@ class MovingHorizonEstimator(StateEstimator):
             raise ValueError("Cwt weight should be ≥ 0")
         self.n_eps = 0 if np.isinf(Cwt) else 1
         self.sqp_iters = int(sqp_iters)
+        # relative step-norm exit of the GN loop (round-5): warm-started
+        # receding windows re-converge in 1-2 iterations at steady state —
+        # a FIXED 12-iteration fori burned ~6-10× the needed work on every
+        # nonlinear window solve (and on every lane of a fleet)
+        self.sqp_tol = float(sqp_tol)
         # custom nonlinear constraints gc(X̂e, V̂e, Ŵe, Ue, Yem, De, P̄, x̄, p, ε)
         # ≤ 0 (mhe/construct.jl:437-448); invalid window slots are NaN-padded
         self.gc = gc
@@ -236,6 +241,7 @@ class MovingHorizonEstimator(StateEstimator):
             h_hat_m = lambda x, d0, _p=None: _hm(x, d0)
         Cwt = self.Cwt
         sqp_iters = self.sqp_iters
+        sqp_tol = self.sqp_tol
         from ..ops.qp import solve_qp
 
         p_form = 0 if self.direct else 1
@@ -531,8 +537,8 @@ class MovingHorizonEstimator(StateEstimator):
 
             neq = He * nx_hat if is_ms else 0
 
-            def body(i, carry):
-                Zt, y_d, _, mu = carry
+            def body(carry):
+                Zt, y_d, _, mu, it, _ = carry
                 g = grad_f(Zt)
                 H = gn_hessian(Zt)
                 A, l, u, Xv, Vv = constraint_rows(Zt)
@@ -612,14 +618,25 @@ class MovingHorizonEstimator(StateEstimator):
                     best = jnp.argmin(merits)
                     a = jnp.where(merits[best] < merit(Zt), alphas[best], 0.0)
                     Zn = Zt + a * dz + (a * a) * c_soc
-                return Zn, sol.y, sol.converged, mu
+                sn = jnp.linalg.norm(Zn - Zt, jnp.inf)
+                return Zn, sol.y, sol.converged, mu, it + 1, sn
+
+            def cond(carry):
+                Zt, _, _, _, it, sn = carry
+                # step-norm early exit (round-5): warm-started receding
+                # windows re-converge in 1-2 GN iterations at steady state;
+                # the old fixed fori burned all sqp_iters on every solve
+                # (and on every lane of a lockstep fleet)
+                return (it < n_iters) & ((it < 1) | (
+                    sn > sqp_tol * (1.0 + jnp.linalg.norm(Zt, jnp.inf))))
 
             n_rows = (2 * nx_hat + 4 * He * nx_hat + 2 * He * nym + n_eps
                       + nc)
             y0_init = jnp.zeros(n_rows, dt)
-            Zt, _, ok, _ = jax.lax.fori_loop(
-                0, n_iters, body,
-                (Zt0, y0_init, jnp.array(True), jnp.asarray(1e4, dt)))
+            Zt, _, ok, _, _, _ = jax.lax.while_loop(
+                cond, body,
+                (Zt0, y0_init, jnp.array(True), jnp.asarray(1e4, dt),
+                 jnp.array(0), jnp.asarray(jnp.inf, dt)))
             # final rollout for the state estimate
             eps, x_arr, W = pack_problem(p, Zt)
             X, Ym = rollout_z(p, Zt)
