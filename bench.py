@@ -945,9 +945,13 @@ def _bench_mhe_nonlin(platform, B=1024, He=10):
                            solver=mpc.RungeKutta(4))
     ce = mpc.ExtendedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
                                   nint_ym=[1], sigmaQint_ym=[0.1])
+    # active_set window-QP backend: the GI pivots replace the in-solve
+    # ADMM ρ-ladder (3 batched 44² inversions + ~250 f32 sweeps per GN
+    # iteration) — the same OSQP→DAQP trade as every other lane
     t = mpc.MovingHorizonEstimator(pend, He=He, sigmaQ=[0.1, 1.0],
                                    sigmaR=[5.0], nint_ym=[1],
-                                   sigmaQint_ym=[0.1], covestim=ce)
+                                   sigmaQint_ym=[0.1], covestim=ce,
+                                   qp_solver="active_set")
     t.setconstraint(xhatmin=[-2 * np.pi, -50.0, -50.0],
                     xhatmax=[2 * np.pi, 50.0, 50.0])
     fleet = BatchedMHE(t, B, dtype=jnp.float32)

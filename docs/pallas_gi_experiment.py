@@ -114,3 +114,26 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# ---------------------------------------------------------------------------
+# ROUND-5 SUPERSEDING MEASUREMENT (docs/gi_decomp_r5.py, v5e via axon,
+# 2026-08-21, pure-f32 slot space — the production large-lane layout since
+# round 4's end; the round-4 "fusion needs in-kernel f64 / double-single"
+# blocker NO LONGER APPLIES):
+#
+#   full GI solve  (B=4096, n=33, m=897, cap=12, ~4 active rows,
+#                   4096/4096 converged, pivots mean 5 / max 14): 11.66 ms
+#   violation scans alone ×14 (the XLA-optimal part):              3.70 ms
+#   → slot-space bookkeeping + loop overhead = 68% of the solve
+#   → fused-pivot-kernel CEILING: 3.16× on the GI solve if the ~100
+#     small per-iteration slot ops became one launch
+#
+# The fusion candidate is now a pure-f32 port of the ~100-op pivot body
+# (ops/qp_active.py `body`) into ONE pallas_call per while iteration,
+# keeping the violation scan + row gather in XLA.  Remaining blockers are
+# engineering, not precision: Mosaic requires statically unrolled tiny
+# contractions (the body's Pinv matvecs at n=33 unroll to ~2k vector FMAs
+# per iteration — compile-time risk) and the round-4 finding that 3D
+# lane-major slot tables DMA in 512 B stripes.  Recorded as the TOP
+# device-side lever for the large lane (its device step is ~70% GI solve),
+# with the ceiling quantified above; not built this round.

@@ -48,7 +48,8 @@ class MovingHorizonEstimator(StateEstimator):
                  sigmaP_0=None, sigmaPint_u_0=None, sigmaPint_ym_0=None,
                  Q_hat=None, R_hat=None, P0_hat=None, Cwt=np.inf,
                  covestim=None, direct=True, sqp_iters=12, sqp_tol=1e-6,
-                 gc=None, nc=0, p=None, transcription=None):
+                 qp_solver="admm", gc=None, nc=0, p=None,
+                 transcription=None):
         if He is None or He < 1:
             raise ValueError("estimation horizon He should be ≥ 1")
         self._init_common(model, i_ym, nint_u, nint_ym, direct)
@@ -75,6 +76,13 @@ class MovingHorizonEstimator(StateEstimator):
         # a FIXED 12-iteration fori burned ~6-10× the needed work on every
         # nonlinear window solve (and on every lane of a fleet)
         self.sqp_tol = float(sqp_tol)
+        # QP backend of the GENERAL (nonlinear / custom-constraint) window
+        # solver: "admm" (ρ-ladder, round-3 default) or "active_set" (exact
+        # GI pivots — the same OSQP→DAQP trade that carried every other
+        # fleet; the LinModel fast path always uses GI regardless)
+        if qp_solver not in ("admm", "active_set"):
+            raise ValueError("qp_solver must be 'admm' or 'active_set'")
+        self.qp_solver = qp_solver
         # custom nonlinear constraints gc(X̂e, V̂e, Ŵe, Ue, Yem, De, P̄, x̄, p, ε)
         # ≤ 0 (mhe/construct.jl:437-448); invalid window slots are NaN-padded
         self.gc = gc
@@ -242,7 +250,9 @@ class MovingHorizonEstimator(StateEstimator):
         Cwt = self.Cwt
         sqp_iters = self.sqp_iters
         sqp_tol = self.sqp_tol
+        use_as = self.qp_solver == "active_set"
         from ..ops.qp import solve_qp
+        from ..ops.qp_active import solve_qp_active
 
         p_form = 0 if self.direct else 1
         gc, nc, p_user = self.gc, self.nc, self.p_user
@@ -559,8 +569,13 @@ class MovingHorizonEstimator(StateEstimator):
                         Rsq.T, -Sv, lower=True)
                     Hr = Nn.T @ H @ Nn
                     gr = Nn.T @ (g + H @ dp)
-                    sol = solve_qp(Hr, gr, A @ Nn, l - A @ dp, u - A @ dp,
-                                   y0=y_d, max_iter=None, tol=1e-8, n_lad=3)
+                    if use_as:
+                        sol = solve_qp_active(Hr, gr, A @ Nn, l - A @ dp,
+                                              u - A @ dp, y0=y_d)
+                    else:
+                        sol = solve_qp(Hr, gr, A @ Nn, l - A @ dp,
+                                       u - A @ dp, y0=y_d, max_iter=None,
+                                       tol=1e-8, n_lad=3)
                     dz = dp + Nn @ sol.x
                     # equality multipliers from stationarity → adaptive ℓ1
                     # penalty (must dominate the duals, N&W Thm 17.3)
@@ -580,8 +595,11 @@ class MovingHorizonEstimator(StateEstimator):
                     # inversion, and warm-started window QPs never walk far
                     # from the centre rung (measured: 9→3 is 1.7× on the
                     # B=4096 fleet with identical convergence)
-                    sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=None,
-                                   tol=1e-8, n_lad=3)
+                    if use_as:
+                        sol = solve_qp_active(H, g, A, l, u, y0=y_d)
+                    else:
+                        sol = solve_qp(H, g, A, l, u, y0=y_d, max_iter=None,
+                                       tol=1e-8, n_lad=3)
                     dz = sol.x
                     dual_inf = jnp.linalg.norm(sol.y, jnp.inf)
                     mu = jnp.clip(mu, 2.0 * dual_inf, 20.0 * dual_inf + 1e3)

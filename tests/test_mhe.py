@@ -707,3 +707,39 @@ def test_mhe_fast_path_resumes_after_nan_interlude(linmodel):
     cold = run(cold_resume=True)
     assert np.all(np.isfinite(warm))
     assert np.allclose(warm, cold, atol=1e-8)
+
+
+def test_nonlinear_mhe_active_set_matches_admm():
+    """The GI active-set window-QP backend (round-5) reproduces the ADMM
+    backend on a constrained nonlinear pendulum MHE (both transcriptions
+    of the general solver path)."""
+    import jax.numpy as jnp
+
+    def f(x, u, d, par):
+        g, L, K_, m_ = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K_ / m_ * x[1]
+                          + u[0] / (m_ * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0]])
+
+    def mk(qp):
+        pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                               solver=mpc.RungeKutta(4))
+        e = mpc.MovingHorizonEstimator(pend, He=4, sigmaQ=[0.1, 1.0],
+                                       sigmaR=[0.5], nint_ym=[1],
+                                       sigmaQint_ym=[0.1], qp_solver=qp)
+        e.setconstraint(xhatmin=[-0.3, -5.0, -5.0],
+                        xhatmax=[0.3, 5.0, 5.0])
+        return e
+
+    ea, eb = mk("active_set"), mk("admm")
+    rng = np.random.default_rng(47)
+    for k in range(8):
+        ym = rng.normal(size=1) * 0.3
+        xa = ea.preparestate(ym)
+        xb = eb.preparestate(ym)
+        assert np.allclose(xa, xb, atol=2e-5), (k, np.abs(xa - xb).max())
+        assert xa[0] <= 0.3 + 1e-6
+        u = rng.normal(size=1) * 0.3
+        ea.updatestate(u, ym)
+        eb.updatestate(u, ym)
