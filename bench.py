@@ -459,7 +459,9 @@ def _run_one(name):
         # large-problem config: 8×8 plant, Hp=15 — MXU-shaped matmuls
         def make_large():
             n_distinct = min(32, B_total)
-            ctrls = _large_plant_controllers(n_distinct)
+            ctrls = _large_plant_controllers(
+                n_distinct,
+                gi_max_active=int(os.environ.get("MPC_BENCH_GI_CAP", "12")))
             # limit_solve_time: record p99-vs-Ts compliance (the reference
             # caps every solve at Ts, general.jl:109-121)
             # grouped_chunks=8: each chunk's lockstep GI loop exits at its

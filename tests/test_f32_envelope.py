@@ -226,3 +226,57 @@ print('F32-LINMPC-CL-OK')
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=420)
     assert "F32-LINMPC-CL-OK" in r.stdout, r.stdout[-800:] + r.stderr[-800:]
+
+
+def test_ukf_alpha_f32_envelope():
+    """UKF sigma weights scale ~1/α²: at the classic α=1e-3 the f32
+    weighted-mean sums cancel 1e8-scale products and leave O(degrees) of
+    state error from a ZERO innovation (round-5 finding — this silently
+    mis-tracked the round-4 nonlinear fleet by ~15°); α ≥ 0.1 keeps f32
+    within ~1e-4 of f64.  Pins both sides of the envelope, plus the
+    fleet-construction warning."""
+    import warnings
+    import jax
+    import jax.numpy as jnp
+    import mpc_tpu as mpc
+    from mpc_tpu.parallel import BatchedNonLinMPC
+
+    def f(x, u, d, par):
+        g, L, K_, m_ = par
+        return jnp.array([x[1], -g / L * jnp.sin(x[0]) - K_ / m_ * x[1]
+                          + u[0] / (m_ * L ** 2)])
+
+    h = lambda x, d, par: jnp.array([x[0] * 180 / jnp.pi])
+    x0 = np.array([np.pi * 0.98, 0.05, 0.0])
+    ym0 = np.array([0.98 * 180.0])        # = ĥ(x̂): zero innovation
+    d0 = np.zeros(0)
+    errs = {}
+    for alpha in (1e-3, 0.5):
+        pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1,
+                               p=(9.8, 0.4, 1.2, 0.3),
+                               solver=mpc.RungeKutta(4))
+        est = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0],
+                                        sigmaR=[5.0], nint_ym=[1],
+                                        sigmaQint_ym=[0.1], alpha=alpha)
+        corr, _ = est._kernels()
+        out = {}
+        for dt in (jnp.float64, jnp.float32):
+            x0c, _ = corr(jnp.asarray(x0, dt),
+                          jnp.asarray(est.P0_hat, dt),
+                          jnp.asarray(ym0, dt), jnp.asarray(d0, dt),
+                          jnp.asarray(est.m_hat, dt),
+                          jnp.asarray(est.S_hat, dt),
+                          jnp.asarray(est.R_hat, dt))
+            out[dt] = np.asarray(x0c, float)
+        errs[alpha] = np.abs(out[jnp.float32] - out[jnp.float64]).max()
+    assert errs[0.5] < 1e-4, errs          # safe side of the envelope
+    assert errs[1e-3] > 1e-3, errs         # the hazard is real (pinned)
+    # fleet guard: f32 + small alpha warns
+    pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
+                           solver=mpc.RungeKutta(4))
+    t = mpc.NonLinMPC(pend, Hp=4, Hc=2, sqp_iters=3, sigmaQ=[0.1, 1.0],
+                      sigmaR=[5.0], nint_ym=[1], sigmaQint_ym=[0.1])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        BatchedNonLinMPC(t, 2, dtype=jnp.float32)
+    assert any("alpha" in str(x.message) for x in w)
