@@ -459,9 +459,13 @@ def _run_one(name):
         # large-problem config: 8×8 plant, Hp=15 — MXU-shaped matmuls
         def make_large():
             n_distinct = min(32, B_total)
+            # gi_max_active=8 (round-5 cap sweep: 12 → 352k, 8 → 460k at
+            # 4096/4096 converged; 6-7 → ~470-497k but 5 lanes overflow):
+            # the closed-loop tracking active sets fit 8 slots, and the
+            # (B, slots, slots) table traffic is the step's bandwidth bill
             ctrls = _large_plant_controllers(
                 n_distinct,
-                gi_max_active=int(os.environ.get("MPC_BENCH_GI_CAP", "12")))
+                gi_max_active=int(os.environ.get("MPC_BENCH_GI_CAP", "8")))
             # limit_solve_time: record p99-vs-Ts compliance (the reference
             # caps every solve at Ts, general.jl:109-121)
             # grouped_chunks=8: each chunk's lockstep GI loop exits at its
@@ -484,7 +488,9 @@ def _run_one(name):
         # in_axes=None, so each QP iteration is a true matmul with A/H̃
         # read from HBM once per step instead of once per lane
         def make_shared():
-            ctrls = _large_plant_controllers(1)
+            ctrls = _large_plant_controllers(
+                1, gi_max_active=int(os.environ.get("MPC_BENCH_GI_CAP",
+                                                    "8")))
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=B_total,
                                 share_params=True, grouped_chunks=8)
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
