@@ -472,7 +472,9 @@ def _run_one(name):
             # own slowest lane (diffuse pivot tails, mean≈2.5 max≈30)
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32,
                                 reps=B_total // n_distinct,
-                                limit_solve_time=True, grouped_chunks=8)
+                                limit_solve_time=True,
+                                grouped_chunks=int(os.environ.get(
+                                    "MPC_BENCH_CHUNKS", "32")))
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8, _plant_stack(ctrls, B_total // n_distinct)
@@ -492,7 +494,9 @@ def _run_one(name):
                 1, gi_max_active=int(os.environ.get("MPC_BENCH_GI_CAP",
                                                     "8")))
             bat = BatchedLinMPC(ctrls, dtype=jnp.float32, reps=B_total,
-                                share_params=True, grouped_chunks=8)
+                                share_params=True,
+                                grouped_chunks=int(os.environ.get(
+                                    "MPC_BENCH_CHUNKS", "8")))
             bat.step(jnp.zeros((B_total, 8), jnp.float32),
                      jnp.zeros((B_total, 8), jnp.float32))
             return bat, 8, _plant_stack(ctrls, B_total)
