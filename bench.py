@@ -105,6 +105,16 @@ def _probe_ms(n_reps=20):
     return (time.time() - t0) / n_reps * 1e3
 
 
+def _stack_phases(seq, K):
+    """Per-dispatch stacked phase sequences for the K-scan serving mode:
+    dispatch s's K periods cycle the 4 phases starting at phase s (host
+    NumPy stacking, ONE upload per variant)."""
+    import jax.numpy as jnp
+    return [tuple(jnp.asarray(np.stack([np.asarray(seq[(s + i) % 4][j])
+                                        for i in range(K)]))
+                  for j in (0, 1)) for s in range(4)]
+
+
 def _plant_stack(ctrls, reps):
     """Tiled per-lane TRUE-plant matrices (lane = r·n_d + c order) for the
     closed-loop bench regime."""
@@ -155,9 +165,7 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
                for _ in range(4)]
     # per-dispatch stacked sequences: dispatch s's K periods cycle the 4
     # phases starting at phase s (uploaded once, cycled by the driver)
-    arg_seq_k = [tuple(jnp.asarray(np.stack([arg_seq[(s + i) % 4][j]
-                                             for i in range(K)]))
-                       for j in (0, 1)) for s in range(4)]
+    arg_seq_k = _stack_phases(arg_seq, K)
     arg_seq_1 = [tuple(jnp.asarray(a[None]) for a in pair)
                  for pair in arg_seq]
     noise0, ry = (jnp.asarray(arg_seq[0][0]), jnp.asarray(arg_seq[0][1]))
@@ -231,7 +239,7 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
     (med1, _, _, _, _, _, _, _) = _timed_windows(
         cl_step, arg_seq_1, 2, max(4, iters // 2), B_total)
 
-    deadline_steps_ms = []
+    deadline_steps_ms = None   # mean per-period wall of the last dispatch
     deadline_tput = None
     if had_deadline:
         # compliance phase (round-5): policy ON through multistep — the
@@ -244,9 +252,9 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         ym_k = np.stack([ym_fix] * K)
         ry_k = np.stack([arg_seq[i % 4][1] for i in range(K)])
         bat.limit_solve_time = True
-        bat.deadline_miss_count = 0     # pre-phase steps must not count
         bat.multistep(ym_k, ry_k)       # compile + seed wall (untimed)
         bat.multistep(ym_k, ry_k)       # seed the per-iteration EWMA
+        bat.deadline_miss_count = 0     # pre-phase dispatches must not count
         t_d = time.time()
         n_disp = 2                      # policy ON in-graph, timed
         for _ in range(n_disp):
@@ -254,7 +262,7 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         dt_d = time.time() - t_d
         deadline_tput = B_total * K * n_disp / dt_d
         if bat.last_step_time is not None:
-            deadline_steps_ms.append(bat.last_step_time * 1e3)
+            deadline_steps_ms = bat.last_step_time * 1e3
     probe_after = _probe_ms() if platform == "tpu" else None
     peak = _PEAK.get(platform)
     # analytic per-backend FLOP model × measured mean lockstep iterations —
@@ -342,8 +350,9 @@ def _bench_config(make_batch, B_total, n_windows, iters, label, target,
         # step, ~23 ms; the policy phase now runs near throughput speed).
         "deadline_misses": (getattr(bat, "deadline_miss_count", None)
                             if had_deadline else None),
-        "deadline_step_ms_mean": (round(max(deadline_steps_ms), 2)
-                                  if deadline_steps_ms else None),
+        "deadline_step_ms_mean": (round(deadline_steps_ms, 2)
+                                  if deadline_steps_ms is not None
+                                  else None),
         "deadline_tput_solves_per_s": (round(deadline_tput, 1)
                                        if deadline_tput else None),
         "Ts_s": getattr(bat, "Ts", None) if had_deadline else None,
@@ -657,9 +666,7 @@ def _bench_nonlin(platform, B=4096):
     seq = [(np.asarray(rng.normal(size=(B, 1)) * 1.0, np.float32),
             np.full((B, 1), deg, np.float32))
            for deg in (180.0, 170.0, 175.0, 180.0)]
-    seq_k = [tuple(jnp.asarray(np.stack([seq[(s + i) % 4][j]
-                                         for i in range(K)]))
-                   for j in (0, 1)) for s in range(4)]
+    seq_k = _stack_phases(seq, K)
     u, J = fleet.step(jnp.zeros((B, 1), jnp.float32),
                       jnp.asarray(seq[0][1]))
     np.asarray(u)                      # compile + hard sync
@@ -903,9 +910,7 @@ def _bench_slmpc(platform, B=4096, chunk=256):
     fd, h_user, p_mod = pend._fd, pend._h_user, pend.p
     from mpc_tpu.utils.config import jit32
     K = int(os.environ.get("MPC_BENCH_K", "8"))
-    seq_k = [tuple(jnp.asarray(jnp.stack([seq[(s + i) % 4][j]
-                                          for i in range(K)]))
-                   for j in (0, 1)) for s in range(4)]
+    seq_k = _stack_phases(seq, K)
 
     @jit32
     def closed_k(st_, xt, noise_s, ry_s, d_, bounds_):
@@ -1089,9 +1094,7 @@ def _bench_explicit(platform, B_total=16384, n_distinct=64):
     seq = [(np.asarray(rng.normal(size=(B_total, 2)) * 0.1, np.float32),
             np.asarray(rng.normal(size=(B_total, 2)) * 2.0, np.float32))
            for _ in range(4)]
-    seq_k = [tuple(jnp.asarray(np.stack([seq[(s + i) % 4][j]
-                                         for i in range(K)]))
-                   for j in (0, 1)) for s in range(4)]
+    seq_k = _stack_phases(seq, K)
     d_e = jnp.zeros((B_total, 0), jnp.float32)
     xt = jnp.zeros((B_total, plants[0][0].shape[0]), jnp.float32)
     u, fleet.state, xt = closed_k(fleet.params, fleet.eparams, fleet.state,

@@ -377,46 +377,66 @@ class BatchedLinMPC:
         dispatch-amortization rationale and the in-graph deadline policy.
         """
         dt = self.params["H"].dtype
-        ym_seq = jnp.asarray(ym_seq, dt)
-        ry_seq = jnp.asarray(ry_seq, dt)
-        K = ym_seq.shape[0]
-        if d_seq is None:
-            key = (K, self.B, self.nd)
-            if getattr(self, "_dzero_seq", (None,))[0] != key:
-                z = jnp.zeros(key, dt)
-                jax.block_until_ready(z)
-                self._dzero_seq = (key, z)
-            d_seq = self._dzero_seq[1]
-        else:
-            d_seq = jnp.asarray(d_seq, dt)
-        if getattr(self, "_mstep", None) is None:
-            self._mstep = jit32(self._make_multistep())
+        np_dt = np.dtype(dt)
+        ym_np = np.asarray(ym_seq, np_dt)
+        ry_np = np.asarray(ry_seq, np_dt)
+        K = ym_np.shape[0]
         ic = (self._iter_cost if (self.limit_solve_time and self._iter_cost)
               else 0.0)
+        # ONE device_put per dispatch for all per-dispatch data (separate
+        # jnp.asarray uploads each pay a tunnel RTT — CLAUDE.md); stacked
+        # (K, B, ·) inputs shard on the LANE axis (dim 1), not the time
+        # axis — PartitionSpec("batch") on dim 0 would partition K
+        tree = dict(ym=ym_np, ry=ry_np,
+                    d=(np.asarray(d_seq, np_dt) if d_seq is not None
+                       else np.zeros((K, self.B, self.nd), np_dt)),
+                    ic=np.asarray(ic, np_dt))
+        if self.mesh is not None:
+            sh_t = NamedSharding(self.mesh, P(None, "batch"))
+            sh_r = NamedSharding(self.mesh, P())
+            tree = {k: jax.device_put(v, sh_r if k == "ic" else sh_t)
+                    for k, v in tree.items()}
+        else:
+            tree = jax.device_put(tree)
+        if getattr(self, "_mstep", None) is None:
+            self._mstep = jit32(self._make_multistep())
+            self._mstep_shapes = set()
         import time as _time
         t0 = _time.perf_counter()
         U, NC, IT, MISS, self.state = self._mstep(
-            self.params, self.eparams, self.state, ym_seq, ry_seq, d_seq,
-            jnp.asarray(ic, dt))
+            self.params, self.eparams, self.state, tree["ym"], tree["ry"],
+            tree["d"], tree["ic"])
         self.last_iters = IT[-1]     # final period's [max, mean] (device)
         if self.limit_solve_time:
             # one host sync per DISPATCH (not per step): drain, then update
             # the per-iteration cost EWMA from the dispatch wall clock and
             # the summed lockstep max-iteration counts (np.asarray is the
-            # only true barrier on the axon runtime — see step())
-            it_host = np.asarray(IT)
+            # only true barrier on the axon runtime — see step()).  IT and
+            # MISS transfer as ONE packed array: on the tunneled rig each
+            # separate np.asarray pays a round trip, and the dispatch sync
+            # was the deadline mode's dominant cost
+            packed = np.asarray(jnp.concatenate(
+                [IT.astype(jnp.float32),
+                 MISS.astype(jnp.float32)[:, None]], axis=1))
             wall = _time.perf_counter() - t0
-            total_it = float(it_host[:, 0].sum())
-            first = self.last_step_time is None
+            total_it = float(packed[:, 0].sum())
+            # a dispatch whose (K, B) shape is new jit-COMPILES the scan
+            # inside the timed region — it must neither seed/update the
+            # EWMA nor count misses (a step()-warmed fleet's first
+            # multistep otherwise seeds iter_cost with the compile wall,
+            # collapsing the budget to its floor — advisor-found)
+            shape_key = (K, self.B)
+            first = (self.last_step_time is None
+                     or shape_key not in self._mstep_shapes)
+            self._mstep_shapes.add(shape_key)
             if not first and total_it > 0:
                 c = wall / total_it
                 self._iter_cost = c if self._iter_cost is None else \
                     0.7 * self._iter_cost + 0.3 * c
             self.last_step_time = wall / K
-            n_miss = int(np.asarray(MISS).sum())
-            self.last_deadline_miss = bool(np.asarray(MISS)[-1])
+            self.last_deadline_miss = bool(packed[-1, 2])
             if not first:
-                self.deadline_miss_count += n_miss
+                self.deadline_miss_count += int(packed[:, 2].sum())
         return U, NC
 
     def step(self, ym, ry, d=None):

@@ -108,9 +108,12 @@ class BatchedMHE:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             self._shard_b = NamedSharding(mesh, PartitionSpec("batch"))
+            # stacked (K, B, ·) multistep inputs: lanes are DIM 1
+            self._shard_t = NamedSharding(mesh,
+                                          PartitionSpec(None, "batch"))
             self._shard_r = NamedSharding(mesh, PartitionSpec())
         else:
-            self._shard_b = self._shard_r = None
+            self._shard_b = self._shard_t = self._shard_r = None
         t = template
         He, nym = t.He, t.nym
         nu, nd = t.model.nu, t.model.nd
@@ -551,9 +554,9 @@ class BatchedMHE:
             self.Nk = Nk
             big = dict(ym=ym_np, u_prev=u_np, d=d_np, Nk=np.stack(Nks),
                        has_u=np.bool_(has_u))
-            if self._shard_b is not None:
+            if self._shard_t is not None:
                 batched = {"ym", "u_prev", "d"}
-                big = {k: jax.device_put(v, self._shard_b if k in batched
+                big = {k: jax.device_put(v, self._shard_t if k in batched
                                          else self._shard_r)
                        for k, v in big.items()}
             else:
@@ -621,9 +624,9 @@ class BatchedMHE:
         if use_fast:
             big["Pq"] = np.stack(Pqs)
             big["Pinv"] = np.stack(Pinvs)      # f64: GI hi-precision cache
-        if self._shard_b is not None:
+        if self._shard_t is not None:
             batched = {"ym", "u_prev", "d"}
-            big = {k: jax.device_put(v, self._shard_b if k in batched
+            big = {k: jax.device_put(v, self._shard_t if k in batched
                                      else self._shard_r)
                    for k, v in big.items()}
         else:

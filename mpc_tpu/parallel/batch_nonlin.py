@@ -184,19 +184,25 @@ class BatchedNonLinMPC:
         big-shape fleets (see BatchedLinMPC._make_multistep).
         """
         self._ensure_params()
-        ja = ((lambda a: jnp.asarray(a, self._dt)) if self._dt is not None
-              else jnp.asarray)
-        ym_seq, ry_seq = ja(ym_seq), ja(ry_seq)
-        K = ym_seq.shape[0]
-        if d_seq is None:
-            key = (K, self.B, self.t.estim.model.nd)
-            if getattr(self, "_dzero_seq", (None,))[0] != key:
-                z = jnp.zeros(key, self._dt)
-                jax.block_until_ready(z)
-                self._dzero_seq = (key, z)
-            d_seq = self._dzero_seq[1]
+        np_dt = (np.dtype(self._dt) if self._dt is not None
+                 else np.dtype(np.float64 if jax.config.jax_enable_x64
+                               else np.float32))
+        ym_np = np.asarray(ym_seq, np_dt)
+        K = ym_np.shape[0]
+        # ONE device_put per dispatch; stacked (K, B, ·) inputs shard on
+        # the LANE axis (dim 1) for mesh fleets — PartitionSpec("batch")
+        # on dim 0 would partition the TIME axis (advisor-found)
+        tree = dict(ym=ym_np, ry=np.asarray(ry_seq, np_dt),
+                    d=(np.asarray(d_seq, np_dt) if d_seq is not None
+                       else np.zeros((K, self.B, self.t.estim.model.nd),
+                                     np_dt)))
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sh_t = NamedSharding(self._mesh, PartitionSpec(None, "batch"))
+            tree = jax.device_put(tree, sh_t)
         else:
-            d_seq = ja(d_seq)
+            tree = jax.device_put(tree)
+        ym_seq, ry_seq, d_seq = tree["ym"], tree["ry"], tree["d"]
         if getattr(self, "_mstep", None) is None:
             solve = self._solve
 

@@ -655,3 +655,37 @@ def test_batched_mhe_multipleshooting_fast_matches_singles():
     xs_fleet = np.asarray(bat_ss.step(ym, u_prev))
     assert np.allclose(xm, xs_fleet, atol=1e-9)
     assert np.asarray(bat_ms.last_ok).all()
+
+
+def test_multistep_sharded_mesh():
+    """Sharded fleets' multistep places the stacked (K, B, ·) inputs with
+    the LANE axis (dim 1) on the mesh — PartitionSpec("batch") on dim 0
+    would partition the TIME axis (crashing when K % n_dev != 0 and
+    resharding every scan step otherwise; advisor-found round 5).  K=3 on
+    a 4-device mesh is exactly the crashing case."""
+    from mpc_tpu.parallel import BatchedMHE
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("batch",))
+    # LinMPC fleet
+    ctrls = random_cstr_controllers(8, Hp=8, Hc=2, seed=1)
+    bat = BatchedLinMPC(ctrls, mesh=mesh)
+    bat_ref = BatchedLinMPC(random_cstr_controllers(8, Hp=8, Hc=2, seed=1))
+    rng = np.random.default_rng(53)
+    K = 3
+    ym_s = rng.normal(size=(K, 8, 2)) * 0.3
+    ry_s = rng.normal(size=(K, 8, 2))
+    U, NC = bat.multistep(ym_s, ry_s)
+    U2, _ = bat_ref.multistep(ym_s, ry_s)
+    assert np.allclose(np.asarray(U), np.asarray(U2), atol=1e-10)
+    assert "batch" in str(U.sharding)
+    # MHE fleet (fast path ships per-period shared H-tilde too)
+    m = mpc.LinModel(mpc.tf(3, [10, 1]), 1.0)
+    bm = BatchedMHE(mpc.MovingHorizonEstimator(m, He=3), 8, mesh=mesh)
+    bm_ref = BatchedMHE(mpc.MovingHorizonEstimator(m, He=3), 8)
+    ym0 = rng.normal(size=(8, 1))
+    bm.step(ym0)
+    bm_ref.step(ym0)
+    ym_q = rng.normal(size=(K, 8, 1))
+    u_q = rng.normal(size=(K, 8, 1)) * 0.2
+    X = bm.multistep(ym_q, u_q)
+    X2 = bm_ref.multistep(ym_q, u_q)
+    assert np.allclose(np.asarray(X), np.asarray(X2), atol=1e-10)
