@@ -121,7 +121,8 @@ def main():
     pend = mpc.NonLinModel(f, h, 0.1, 1, 2, 1, p=(9.8, 0.4, 1.2, 0.3),
                            solver=mpc.RungeKutta(4))
     estim = mpc.UnscentedKalmanFilter(pend, sigmaQ=[0.1, 1.0], sigmaR=[5.0],
-                                      nint_ym=[1], sigmaQint_ym=[0.1])
+                                      nint_ym=[1], sigmaQint_ym=[0.1],
+                                      alpha=0.5)   # f32 fleet envelope
     t = mpc.NonLinMPC(estim, Hp=15, Hc=2, Mwt=[0.5], Nwt=[2.5], Cwt=np.inf,
                       sqp_iters=15, qp_solver="active_set")
     t.setconstraint(umin=[-1.5], umax=[1.5])
